@@ -1,0 +1,4 @@
+"""Built-in check suite over the tokenized `sequences` table (the
+north_rule four families).  Importing this package registers the checks."""
+
+from ensembl_datacheck_spark.checks import core  # noqa: F401

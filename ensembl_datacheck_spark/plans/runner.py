@@ -1,0 +1,406 @@
+"""Runner/orchestrator: the Spark-native restatement of Manager +
+TAP harness + eHive fan-out/funnel (SURVEY.md §2.5, §3).
+
+Execution model:
+
+* one SparkSession; each check = one (or few) DataFrame actions — the
+  analogue of one eHive worker per (db, check) (DataCheckFan.pm:32-66)
+  without process fan-out cost;
+* **row-fused checks**: checks declaring row-level predicates are executed
+  together in a single scan (operators/fused.py) — per-(bucket, assertion)
+  counts in one aggregation + one violating-row projection — instead of
+  one scan per check as the reference does;
+* funnel: verdicts united into a RunSummary, violations appended to the
+  violations table, checkpoint rows appended once per run
+  (DataCheckFunnel.pm:35-91 semantics: single merged write);
+* resume: partitions whose latest checkpoint is ok under the current input
+  lineage are filtered out *before* the scan (cheap bucket-id predicate,
+  no extra shuffle); `force` bypasses (DbCheck.pm:101-105);
+* error-in-check → failed verdict with diagnostic, run continues
+  (BaseCheck.pm:131-139).
+"""
+
+from __future__ import annotations
+
+import time
+import traceback
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators.fused import (
+    RowPredicate,
+    fused_violation_counts,
+    fused_violation_rows,
+)
+from ensembl_datacheck_spark.plans.checkpoint import (
+    CheckpointRow,
+    CheckpointStore,
+    bucket_col,
+    new_run_id,
+)
+from ensembl_datacheck_spark.registry import CheckSpec
+from ensembl_datacheck_spark.verdict import (
+    AssertionResult,
+    CheckResult,
+    RunSummary,
+    Status,
+)
+
+VIOLATIONS_SCHEMA = "check_name string, assertion string, partition_id int, key string, detail string"
+
+
+class SkipCheck(Exception):
+    def __init__(self, reason: str):
+        super().__init__(reason)
+        self.reason = reason
+
+
+class CheckContext:
+    """What a check body sees: tables, config, assertion recorder.  The
+    analogue of the reference's dba + Test::More import surface."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame],
+        config: dict | None = None,
+        check_name: str = "",
+        bucket_key: str = "doc_id",
+        n_buckets: int = 64,
+    ):
+        self.spark = spark
+        self.tables = tables
+        self.config = config or {}
+        self.result = CheckResult(check_name=check_name)
+        self.violations: list[DataFrame] = []
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+
+    def table(self, name: str) -> DataFrame:
+        if name not in self.tables:
+            raise SkipCheck(f"required table '{name}' not available")
+        return self.tables[name]
+
+    def skip(self, reason: str) -> None:
+        raise SkipCheck(reason)
+
+    def record(
+        self,
+        assertion_and_violations: tuple[AssertionResult, DataFrame | None],
+        key_col: str | None = None,
+    ) -> bool:
+        """Record an assertion; standardize + stash its violation rows for
+        the funnel write.  Returns ok-ness so bodies can early-out."""
+        ar, viol = assertion_and_violations
+        self.result.assertions.append(ar)
+        if ar.status == Status.FAIL and isinstance(ar.got, int):
+            self.result.n_violations += ar.got
+        if viol is not None:
+            key_col = key_col or viol.columns[0]
+            part = (
+                bucket_col(self.bucket_key, self.n_buckets)
+                if self.bucket_key in viol.columns
+                else F.lit(-1)
+            )
+            detail_cols = [c for c in viol.columns if c != key_col][:6]
+            detail = (
+                F.to_json(F.struct(*detail_cols))
+                if detail_cols
+                else F.lit(None).cast("string")
+            )
+            self.violations.append(
+                viol.select(
+                    F.lit(self.result.check_name).alias("check_name"),
+                    F.lit(ar.name).alias("assertion"),
+                    part.alias("partition_id"),
+                    F.col(key_col).cast("string").alias("key"),
+                    detail.alias("detail"),
+                )
+            )
+        return ar.ok
+
+
+def run_check(
+    spec: CheckSpec,
+    spark: SparkSession,
+    tables: dict[str, DataFrame],
+    config: dict | None = None,
+    bucket_key: str = "doc_id",
+    n_buckets: int = 64,
+) -> tuple[CheckResult, list[DataFrame]]:
+    """Programmatic single-check entry point (reference §3.3:
+    `My::Check->new(...)->run()`)."""
+    ctx = CheckContext(
+        spark, tables, config, check_name=spec.name,
+        bucket_key=bucket_key, n_buckets=n_buckets,
+    )
+    try:
+        spec.body(ctx)
+    except SkipCheck as s:
+        ctx.result.skip_reason = s.reason
+    except Exception:
+        ctx.result.error = traceback.format_exc(limit=8)
+    return ctx.result.finish(), ctx.violations
+
+
+class Runner:
+    def __init__(
+        self,
+        spark: SparkSession,
+        tables: dict[str, DataFrame],
+        fact_table: str = "sequences",
+        bucket_key: str = "doc_id",
+        n_buckets: int = 64,
+        checkpoint_store: CheckpointStore | None = None,
+        lineage: str = "",
+        config: dict | None = None,
+    ):
+        self.spark = spark
+        self.tables = dict(tables)
+        self.fact_table = fact_table
+        self.bucket_key = bucket_key
+        self.n_buckets = n_buckets
+        self.store = checkpoint_store
+        self.lineage = lineage
+        self.config = config or {}
+        self.run_id = new_run_id()
+        self._rows_per_bucket: dict[int, int] | None = None
+
+    # --- helpers ---
+
+    def _bucket(self) -> F.Column:
+        return bucket_col(self.bucket_key, self.n_buckets)
+
+    def rows_per_bucket(self) -> dict[int, int]:
+        """One groupBy-count per run, shared by all checkpoint rows."""
+        if self._rows_per_bucket is None:
+            rows = (
+                self.tables[self.fact_table]
+                .groupBy(self._bucket().alias("b"))
+                .count()
+                .collect()
+            )
+            self._rows_per_bucket = {r["b"]: r["count"] for r in rows}
+        return self._rows_per_bucket
+
+    def _pending_buckets(self, spec: CheckSpec) -> list[int] | None:
+        """None = all pending.  Empty list = nothing to do (skip)."""
+        if self.store is None or spec.force:
+            return None
+        done = self.store.completed_partitions(spec.name, self.lineage)
+        if not done:
+            return None
+        all_b = set(range(self.n_buckets)) if spec.per_partition else {-1}
+        pending = sorted(all_b - done)
+        return pending
+
+    def _filtered_tables(self, pending: list[int] | None) -> dict[str, DataFrame]:
+        if pending is None:
+            return self.tables
+        t = dict(self.tables)
+        t[self.fact_table] = t[self.fact_table].filter(
+            self._bucket().isin(pending)
+        )
+        return t
+
+    def _checkpoint_rows(
+        self,
+        spec: CheckSpec,
+        result: CheckResult,
+        viol_counts: dict[int, int],
+        pending: list[int] | None,
+        started: float,
+    ) -> list[CheckpointRow]:
+        finished = time.time()
+        rpb = self.rows_per_bucket()
+        if spec.per_partition:
+            buckets = pending if pending is not None else list(range(self.n_buckets))
+        else:
+            buckets = [-1]
+        rows = []
+        for b in buckets:
+            nv = viol_counts.get(b, 0)
+            if b == -1:
+                nr = sum(rpb.values())
+                status = result.status.value
+            else:
+                nr = rpb.get(b, 0)
+                status = "fail" if nv > 0 or result.error else "ok"
+            rows.append(
+                CheckpointRow(
+                    run_id=self.run_id,
+                    check_name=spec.name,
+                    partition_id=b,
+                    status=status,
+                    started=started,
+                    finished=finished,
+                    n_rows=nr,
+                    n_violations=nv,
+                    lineage=self.lineage,
+                )
+            )
+        return rows
+
+    # --- execution ---
+
+    def run(
+        self,
+        specs: list[CheckSpec],
+        fuse_row_checks: bool = True,
+        write_checkpoints: bool = True,
+        violations_sink: Callable[[DataFrame], None] | None = None,
+    ) -> RunSummary:
+        summary = RunSummary()
+        all_violations: list[DataFrame] = []
+        checkpoint_rows: list[CheckpointRow] = []
+
+        fused = [s for s in specs if fuse_row_checks and s.row_predicates is not None]
+        rest = [s for s in specs if s not in fused]
+
+        if fused:
+            self._run_fused(fused, summary, all_violations, checkpoint_rows)
+
+        for spec in rest:
+            started = time.time()
+            pending = self._pending_buckets(spec)
+            if pending is not None and not pending:
+                res = CheckResult(check_name=spec.name)
+                res.skip_reason = "All tests passed in a previous run"  # DbCheck.pm:775 analogue
+                summary.results.append(res.finish())
+                continue
+            tables = self._filtered_tables(pending)
+            result, violations = run_check(
+                spec, self.spark, tables, self.config,
+                bucket_key=self.bucket_key, n_buckets=self.n_buckets,
+            )
+            viol_counts: dict[int, int] = {}
+            if spec.per_partition and violations:
+                union = violations[0]
+                for v in violations[1:]:
+                    union = union.unionByName(v)
+                viol_counts = {
+                    r["partition_id"]: r["n"]
+                    for r in union.groupBy("partition_id")
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            elif result.n_violations:
+                viol_counts = {-1: result.n_violations}
+            summary.results.append(result)
+            all_violations.extend(violations)
+            checkpoint_rows.extend(
+                self._checkpoint_rows(spec, result, viol_counts, pending, started)
+            )
+
+        # --- funnel (DataCheckFunnel.pm: single merged write) ---
+        if all_violations and violations_sink is not None:
+            union = all_violations[0]
+            for v in all_violations[1:]:
+                union = union.unionByName(v)
+            violations_sink(union)
+        if write_checkpoints and self.store is not None:
+            self.store.append(checkpoint_rows)
+        return summary
+
+    def _run_fused(
+        self,
+        specs: list[CheckSpec],
+        summary: RunSummary,
+        all_violations: list[DataFrame],
+        checkpoint_rows: list[CheckpointRow],
+    ) -> None:
+        """Execute all row-predicate checks in one scan.  Pending buckets
+        are computed per check; the scan covers the union of pending
+        buckets and per-check verdicts only consider that check's pending
+        set."""
+        started = time.time()
+        fact = self.tables[self.fact_table]
+        pending_by_check: dict[str, list[int] | None] = {
+            s.name: self._pending_buckets(s) for s in specs
+        }
+        todo = [s for s in specs if pending_by_check[s.name] != []]
+        for s in specs:
+            if pending_by_check[s.name] == []:
+                res = CheckResult(check_name=s.name)
+                res.skip_reason = "All tests passed in a previous run"
+                summary.results.append(res.finish())
+        if not todo:
+            return
+        union_pending: set[int] | None = set()
+        for s in todo:
+            p = pending_by_check[s.name]
+            if p is None:
+                union_pending = None
+                break
+            union_pending |= set(p)
+        scan = fact
+        if union_pending is not None:
+            scan = scan.filter(self._bucket().isin(sorted(union_pending)))
+
+        ctx = CheckContext(
+            self.spark, {**self.tables, self.fact_table: scan}, self.config,
+            bucket_key=self.bucket_key, n_buckets=self.n_buckets,
+        )
+        preds: list[RowPredicate] = []
+        pred_owner: dict[str, CheckSpec] = {}
+        scan2 = scan
+        for s in todo:
+            ps, scan2 = s.row_predicates(ctx, scan2)
+            for p in ps:
+                preds.append(p)
+                pred_owner[p.assertion] = s
+
+        bucket = self._bucket()
+        counts = fused_violation_counts(scan2, preds, bucket).collect()
+        viol_rows = fused_violation_rows(scan2, preds, bucket, self.bucket_key)
+
+        # per-check verdicts from the fused counts
+        for s in todo:
+            own = [p for p in preds if pred_owner[p.assertion] is s]
+            res = CheckResult(check_name=s.name)
+            res.started = started
+            my_pending = pending_by_check[s.name]
+            viol_counts: dict[int, int] = {}
+            for p in own:
+                total = 0
+                for r in counts:
+                    b = r["partition_id"]
+                    if my_pending is not None and b not in my_pending:
+                        continue
+                    c = r[p.assertion] or 0
+                    total += c
+                    if c:
+                        viol_counts[b] = viol_counts.get(b, 0) + c
+                status = Status.OK if total == 0 else Status.FAIL
+                diag = (
+                    []
+                    if total == 0
+                    else [f"{total} violating rows; persisted to violations table"]
+                )
+                res.assertions.append(
+                    AssertionResult(p.assertion, status, expected=0, got=total, diag=diag)
+                )
+                res.n_violations += total
+            res.n_rows_checked = sum(
+                n for b, n in self.rows_per_bucket().items()
+                if my_pending is None or b in my_pending
+            )
+            summary.results.append(res.finish())
+            checkpoint_rows.extend(
+                self._checkpoint_rows(s, res, viol_counts, my_pending, started)
+            )
+        own_assertions = [p.assertion for p in preds]
+        all_violations.append(
+            viol_rows.withColumn(
+                "check_name",
+                F.element_at(
+                    F.map_from_arrays(
+                        F.array(*[F.lit(a) for a in own_assertions]),
+                        F.array(*[F.lit(pred_owner[a].name) for a in own_assertions]),
+                    ),
+                    F.col("assertion"),
+                ),
+            ).select("check_name", "assertion", "partition_id", "key", "detail")
+        )

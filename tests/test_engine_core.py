@@ -1,0 +1,218 @@
+"""End-to-end engine tests: registry → runner → verdicts → checkpoint
+resume, on the known-violation synthetic fixture (FIXTURES.md §1/§5)."""
+
+from __future__ import annotations
+
+import ensembl_datacheck_spark.checks  # noqa: F401  (registers the suite)
+from ensembl_datacheck_spark.plans.checkpoint import CheckpointStore
+from ensembl_datacheck_spark.plans.runner import Runner, run_check
+from ensembl_datacheck_spark.registry import registry
+from ensembl_datacheck_spark.sources import synth
+from ensembl_datacheck_spark.sources.io import Catalog
+from ensembl_datacheck_spark.verdict import Status
+
+EXPECTED = synth.expected_violation_counts(10_000)
+
+
+def _tables(seq_fixture, baseline="baseline_same"):
+    return {
+        "sequences": seq_fixture["sequences"],
+        "sources": seq_fixture["sources"],
+        "baseline_stats": seq_fixture[baseline],
+    }
+
+
+def _by_name(summary):
+    return {r.check_name: r for r in summary.results}
+
+
+def test_registry_selection_and_index(tmp_path):
+    assert len(registry) >= 8
+    sel = registry.select(groups=["drift"])
+    assert {s.name for s in sel} >= {"RowTotals", "SourceDrift", "NTokDrift"}
+    sel = registry.select(patterns=["^Token"])
+    assert [s.name for s in sel] == ["TokenInvariants"]
+    sel = registry.select(names=["DocIdUnique"], severity="critical")
+    assert len(sel) == 1
+    # index round-trip (t/index.t semantics)
+    p = tmp_path / "index.json"
+    registry.write_index(p)
+    assert registry.verify_index(p)
+
+
+def test_full_suite_verdicts_on_dirty_fixture(spark, seq_fixture):
+    runner = Runner(spark, _tables(seq_fixture), n_buckets=16)
+    summary = runner.run(list(registry), write_checkpoints=False)
+    res = _by_name(summary)
+
+    # known-answer verdicts (FIXTURES.md §5)
+    comp = res["SequencesCompleteness"]
+    assert comp.status == Status.FAIL
+    a = {x.name: x for x in comp.assertions}
+    assert a["doc_id_null_or_empty"].got == EXPECTED["null_doc_id"] + EXPECTED["empty_doc_id"]
+    assert a["tokens_null"].got == EXPECTED["null_tokens"]
+    assert a["tokens_empty"].got == EXPECTED["empty_tokens"]
+
+    tok = res["TokenInvariants"]
+    at = {x.name: x for x in tok.assertions}
+    assert at["token_length_mismatch"].got == EXPECTED["len_mismatch"]
+    assert at["token_out_of_domain"].got == EXPECTED["bad_token_rows"]
+
+    dup = res["DocIdUnique"]
+    assert dup.status == Status.FAIL
+    # dup pairs + the two null-doc_id rows are excluded (null-keyed)
+    assert dup.assertions[0].got == EXPECTED["dup_rows"]
+
+    ref = res["SourceReferential"]
+    ar = {x.name: x for x in ref.assertions}
+    assert ar["source_orphan"].got == EXPECTED["orphan_source_rows"]
+    assert ar["source_inactive_has_rows"].got == 0
+
+    # drift vs same-distribution baseline: totals equal-ish, chi2 calm
+    assert res["RowTotals"].status == Status.OK
+    assert res["SequencesNonEmpty"].status == Status.OK
+
+
+def test_drift_fails_on_shifted_baseline(spark, seq_fixture):
+    runner = Runner(spark, _tables(seq_fixture, "baseline_shifted"), n_buckets=16)
+    summary = runner.run(registry.select(groups=["drift"]), write_checkpoints=False)
+    res = _by_name(summary)
+    assert res["NTokDrift"].status == Status.FAIL  # histogram shifted one bin
+    src = res["SourceDrift"]
+    # hot source halved in baseline -> current = 2x baseline; subtotals
+    # (shrink-only) pass, but chi-square flags the distribution change
+    a = {x.name: x for x in src.assertions}
+    assert a["source_chi2"].status == Status.FAIL
+
+
+def test_clean_fixture_all_pass(spark, seq_fixture):
+    tables = {
+        "sequences": seq_fixture["sequences_clean"],
+        "sources": seq_fixture["sources"],
+        "baseline_stats": seq_fixture["baseline_same"],
+    }
+    runner = Runner(spark, tables, n_buckets=16)
+    summary = runner.run(list(registry), write_checkpoints=False)
+    bad = [r.check_name for r in summary.results if r.status == Status.FAIL]
+    assert bad == [], f"unexpected failures: {bad}"
+    assert summary.all_passed
+
+
+def test_error_in_check_is_fail_not_crash(spark, seq_fixture):
+    from ensembl_datacheck_spark.registry import CheckSpec
+
+    def boom(ctx):
+        raise RuntimeError("synthetic explosion")
+
+    spec = CheckSpec(name="Boom", description="", body=boom)
+    result, _ = run_check(spec, spark, _tables(seq_fixture))
+    assert result.status == Status.FAIL
+    assert "synthetic explosion" in result.error
+
+
+def test_skip_with_reason(spark, seq_fixture):
+    from ensembl_datacheck_spark.registry import CheckSpec
+
+    def skipper(ctx):
+        ctx.skip("not applicable here")
+
+    spec = CheckSpec(name="Skippy", description="", body=skipper)
+    result, _ = run_check(spec, spark, _tables(seq_fixture))
+    assert result.status == Status.SKIP
+    assert result.skip_reason == "not applicable here"
+
+
+def test_checkpoint_resume(spark, seq_fixture, tmp_path):
+    """Kill-and-resume semantics (FIXTURES.md §4): after a clean run,
+    rerunning skips everything; after input change, lineage mismatch
+    forces full re-validation."""
+    catalog = Catalog(spark, tmp_path / "warehouse")
+    store = CheckpointStore(catalog)
+    tables = {
+        "sequences": seq_fixture["sequences_clean"],
+        "sources": seq_fixture["sources"],
+        "baseline_stats": seq_fixture["baseline_same"],
+    }
+    specs = registry.select(names=["DocIdUnique", "SequencesCompleteness",
+                                  "TokenInvariants", "SourceReferential"])
+    r1 = Runner(spark, tables, n_buckets=16, checkpoint_store=store,
+                lineage="snap-A")
+    s1 = r1.run(specs)
+    assert s1.all_passed
+    cp = store.load()
+    # per-partition checks wrote one row per bucket
+    assert cp.filter("check_name = 'DocIdUnique'").count() == 16
+
+    # rerun same lineage: everything skipped, no new checkpoint rows
+    r2 = Runner(spark, tables, n_buckets=16, checkpoint_store=store,
+                lineage="snap-A")
+    s2 = r2.run(specs)
+    assert all(r.status == Status.SKIP for r in s2.results), [
+        (r.check_name, r.status) for r in s2.results
+    ]
+
+    # changed input (new lineage): full re-validation
+    r3 = Runner(spark, tables, n_buckets=16, checkpoint_store=store,
+                lineage="snap-B")
+    s3 = r3.run(specs)
+    assert all(r.status == Status.OK for r in s3.results)
+
+
+def test_checkpoint_partial_resume(spark, seq_fixture, tmp_path):
+    """Pre-populate K of M partitions complete → rerun validates exactly
+    M−K partitions."""
+    import time
+
+    from ensembl_datacheck_spark.plans.checkpoint import CheckpointRow
+
+    catalog = Catalog(spark, tmp_path / "warehouse2")
+    store = CheckpointStore(catalog)
+    now = time.time()
+    done = [
+        CheckpointRow("run_pre", "DocIdUnique", b, "ok", now - 10, now,
+                      100, 0, "snap-A")
+        for b in range(10)  # 10 of 16 buckets done
+    ]
+    store.append(done)
+    tables = {
+        "sequences": seq_fixture["sequences_clean"],
+        "sources": seq_fixture["sources"],
+    }
+    r = Runner(spark, tables, n_buckets=16, checkpoint_store=store,
+               lineage="snap-A")
+    s = r.run(registry.select(names=["DocIdUnique"]))
+    assert s.all_passed
+    cp = store.load().filter("run_id != 'run_pre'")
+    new_buckets = sorted(r["partition_id"] for r in cp.select("partition_id").collect())
+    assert new_buckets == list(range(10, 16))
+
+
+def test_violations_sink_and_reports(spark, seq_fixture, tmp_path):
+    catalog = Catalog(spark, tmp_path / "wh3")
+    sink_calls = []
+    runner = Runner(spark, _tables(seq_fixture), n_buckets=16)
+    summary = runner.run(
+        registry.select(names=["SequencesCompleteness", "DocIdUnique",
+                               "SourceReferential", "TokenInvariants"]),
+        write_checkpoints=False,
+        violations_sink=lambda df: sink_calls.append(
+            catalog.write(df, "violations")
+        ),
+    )
+    assert len(sink_calls) == 1
+    viol = catalog.load("violations")
+    total = viol.count()
+    expected_total = (
+        EXPECTED["null_doc_id"] + EXPECTED["empty_doc_id"]
+        + EXPECTED["null_tokens"] + EXPECTED["empty_tokens"]
+        + EXPECTED["len_mismatch"] + EXPECTED["bad_token_rows"]
+        + EXPECTED["dup_rows"] + EXPECTED["orphan_source_rows"]
+    )
+    assert total == expected_total
+    assert set(viol.columns) == {"check_name", "assertion", "partition_id",
+                                 "key", "detail"}
+    # report rendering
+    j = summary.to_dict(failures_only=True)
+    assert j["failed"] >= 3
+    tap = "\n".join(r.to_tap() for r in summary.results)
+    assert "not ok" in tap and "# Subtest" in tap
