@@ -1,0 +1,137 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...,
+   "seqs_per_sec": <checks-validated sequences/sec on the synthetic
+                    sequences table — the BASELINE.json metric>, ...}
+
+The sequences-suite throughput section generates a deterministic
+`sequences` table (rows scaled with sf), writes it to parquet (untimed),
+then times the full built-in check suite over it.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    "validation_summary",
+    "tpch_q1",
+    "revenue_by_nation",
+    "count_distinct_parts_by_flag",
+    "topk_orders_per_priority",
+    "event_gaps",
+    "priority_drift_halves",
+    "json_props_events",
+    "dedup_exact_documents",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_candidates",
+    "simhash_near_duplicates",
+    "ann_bruteforce_topk",
+    "quality_features_by_lang",
+]
+
+
+def _consume(df):
+    """Execute the full plan without driver materialization cost for wide
+    results: noop datasource when available, else count."""
+    try:
+        df.write.format("noop").mode("overwrite").save()
+    except Exception:
+        df.count()
+
+
+def bench_queries(spark, sf_dir: str) -> dict[str, float]:
+    from ensembl_datacheck_spark.plans.entry_queries import QUERIES
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        _consume(fn(spark, sf_dir))
+        times[name] = round(time.perf_counter() - t0, 3)
+    return times
+
+
+def bench_sequences_suite(spark, n_rows: int, n_buckets: int = 64):
+    """Generate (untimed) then validate (timed) — returns
+    (seqs_per_sec, wall_sec, n_rows)."""
+    import ensembl_datacheck_spark.checks  # noqa: F401
+    from ensembl_datacheck_spark import registry
+    from ensembl_datacheck_spark.plans.runner import Runner
+    from ensembl_datacheck_spark.sources import synth
+
+    tmp = tempfile.mkdtemp(prefix="dcheck_bench_")
+    try:
+        n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        seq = synth.gen_sequences(
+            spark, n_rows, n_partitions=n_part, median_tok=64, max_tok=1024
+        )
+        seq.write.mode("overwrite").parquet(f"{tmp}/sequences")
+        seq_disk = spark.read.parquet(f"{tmp}/sequences")
+        clean_stats = synth.gen_baseline_stats(
+            spark,
+            synth.gen_sequences(spark, n_rows, n_partitions=n_part,
+                                median_tok=64, max_tok=1024,
+                                inject_violations=False),
+        )
+        clean_stats.write.mode("overwrite").parquet(f"{tmp}/baseline")
+        tables = {
+            "sequences": seq_disk,
+            "sources": synth.gen_sources(spark),
+            "baseline_stats": spark.read.parquet(f"{tmp}/baseline"),
+        }
+        runner = Runner(spark, tables, n_buckets=n_buckets)
+        t0 = time.perf_counter()
+        summary = runner.run(list(registry), write_checkpoints=False)
+        wall = time.perf_counter() - t0
+        assert summary.results, "no results"
+        return round(n_rows / wall, 1), round(wall, 3), n_rows
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+    from ensembl_datacheck_spark.session import get_spark
+
+    spark = get_spark("dcheck-bench", cores=cpus,
+                      shuffle_partitions=max(cpus, 16), driver_memory="48g")
+
+    times = bench_queries(spark, sf_dir)
+
+    # sequences throughput scaled with sf (sf0.1 -> 1M rows)
+    try:
+        seq_rows = max(100_000, int(float(sf) * 10_000_000))
+    except ValueError:
+        seq_rows = 1_000_000
+    seqs_per_sec, suite_wall, n_rows = bench_sequences_suite(spark, seq_rows)
+    times["sequences_check_suite"] = suite_wall
+
+    out = {
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf,
+        "cpus": cpus,
+        "seqs_per_sec": seqs_per_sec,
+        "seq_rows": n_rows,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

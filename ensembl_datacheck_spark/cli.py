@@ -1,0 +1,126 @@
+"""CLI: ``python -m ensembl_datacheck_spark.cli`` — mirrors the
+reference's scripts/run_datachecks.pl option surface
+(run_datachecks.pl:165-187): check selection by name/pattern/group/type,
+history (checkpoint) location, output files, force.
+
+Example:
+
+    python -m ensembl_datacheck_spark.cli \
+        --sequences /data/sequences.parquet \
+        --groups completeness uniqueness \
+        --warehouse /tmp/dcheck_wh --output-json /tmp/results.json
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="ensembl_datacheck_spark")
+    p.add_argument("--sequences", help="parquet path of the fact table "
+                   "(required unless --list/--write-index)")
+    p.add_argument("--sources", help="parquet path of the sources dimension")
+    p.add_argument("--baseline", help="parquet path of baseline_stats")
+    p.add_argument("--names", nargs="*", help="exact check names")
+    p.add_argument("--patterns", nargs="*", help="regex patterns over names")
+    p.add_argument("--groups", nargs="*", help="check groups")
+    p.add_argument("--type", dest="severity", choices=["critical", "advisory"])
+    p.add_argument("--warehouse", default="/tmp/dcheck_warehouse",
+                   help="checkpoint/violations table root")
+    p.add_argument("--n-buckets", type=int, default=64)
+    p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--force", action="store_true",
+                   help="ignore checkpoints, re-run everything")
+    p.add_argument("--no-failures-fatal", action="store_true")
+    p.add_argument("--output-json", help="JSON report path")
+    p.add_argument("--output-tap", help="TAP-style report path")
+    p.add_argument("--passed", action="store_true",
+                   help="include passing checks in the JSON report")
+    p.add_argument("--list", action="store_true", help="list checks and exit")
+    p.add_argument("--write-index", metavar="PATH",
+                   help="write the registry index.json and exit")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    import ensembl_datacheck_spark.checks  # noqa: F401  (register suite)
+    from ensembl_datacheck_spark import registry
+    from ensembl_datacheck_spark.plans import reports
+    from ensembl_datacheck_spark.plans.checkpoint import CheckpointStore
+    from ensembl_datacheck_spark.plans.runner import Runner
+    from ensembl_datacheck_spark.session import get_spark
+    from ensembl_datacheck_spark.sources.io import Catalog
+
+    args = build_parser().parse_args(argv)
+
+    if args.write_index:
+        registry.write_index(args.write_index)
+        print(f"wrote {len(registry)} checks to {args.write_index}")
+        return 0
+    if args.list:
+        for s in registry:
+            print(f"{s.name}\t{s.severity.value}\t{','.join(s.groups)}\t"
+                  f"{s.description[:70]}")
+        return 0
+
+    if not args.sequences:
+        print("--sequences is required to run checks", file=sys.stderr)
+        return 2
+    specs = registry.select(
+        names=args.names, patterns=args.patterns, groups=args.groups,
+        severity=args.severity,
+    )
+    if not specs:
+        print("no checks selected", file=sys.stderr)
+        return 2
+    if args.force:
+        from dataclasses import replace
+
+        specs = [replace(s, force=True) for s in specs]
+
+    spark = get_spark("dcheck-cli", cores=args.cores)
+    tables = {"sequences": spark.read.parquet(args.sequences)}
+    if args.sources:
+        tables["sources"] = spark.read.parquet(args.sources)
+    if args.baseline:
+        tables["baseline_stats"] = spark.read.parquet(args.baseline)
+
+    catalog = Catalog(spark, args.warehouse)
+    runner = Runner(
+        spark, tables, n_buckets=args.n_buckets,
+        checkpoint_store=CheckpointStore(catalog),
+        lineage=_lineage_of(args.sequences),
+    )
+    summary = runner.run(
+        specs,
+        violations_sink=lambda df: catalog.write(df, "violations", mode="append"),
+    )
+
+    if args.output_json:
+        reports.write_json_report(summary, args.output_json,
+                                  failures_only=not args.passed)
+    if args.output_tap:
+        reports.write_tap_report(summary, args.output_tap)
+    print(reports.summary_line(summary))
+    for name in reports.failed_names(summary):
+        print(f"  FAILED: {name}", file=sys.stderr)
+    return reports.exit_code(summary, failures_fatal=not args.no_failures_fatal)
+
+
+def _lineage_of(path: str) -> str:
+    import hashlib
+    from pathlib import Path
+
+    h = hashlib.md5()
+    root = Path(path)
+    files = sorted(root.rglob("*.parquet")) if root.is_dir() else [root]
+    for p in files:
+        st = p.stat()
+        h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -80,8 +80,7 @@ def _flat_segments(s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     return flat, lengths, row_idx
 
 
-@pandas_udf("long")
-def token_checksum(tokens: pd.Series) -> pd.Series:
+def _token_checksum_fn(tokens: pd.Series) -> pd.Series:
     """Order-sensitive polynomial checksum per row (rolling-hash style,
     base 1000003 mod 2^61-1), computed batch-vectorized: one
     segment-prefix pass over the flattened values.  Used for cheap
@@ -112,8 +111,7 @@ def token_checksum(tokens: pd.Series) -> pd.Series:
     return res
 
 
-@pandas_udf("struct<min:int,max:int,sum:long,n:int>")
-def token_stats(tokens: pd.Series) -> pd.DataFrame:
+def _token_stats_fn(tokens: pd.Series) -> pd.DataFrame:
     """Fused per-row min/max/sum/length in one Arrow batch pass —
     segment-reduce over flattened values (np.minimum.reduceat etc.)."""
     flat, lengths, _ = _flat_segments(tokens)
@@ -137,6 +135,18 @@ def token_stats(tokens: pd.Series) -> pd.DataFrame:
             "n": lengths.astype(np.int32),
         }
     )
+
+
+# UDF registration parses the return-type DDL, which needs a live Spark
+# session — so the pandas UDFs are wrapped lazily at call time.
+
+
+def token_checksum(col: Column) -> Column:
+    return pandas_udf(_token_checksum_fn, "long")(col)
+
+
+def token_stats(col: Column) -> Column:
+    return pandas_udf(_token_stats_fn, "struct<min:int,max:int,sum:long,n:int>")(col)
 
 
 def token_stats_df(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:

@@ -223,8 +223,7 @@ def jaccard_pairs(
 # ---------------------------------------------------------------------------
 
 
-@pandas_udf("long")
-def simhash64(words_col: pd.Series) -> pd.Series:
+def _simhash64_fn(words_col: pd.Series) -> pd.Series:
     """64-bit SimHash per row from a word array, numpy-vectorized over the
     batch: hash each word (FNV-1a over bytes, vectorized per unique word),
     accumulate ±1 per bit, take signs.  No per-row Python loops over
@@ -267,6 +266,11 @@ def simhash64(words_col: pd.Series) -> pd.Series:
                 np.uint64
             )[0]
     return pd.Series(out.astype(np.int64))
+
+
+def simhash64(col: Column) -> Column:
+    """Lazy pandas-UDF wrapper (type parsing needs a live session)."""
+    return pandas_udf(_simhash64_fn, "long")(col)
 
 
 def simhash_near_duplicates(

@@ -1,0 +1,883 @@
+"""Driver-contract queries: every implemented operator class from
+SURVEY.md §2 exercised on the driver's TPC-H-ish tables, each paired
+with an ANSI-SQL oracle that DuckDB executes on the same parquet.
+
+Conventions for oracle parity (driver compares row count + schema +
+order-insensitive value hash):
+
+* every computed column is aliased identically on both sides;
+* float aggregates go through **exact decimal arithmetic** then a single
+  cast to double (`CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE)`), so
+  Spark and DuckDB produce bit-identical doubles regardless of summation
+  order;
+* integer derivations (`size`, `len`, counts) are cast to BIGINT on both
+  sides;
+* rankings always carry a deterministic tie-break key.
+
+Operators whose math is engine-specific (MinHash/SimHash signatures,
+LSH/IVF ANN, rolling xxhash fingerprints) have no SQL oracle — the
+driver records a rows-only check for those (documented per entry).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators import dedup, similarity, text
+from ensembl_datacheck_spark.operators.referential import orphan_rows
+from ensembl_datacheck_spark.operators.uniqueness import (
+    duplicate_keys,
+    exact_count_distinct_salted,
+)
+from ensembl_datacheck_spark.sources.io import load_sf_tables
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: dict[str, str] = {}
+
+
+def q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_sf_tables(spark, sf_dir)
+
+
+# ---------------------------------------------------------------------------
+# assertion primitives on driver tables (SURVEY.md §2.1)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "fk_lineitem_orders",
+    """
+    SELECT l.l_orderkey, l.l_linenumber
+    FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_orderkey IS NOT NULL AND o.o_orderkey IS NULL
+    """,
+)
+def fk_lineitem_orders(spark, sf_dir):
+    """fk primitive (Test/DataCheck.pm:395-419): broadcast left-anti."""
+    t = _t(spark, sf_dir)
+    return orphan_rows(t["lineitem"], "l_orderkey", t["orders"], "o_orderkey").select(
+        "l_orderkey", "l_linenumber"
+    )
+
+
+@q(
+    "fk_customer_nation",
+    """
+    SELECT c.c_custkey FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE c.c_nationkey IS NOT NULL AND n.n_nationkey IS NULL
+    """,
+)
+def fk_customer_nation(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    return orphan_rows(t["customer"], "c_nationkey", t["nation"], "n_nationkey").select(
+        "c_custkey"
+    )
+
+
+@q(
+    "uniqueness_orders",
+    """
+    SELECT o_orderkey, CAST(count(*) AS BIGINT) AS n_copies
+    FROM orders GROUP BY o_orderkey HAVING count(*) > 1
+    """,
+)
+def uniqueness_orders(spark, sf_dir):
+    """GROUP BY HAVING >1 uniqueness (GeneStableID.pm:66-75)."""
+    t = _t(spark, sf_dir)
+    return duplicate_keys(t["orders"], ["o_orderkey"]).select(
+        "o_orderkey", F.col("count").alias("n_copies")
+    )
+
+
+@q(
+    "one_to_many_lineitem",
+    """
+    SELECT l_orderkey FROM lineitem GROUP BY l_orderkey HAVING count(*) = 1
+    """,
+)
+def one_to_many_lineitem(spark, sf_dir):
+    """is_one_to_many violations (Test/DataCheck.pm:520-539)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"].groupBy("l_orderkey").count()
+        .filter(F.col("count") == 1)
+        .select("l_orderkey")
+    )
+
+
+@q(
+    "has_data_documents",
+    """
+    SELECT doc_id, lang FROM documents
+    WHERE text IS NULL OR CAST(text AS VARCHAR) = '' OR upper(text) = 'NULL'
+       OR lang IS NULL OR lang = '' OR upper(lang) = 'NULL'
+    """,
+)
+def has_data_documents(spark, sf_dir):
+    """has_data semantics (Test/DataCheck.pm:490-502)."""
+    t = _t(spark, sf_dir)
+    d = t["documents"]
+
+    def blank(c):
+        return c.isNull() | (c.cast("string") == "") | (F.upper(c) == "NULL")
+
+    return d.filter(blank(F.col("text")) | blank(F.col("lang"))).select(
+        "doc_id", "lang"
+    )
+
+
+# ---------------------------------------------------------------------------
+# aggregation shapes S3/S4/S5/S6 (counts, fused stats, exact distinct)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "subtotals_returnflag",
+    """
+    SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def subtotals_returnflag(spark, sf_dir):
+    """row_subtotals input shape (Test/DataCheck.pm:283-365)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"].groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+    )
+
+
+@q(
+    "column_stats_lineitem",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS qty_nulls,
+           CAST(min(l_quantity) AS DOUBLE) AS qty_min,
+           CAST(max(l_quantity) AS DOUBLE) AS qty_max,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS price_sum,
+           CAST(min(l_shipdate) AS TIMESTAMP) AS first_ship,
+           CAST(max(l_shipdate) AS TIMESTAMP) AS last_ship
+    FROM lineitem
+    """,
+)
+def column_stats_lineitem(spark, sf_dir):
+    """Fused one-pass multi-column stats (SURVEY.md §4 item 4) with
+    decimal-exact sums."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    return li.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("l_quantity").isNull().cast("long")).alias("qty_nulls"),
+        F.min("l_quantity").cast("double").alias("qty_min"),
+        F.max("l_quantity").cast("double").alias("qty_max"),
+        F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double").alias("qty_sum"),
+        F.sum(F.col("l_extendedprice").cast("decimal(18,2)")).cast("double").alias("price_sum"),
+        F.min("l_shipdate").alias("first_ship"),
+        F.max("l_shipdate").alias("last_ship"),
+    )
+
+
+@q(
+    "count_distinct_parts_by_flag",
+    """
+    SELECT l_returnflag AS group_key,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_distinct
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def count_distinct_parts_by_flag(spark, sf_dir):
+    """Exact grouped count-distinct via the salted three-stage plan
+    (north_rule skew handling; operators/uniqueness.py)."""
+    t = _t(spark, sf_dir)
+    return exact_count_distinct_salted(
+        t["lineitem"], "l_returnflag", "l_partkey", n_salt=16
+    )
+
+
+@q(
+    "tpch_q1",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_base_price,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS sum_disc_price,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1(spark, sf_dir):
+    """Pricing-summary aggregate: scan+filter+groupBy with decimal-exact
+    sums (the S1/S3/S4/S5/S16/S17 composite)."""
+    t = _t(spark, sf_dir)
+    li = t["lineitem"].filter(F.col("l_shipdate") <= "2000-09-02 00:00:00")
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double").alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# join shapes S7/S8/S9/S10 (multiway, anti, semi)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "revenue_by_nation",
+    """
+    SELECT n.n_name,
+           CAST(sum(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM customer c
+    JOIN orders o    ON c.c_custkey = o.o_custkey
+    JOIN lineitem l  ON o.o_orderkey = l.l_orderkey
+    JOIN nation n    ON c.c_nationkey = n.n_nationkey
+    JOIN region r    ON n.n_regionkey = r.r_regionkey
+    GROUP BY n.n_name
+    """,
+)
+def revenue_by_nation(spark, sf_dir):
+    """5-way join (S7): fact-to-fact sort-merge + broadcast dims."""
+    t = _t(spark, sf_dir)
+    dec = lambda c: F.col(c).cast("decimal(18,2)")
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount")))
+            .cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@q(
+    "parts_never_shipped",
+    """
+    SELECT p.p_partkey FROM part p
+    WHERE p.p_partkey NOT IN (SELECT l_partkey FROM lineitem
+                              WHERE l_partkey IS NOT NULL)
+    """,
+)
+def parts_never_shipped(spark, sf_dir):
+    """NOT IN subquery → left-anti (S9)."""
+    t = _t(spark, sf_dir)
+    return t["part"].join(
+        t["lineitem"].select(F.col("l_partkey").alias("p_partkey")),
+        "p_partkey",
+        "left_anti",
+    ).select("p_partkey")
+
+
+@q(
+    "orders_from_automobile_segment",
+    """
+    SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE o.o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'AUTOMOBILE')
+    GROUP BY o.o_orderpriority
+    """,
+)
+def orders_from_automobile_segment(spark, sf_dir):
+    """IN subquery → left-semi (S10)."""
+    t = _t(spark, sf_dir)
+    seg = t["customer"].filter(F.col("c_mktsegment") == "AUTOMOBILE").select(
+        F.col("c_custkey").alias("o_custkey")
+    )
+    return (
+        t["orders"].join(seg, "o_custkey", "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+
+
+@q(
+    "key_diff_customer_orders",
+    """
+    SELECT c_custkey AS key, 'customer_only' AS only_in
+    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT DISTINCT o_custkey AS key, 'orders_only' AS only_in
+    FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    """,
+)
+def key_diff_customer_orders(spark, sf_dir):
+    """array_diff port (Utils.pm:217-246): labeled symmetric difference."""
+    from ensembl_datacheck_spark.assertions import array_diff
+
+    t = _t(spark, sf_dir)
+    c = t["customer"].select(F.col("c_custkey").alias("k"))
+    o = t["orders"].select(F.col("o_custkey").alias("k"))
+    return array_diff(c, o, "k", "customer_only", "orders_only").select(
+        F.col("value").alias("key"), "only_in"
+    )
+
+
+# ---------------------------------------------------------------------------
+# set ops / derived tables / windows S11/S12/S13/S14
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "union_part_screens",
+    """
+    SELECT p_partkey, 'small' AS reason FROM part WHERE p_size < 10
+    UNION ALL
+    SELECT p_partkey, 'pricey' AS reason FROM part WHERE p_retailprice > 1800
+    """,
+)
+def union_part_screens(spark, sf_dir):
+    """UNION of two violation screens (S11, CanonicalTranscripts.pm:148-165)."""
+    t = _t(spark, sf_dir)
+    p = t["part"]
+    a = p.filter(F.col("p_size") < 10).select("p_partkey", F.lit("small").alias("reason"))
+    b = p.filter(F.col("p_retailprice") > 1800).select(
+        "p_partkey", F.lit("pricey").alias("reason")
+    )
+    return a.unionByName(b)
+
+
+@q(
+    "linenumber_integrity",
+    """
+    SELECT l_orderkey, CAST(max(l_linenumber) AS BIGINT) AS max_ln,
+           CAST(count(*) AS BIGINT) AS n_lines
+    FROM lineitem GROUP BY l_orderkey
+    HAVING CAST(max(l_linenumber) AS BIGINT) <> CAST(count(*) AS BIGINT)
+    """,
+)
+def linenumber_integrity(spark, sf_dir):
+    """Derived-table shape (S12, ExonBounds.pm:82-85): per-group max rank
+    reconciled against member count."""
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"].groupBy("l_orderkey")
+        .agg(
+            F.max("l_linenumber").cast("long").alias("max_ln"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+        .filter(F.col("max_ln") != F.col("n_lines"))
+    )
+
+
+@q(
+    "event_gaps",
+    """
+    SELECT user_id, event_id, gap_us FROM (
+      SELECT user_id, event_id,
+             epoch_us(ts) - lag(epoch_us(ts)) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      FROM events
+    ) WHERE gap_us > 3600000000
+    """,
+)
+def event_gaps(spark, sf_dir):
+    """Ordered adjacent-row comparison via window lag (S13,
+    ExonBounds.pm:124-169 without driver-side iteration): user events
+    more than an hour apart.  Integer microsecond arithmetic."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        t["events"]
+        .withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .withColumn("gap_us", F.col("us") - F.lag("us").over(w))
+        .filter(F.col("gap_us") > 3_600_000_000)
+        .select("user_id", "event_id", "gap_us")
+    )
+
+
+@q(
+    "topk_orders_per_priority",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn
+    FROM (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def topk_orders_per_priority(spark, sf_dir):
+    """Top-K per group (S14, DensityFeatures.pm:95-108), deterministic
+    tie-break on the key."""
+    t = _t(spark, sf_dir)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        t["orders"]
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# string/regex/conditional S15/S16/S17/S18
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "regex_documents",
+    """
+    SELECT lang,
+           CAST(sum(CASE WHEN text LIKE '%join%' THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_like_join,
+           CAST(sum(CASE WHEN regexp_matches(text, '(spark|hash) (join|agg)')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_regex,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def regex_documents(spark, sf_dir):
+    """LIKE / REGEXP predicates (S15, XrefPrefixes.pm:100-107,
+    CigarCheck.pm:44-75)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["documents"]
+        .groupBy("lang")
+        .agg(
+            F.sum(F.col("text").like("%join%").cast("long")).alias("n_like_join"),
+            F.sum(F.col("text").rlike("(spark|hash) (join|agg)").cast("long")).alias(
+                "n_regex"
+            ),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+    )
+
+
+@q(
+    "string_funcs_customer",
+    """
+    SELECT c_mktsegment,
+           lower(substring(min(c_name), 1, 8)) AS sample_key,
+           CAST(min(length(c_name)) AS BIGINT) AS min_name_len,
+           CAST(count(*) AS BIGINT) AS n
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def string_funcs_customer(spark, sf_dir):
+    """CONCAT/substring/length/lower string surface (S16)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .groupBy("c_mktsegment")
+        .agg(
+            F.lower(F.substring(F.min("c_name"), 1, 8)).alias("sample_key"),
+            F.min(F.length("c_name")).cast("long").alias("min_name_len"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@q(
+    "order_size_flags",
+    """
+    SELECT CASE WHEN o_totalprice >= 200000 THEN 'big'
+                WHEN o_totalprice >= 50000 THEN 'mid'
+                ELSE 'small' END AS size_flag,
+           o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def order_size_flags(spark, sf_dir):
+    """Conditional flag derivation (S18, CompareMetaKeys.pm:192)."""
+    t = _t(spark, sf_dir)
+    flag = (
+        F.when(F.col("o_totalprice") >= 200000, "big")
+        .when(F.col("o_totalprice") >= 50000, "mid")
+        .otherwise("small")
+    )
+    return (
+        t["orders"]
+        .groupBy(flag.alias("size_flag"), F.col("o_orderstatus"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# drift & snapshot diff S21/S22
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "priority_drift_halves",
+    """
+    SELECT COALESCE(e.o_orderpriority, l.o_orderpriority) AS priority,
+           CAST(COALESCE(e.n, 0) AS BIGINT) AS n_early,
+           CAST(COALESCE(l.n, 0) AS BIGINT) AS n_late
+    FROM (SELECT o_orderpriority, count(*) AS n FROM orders
+          WHERE o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY 1) e
+    FULL OUTER JOIN
+         (SELECT o_orderpriority, count(*) AS n FROM orders
+          WHERE o_orderdate >= TIMESTAMP '1998-01-01 00:00:00'
+          GROUP BY 1) l
+    ON e.o_orderpriority = l.o_orderpriority
+    """,
+)
+def priority_drift_halves(spark, sf_dir):
+    """Snapshot diff via full-outer join with zero-fill — the
+    row_subtotals core (S21/S22, Test/DataCheck.pm:283-365)."""
+    t = _t(spark, sf_dir)
+    o = t["orders"]
+    early = (
+        o.filter(F.col("o_orderdate") < "1998-01-01")
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_e"))
+    )
+    late = (
+        o.filter(F.col("o_orderdate") >= "1998-01-01")
+        .groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_l"))
+    )
+    return (
+        early.join(late, "o_orderpriority", "full_outer")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.coalesce("n_e", F.lit(0)).alias("n_early"),
+            F.coalesce("n_l", F.lit(0)).alias("n_late"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# per-row scalar validation S23 (JSON)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "json_props_events",
+    """
+    SELECT event_type,
+           CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_valid,
+           CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+             AS sum_k
+    FROM events GROUP BY event_type
+    """,
+)
+def json_props_events(spark, sf_dir):
+    """Per-row JSON validation + extraction (S23, CheckJSONObjects.pm:44-70)
+    via from_json — no per-row Python."""
+    t = _t(spark, sf_dir)
+    parsed = F.from_json(F.col("props"), "k BIGINT")
+    return (
+        t["events"]
+        .groupBy("event_type")
+        .agg(
+            F.sum(parsed.isNotNull().cast("long")).alias("n_valid"),
+            F.sum(parsed["k"]).alias("sum_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# training-data ops: dedup / text analysis (oracle-backed)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_documents",
+    """
+    SELECT md5(text) AS content_hash, CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents GROUP BY 1 HAVING count(*) > 1
+    """,
+)
+def dedup_exact_documents(spark, sf_dir):
+    """Exact dedup groups by content hash (operators/dedup.py)."""
+    t = _t(spark, sf_dir)
+    return dedup.exact_duplicate_groups(t["documents"], "text", "doc_id").select(
+        "content_hash", "n_copies"
+    )
+
+
+@q(
+    "distinct_content_count",
+    """
+    SELECT CAST(count(DISTINCT md5(text)) AS BIGINT) AS n_distinct,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents
+    """,
+)
+def distinct_content_count(spark, sf_dir):
+    t = _t(spark, sf_dir)
+    d = t["documents"]
+    return d.agg(
+        F.countDistinct(F.md5("text")).alias("n_distinct"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@q(
+    "ngram_jaccard_pairs",
+    """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 3 THEN
+                 list_transform(range(1, len(ws) - 1),
+                                i -> array_to_string(ws[i:i+2], ' '))
+               ELSE [array_to_string(ws, ' ')] END) AS gram
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE doc_id < 40)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
+           CAST(sa.n_sh + sb.n_sh - i.n_inter AS BIGINT) AS n_union
+    FROM inter i
+    JOIN sizes sa ON i.id_a = sa.doc_id
+    JOIN sizes sb ON i.id_b = sb.doc_id
+    WHERE CAST(i.n_inter AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.05
+    """,
+)
+def ngram_jaccard_pairs_q(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs over a bounded id range —
+    integer intersect/union arithmetic (operators/dedup.py jaccard_pairs)."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 40)
+    return dedup.jaccard_pairs(d, "doc_id", "text", ngram=3, min_jaccard=0.05).select(
+        "id_a", "id_b", "n_inter", "n_union"
+    )
+
+
+@q(
+    "token_counts_documents",
+    """
+    SELECT doc_id,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS BIGINT)
+             AS n_words,
+           CAST(len(regexp_extract_all(text, '\\w+|[^\\w\\s]')) AS BIGINT)
+             AS n_bpe_ish
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def token_counts_documents(spark, sf_dir):
+    """Token counting: whitespace + BPE-ish regex (operators/text.py)."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        text.word_count(F.col("text")).cast("long").alias("n_words"),
+        text.bpe_ish_token_count(F.col("text")).cast("long").alias("n_bpe_ish"),
+    )
+
+
+@q(
+    "quality_features_by_lang",
+    """
+    SELECT lang,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           CAST(sum(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))) AS BIGINT)
+             AS total_alpha,
+           CAST(sum(length(regexp_replace(text, '[^0-9]', '', 'g'))) AS BIGINT)
+             AS total_digit,
+           CAST(sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END) AS BIGINT)
+             AS total_words,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY lang
+    """,
+)
+def quality_features_by_lang(spark, sf_dir):
+    """Quality-scoring feature counts, exact integers (operators/text.py)."""
+    t = _t(spark, sf_dir)
+    feat = text.quality_features(t["documents"], "text")
+    return feat.groupBy("lang").agg(
+        F.sum("n_chars").alias("total_chars"),
+        F.sum("n_alpha").alias("total_alpha"),
+        F.sum("n_digit").alias("total_digit"),
+        F.sum(F.col("n_words").cast("long")).alias("total_words"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+@q(
+    "content_fingerprints",
+    """
+    SELECT doc_id, md5(text) AS md5 FROM documents WHERE doc_id < 50
+    """,
+)
+def content_fingerprints(spark, sf_dir):
+    """md5 content fingerprint (operators/text.py); the rolling
+    polynomial fingerprint is engine-specific (xxhash64) and covered by
+    the rows-only `rolling_fingerprints` query."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 50)
+    return d.select("doc_id", text.content_fingerprint(F.col("text")).alias("md5"))
+
+
+# ---------------------------------------------------------------------------
+# rows-only queries (no SQL oracle: engine-specific hash/ANN math)
+# ---------------------------------------------------------------------------
+
+
+@q("minhash_lsh_candidates")
+def minhash_lsh_candidates_q(spark, sf_dir):
+    """MinHash-LSH near-dup candidate pairs (rows-only: xxhash64-based
+    signatures have no DuckDB equivalent)."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    return dedup.minhash_lsh_candidates(
+        d, "doc_id", "text", ngram=3, n_hashes=32, n_bands=16
+    )
+
+
+@q("simhash_near_duplicates")
+def simhash_near_duplicates_q(spark, sf_dir):
+    """SimHash banding near-dup candidates (rows-only; Arrow-vectorized
+    signature UDF)."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    return dedup.simhash_near_duplicates(d, "doc_id", "text", band_bits=16)
+
+
+@q("ann_bruteforce_topk")
+def ann_bruteforce_topk_q(spark, sf_dir):
+    """Brute-force cosine top-5 for 10 query vectors (rows-only: float
+    ordering across engines is not hash-stable)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.brute_force_topk(emb, queries, k=5)
+
+
+@q("ann_lsh_topk")
+def ann_lsh_topk_q(spark, sf_dir):
+    """LSH-bucketed ANN top-5 (rows-only)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.lsh_topk(emb, queries, dim=dim, k=5, n_planes=8)
+
+
+@q("embedding_near_duplicates")
+def embedding_near_duplicates_q(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    dim = len(emb.select("embedding").first()[0])
+    return similarity.embedding_near_duplicates(
+        emb, dim=dim, min_cosine=0.8, n_planes=6
+    )
+
+
+@q("rolling_fingerprints")
+def rolling_fingerprints_q(spark, sf_dir):
+    """Order-sensitive polynomial word fingerprint (rows-only:
+    xxhash64-seeded)."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 50)
+    return text.fingerprint_documents(d, "doc_id", "text")
+
+
+@q("langid_documents")
+def langid_documents_q(spark, sf_dir):
+    """Stopword-heuristic language ID vs the labeled lang column
+    (rows-only: the CASE-chain oracle is possible but the stopword
+    tables are engine config, kept engine-side)."""
+    t = _t(spark, sf_dir)
+    d = t["documents"]
+    return (
+        d.withColumn("predicted", text.lang_id(F.col("text")))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship: the validation-suite shape on driver tables
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "validation_summary",
+    """
+    SELECT 'fk_lineitem_orders' AS check_name,
+           CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                 ON l.l_orderkey = o.o_orderkey
+                 WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_violations
+    UNION ALL
+    SELECT 'uniqueness_orders',
+           CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders
+                 GROUP BY 1 HAVING count(*) > 1)) AS BIGINT)
+    UNION ALL
+    SELECT 'has_data_documents',
+           CAST((SELECT count(*) FROM documents
+                 WHERE text IS NULL OR text = '' OR lang IS NULL OR lang = '')
+                AS BIGINT)
+    UNION ALL
+    SELECT 'one_line_orders',
+           CAST((SELECT count(*) FROM (SELECT l_orderkey FROM lineitem
+                 GROUP BY 1 HAVING count(*) = 1)) AS BIGINT)
+    """,
+)
+def validation_summary(spark, sf_dir):
+    """The engine's verdict shape on driver tables: one row per check with
+    its violation count — the flagship `entry()` query."""
+    t = _t(spark, sf_dir)
+    li, o, d = t["lineitem"], t["orders"], t["documents"]
+
+    def one(name, df):
+        return df.agg(F.count(F.lit(1)).alias("n_violations")).select(
+            F.lit(name).alias("check_name"), "n_violations"
+        )
+
+    fk_v = orphan_rows(li, "l_orderkey", o, "o_orderkey")
+    dup_v = duplicate_keys(o, ["o_orderkey"])
+    hd_v = d.filter(
+        F.col("text").isNull() | (F.col("text") == "")
+        | F.col("lang").isNull() | (F.col("lang") == "")
+    )
+    o2m_v = li.groupBy("l_orderkey").count().filter(F.col("count") == 1)
+    return (
+        one("fk_lineitem_orders", fk_v)
+        .unionByName(one("uniqueness_orders", dup_v))
+        .unionByName(one("has_data_documents", hd_v))
+        .unionByName(one("one_line_orders", o2m_v))
+    )

@@ -1,0 +1,134 @@
+#!/usr/bin/env python
+"""Scaling-efficiency protocol (BASELINE.json north_rule): run the
+identical full check suite on the identical on-disk `sequences` input at
+two parallelism levels — local[N] and local[4N] — and report throughput
+at both plus efficiency = (T_4N / T_N) / 4 (target ≥ 0.8).
+
+Each level runs in a **fresh subprocess** (a JVM cannot change its
+master), reading the same pre-generated parquet.  Results are written to
+BENCH/BASELINE.md.
+
+Usage: python scripts/scaling_bench.py [--rows 4000000] [--n 8]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parent.parent
+
+WORKER = r"""
+import json, sys, time
+sys.path.insert(0, "{repo}")
+from ensembl_datacheck_spark.session import get_spark
+from ensembl_datacheck_spark.plans.runner import Runner
+from ensembl_datacheck_spark import registry
+from ensembl_datacheck_spark.sources import synth
+import ensembl_datacheck_spark.checks  # register
+
+cores = {cores}
+spark = get_spark("scaling-bench", cores=cores,
+                  shuffle_partitions=max(cores, 16), driver_memory="48g")
+seq = spark.read.parquet("{data}/sequences")
+tables = {{
+    "sequences": seq,
+    "sources": synth.gen_sources(spark),
+    "baseline_stats": spark.read.parquet("{data}/baseline"),
+}}
+# warm-up: JVM/codegen/catalog — one tiny action, untimed
+seq.limit(10).count()
+t0 = time.perf_counter()
+summary = Runner(spark, tables, n_buckets=64).run(
+    list(registry), write_checkpoints=False)
+wall = time.perf_counter() - t0
+n_failed = summary.n_failed
+print(json.dumps({{"wall": wall, "cores": cores, "n_failed": n_failed}}))
+"""
+
+
+def generate(data_dir: str, rows: int) -> None:
+    code = f"""
+import sys
+sys.path.insert(0, "{REPO}")
+from ensembl_datacheck_spark.session import get_spark
+from ensembl_datacheck_spark.sources import synth
+spark = get_spark("gen", cores=32, shuffle_partitions=64, driver_memory="48g")
+seq = synth.gen_sequences(spark, {rows}, n_partitions=256, median_tok=64,
+                          max_tok=1024)
+seq.write.mode("overwrite").parquet("{data_dir}/sequences")
+clean = synth.gen_sequences(spark, {rows}, n_partitions=256, median_tok=64,
+                            max_tok=1024, inject_violations=False)
+synth.gen_baseline_stats(spark, clean).write.mode("overwrite").parquet(
+    "{data_dir}/baseline")
+"""
+    subprocess.run([sys.executable, "-c", code], check=True)
+
+
+def run_level(data_dir: str, cores: int) -> dict:
+    code = WORKER.format(repo=REPO, cores=cores, data=data_dir)
+    out = subprocess.run(
+        [sys.executable, "-c", code], check=True, capture_output=True, text=True
+    )
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=4_000_000)
+    ap.add_argument("--n", type=int, default=8, help="small parallelism level N")
+    ap.add_argument("--data", default="/tmp/dcheck_scaling_data")
+    ap.add_argument("--skip-gen", action="store_true")
+    args = ap.parse_args()
+
+    if not args.skip_gen or not os.path.exists(f"{args.data}/sequences"):
+        print(f"generating {args.rows:,} rows at {args.data} ...", file=sys.stderr)
+        generate(args.data, args.rows)
+
+    res_n = run_level(args.data, args.n)
+    res_4n = run_level(args.data, args.n * 4)
+    thr_n = args.rows / res_n["wall"]
+    thr_4n = args.rows / res_4n["wall"]
+    eff = (thr_4n / thr_n) / 4
+
+    report = f"""# BENCH/BASELINE.md — scaling-efficiency measurement
+
+Protocol (BASELINE.md): identical full check suite ({10}-check registry,
+fused row scan + uniqueness + referential + drift) on the identical
+on-disk parquet `sequences` table at two parallelism levels, fresh JVM
+per level, warm-up action excluded from timing.
+
+| quantity | value |
+|---|---|
+| rows | {args.rows:,} |
+| input partitions | 256 |
+| buckets (partition_id) | 64 |
+| N (cores) | {args.n} |
+| 4N (cores) | {args.n * 4} |
+| wall @ N | {res_n['wall']:.2f} s |
+| wall @ 4N | {res_4n['wall']:.2f} s |
+| throughput @ N | {thr_n:,.0f} seqs/sec |
+| throughput @ 4N | {thr_4n:,.0f} seqs/sec |
+| **scaling efficiency (T_4N/T_N)/4** | **{eff:.3f}** (target ≥ 0.8) |
+
+Spark conf deltas from defaults: shuffle.partitions = max(cores, 16),
+AQE on (coalesce + skewJoin), broadcast threshold 64 MB, Arrow enabled.
+Measured {time.strftime('%Y-%m-%d %H:%M:%S')} on local mode (single JVM;
+cluster-mode N/4N executor scaling is modeled by core scaling per
+BASELINE.md sandbox protocol).
+"""
+    out_path = REPO / "BENCH" / "BASELINE.md"
+    out_path.parent.mkdir(exist_ok=True)
+    out_path.write_text(report)
+    print(report)
+    print(json.dumps({"throughput_N": thr_n, "throughput_4N": thr_4n,
+                      "efficiency": eff}))
+
+
+if __name__ == "__main__":
+    main()

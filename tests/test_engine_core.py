@@ -38,6 +38,15 @@ def test_registry_selection_and_index(tmp_path):
     p = tmp_path / "index.json"
     registry.write_index(p)
     assert registry.verify_index(p)
+    # committed index stays in sync with the live registry
+    # (hooks/pre-commit.sh analogue)
+    import pathlib
+
+    committed = pathlib.Path(__file__).parent.parent / "ensembl_datacheck_spark" / "index.json"
+    assert registry.verify_index(committed), (
+        "regenerate with: python -m ensembl_datacheck_spark.cli --write-index "
+        "ensembl_datacheck_spark/index.json"
+    )
 
 
 def test_full_suite_verdicts_on_dirty_fixture(spark, seq_fixture):

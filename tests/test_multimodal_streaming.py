@@ -1,0 +1,111 @@
+"""Multimodal plumbing (mapInPandas stages, stubbed decode) and
+Structured Streaming validation tests."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators import multimodal as MM
+from ensembl_datacheck_spark.operators.fused import RowPredicate
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    return MM.gen_media_fixture(spark, n_rows=48, n_partitions=4).cache()
+
+
+def test_image_features_pipeline(media):
+    feats = MM.image_features(media.filter(F.col("modality") == "image"))
+    rows = feats.collect()
+    assert len(rows) == 16
+    for r in rows:
+        assert r["width"] > 0 and r["height"] > 0
+        assert 0 <= r["mean_luma"] <= 255
+        assert len(r["sha1"]) == 40
+    # deterministic across runs
+    again = MM.image_features(media.filter(F.col("modality") == "image")).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_resize_composes(media):
+    imgs = media.filter(F.col("modality") == "image")
+    resized = MM.resize_images(imgs, target=(4, 4))
+    rows = resized.collect()
+    assert all(r["width"] == 4 and r["height"] == 4 for r in rows)
+    assert all(len(bytes(r["payload"])) == 16 for r in rows)  # 4x4 uint8
+
+
+def test_frame_sampling(media):
+    frames = MM.sample_frames(media, every_n=10)
+    rows = frames.collect()
+    vids = media.filter(F.col("modality") == "video").count()
+    assert len(rows) == vids * 3  # 30 frames, every 10th -> 0,10,20
+    assert {r["frame_idx"] for r in rows} == {0, 10, 20}
+
+
+def test_real_decode_stub_raises(media):
+    feats = MM.image_features(
+        media.filter(F.col("modality") == "image"), decoder=MM.real_decode_stub
+    )
+    with pytest.raises(Exception, match="NotImplementedError|codec"):
+        feats.collect()
+
+
+def test_streaming_violations_and_windows(spark, tmp_path):
+    from ensembl_datacheck_spark.streaming import (
+        streaming_violations,
+        windowed_event_counts,
+    )
+
+    src = tmp_path / "stream_src"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [
+            ("d1", 5, "src_a", "2024-01-01 00:00:10"),
+            ("d2", -1, "src_a", "2024-01-01 00:00:20"),  # violating n_tok
+            ("d3", 7, None, "2024-01-01 00:01:10"),      # violating source
+            ("d4", 9, "src_b", "2024-01-01 00:01:40"),
+        ],
+        "doc_id string, n_tok int, source string, ts_str string",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    batch.write.mode("overwrite").parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    preds = [
+        RowPredicate("n_tok_nonpositive", F.col("n_tok") <= 0),
+        RowPredicate("source_null", F.col("source").isNull()),
+    ]
+    viol = streaming_violations(stream, preds, "doc_id")
+    q = (
+        viol.writeStream.format("memory")
+        .queryName("viol_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["assertion"], r["key"])
+        for r in spark.sql("select * from viol_stream").collect()
+    }
+    assert got == {("n_tok_nonpositive", "d2"), ("source_null", "d3")}
+
+    counts = windowed_event_counts(
+        spark.readStream.schema(batch.schema).parquet(str(src)),
+        ts_col="ts",
+        category_col="source",
+        window="1 minute",
+    )
+    q2 = (
+        counts.writeStream.format("memory")
+        .queryName("win_stream")
+        .outputMode("complete")
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    rows = spark.sql("select * from win_stream").collect()
+    # two windows (00:00, 00:01); src_a has 2 in the first
+    by = {(str(r["window_start"]), r["source"]): r["n"] for r in rows}
+    assert by[("2024-01-01 00:00:00", "src_a")] == 2

@@ -1,0 +1,232 @@
+"""Training-data pipeline operator tests: dedup (exact / minhash /
+simhash / jaccard / embedding), similarity search, text analysis, and the
+Arrow array-function tier."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.functions import arrays as AR
+from ensembl_datacheck_spark.operators import dedup, similarity, text
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog near the river bank"),
+    (2, "the quick brown fox jumps over the lazy dog near the river bend"),  # near-dup of 1
+    (3, "completely different content about spark shuffle partitions and joins"),
+    (4, "the quick brown fox jumps over the lazy dog near the river bank"),  # exact dup of 1
+    (5, "spark shuffle partitions and joins require careful key distribution"),
+    (6, "unrelated text mentioning neither animals nor query engines at all"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(docs):
+    groups = dedup.exact_duplicate_groups(docs, "text", "doc_id").collect()
+    assert len(groups) == 1
+    assert groups[0]["n_copies"] == 2 and groups[0]["doc_ids"] == [1, 4]
+    kept = dedup.dedup_exact(docs, "text", "doc_id")
+    assert kept.count() == 5
+    assert 4 not in {r["doc_id"] for r in kept.collect()}
+
+
+def test_jaccard_pairs(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r
+        for r in dedup.jaccard_pairs(docs, "doc_id", "text", ngram=3).collect()
+    }
+    # exact dup pair: jaccard == 1.0
+    assert pairs[(1, 4)]["jaccard"] == 1.0
+    # near-dup pair (one word differs at the end): high but < 1
+    nd = pairs[(1, 2)]
+    assert 0.5 < nd["jaccard"] < 1.0
+    assert nd["n_union"] == nd["n_inter"] + (nd["n_union"] - nd["n_inter"])  # ints consistent
+    # unrelated docs share no 3-gram
+    assert (1, 6) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.minhash_lsh_candidates(
+            docs, "doc_id", "text", ngram=3, n_hashes=32, n_bands=16
+        ).collect()
+    }
+    assert (1, 4) in cands  # exact dup always collides
+    assert (1, 2) in cands  # near-dup collides at r=2 with high prob
+    assert (1, 6) not in cands
+
+
+def test_minhash_deterministic(docs):
+    a = sorted(map(tuple, dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text").collect()))
+    b = sorted(map(tuple, dedup.minhash_lsh_candidates(
+        docs, "doc_id", "text").collect()))
+    assert a == b
+
+
+def test_simhash_near_duplicates(docs):
+    pairs = {
+        (r["id_a"], r["id_b"])
+        for r in dedup.simhash_near_duplicates(docs, "doc_id", "text").collect()
+    }
+    assert (1, 4) in pairs
+    assert (1, 2) in pairs
+
+
+def test_embedding_similarity(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    base = rng.standard_normal(16)
+    vecs = []
+    for i in range(20):
+        v = rng.standard_normal(16)
+        vecs.append((i, [float(x) for x in v]))
+    # vec 20 ≈ vec 0 (tiny perturbation), vec 21 == vec 1 exactly
+    v0 = np.array(vecs[0][1])
+    vecs.append((20, [float(x) for x in v0 + 0.01 * rng.standard_normal(16)]))
+    vecs.append((21, list(vecs[1][1])))
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    topk = similarity.brute_force_topk(emb, emb.filter("vec_id in (20, 21)"), k=1)
+    got = {r["query_id"]: r["neighbor_id"] for r in topk.collect()}
+    assert got == {20: 0, 21: 1}
+
+    near = similarity.embedding_near_duplicates(emb, dim=16, min_cosine=0.95,
+                                                n_planes=4)
+    nd = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    assert (0, 20) in nd and (1, 21) in nd
+
+    # LSH recall vs brute force on the same queries
+    lsh = similarity.lsh_topk(emb, emb.filter("vec_id in (20, 21)"), dim=16,
+                              k=1, n_planes=4)
+    got_lsh = {r["query_id"]: r["neighbor_id"] for r in lsh.collect()}
+    assert got_lsh[20] == 0  # identical-direction vectors share every bucket
+
+    ivf = similarity.ivf_topk(emb, emb.filter("vec_id in (20, 21)"),
+                              k=1, n_lists=4, nprobe=4)
+    got_ivf = {r["query_id"]: r["neighbor_id"] for r in ivf.collect()}
+    assert got_ivf == {20: 0, 21: 1}  # nprobe=all lists == exact
+
+
+def test_text_functions(spark):
+    df = spark.createDataFrame(
+        [(1, "The quick fox, and the dog!"), (2, ""), (3, "no stopwords here 123")],
+        "doc_id long, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            text.word_count(F.col("text")).alias("wc"),
+            text.bpe_ish_token_count(F.col("text")).alias("bpe"),
+            text.stopword_hits(F.col("text"), text.STOPWORDS["en"]).alias("sw"),
+        ).collect()
+    }
+    assert rows[1]["wc"] == 6
+    assert rows[1]["bpe"] == 8  # 6 words + ',' + '!'
+    assert rows[1]["sw"] == 3  # 'the' x2 + 'and' ('fox,' absorbs the comma)
+    assert rows[2]["wc"] == 0
+    assert rows[3]["sw"] == 0
+
+
+def test_lang_id(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog sat in the house that was red"),
+            (2, "der hund und die katze ist nicht in das haus"),
+            (3, "le chat et la maison est dans les arbres pour toujours"),
+            (4, "xyzzy plugh qwerty"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: r["pred"]
+        for r in df.select("doc_id", text.lang_id(F.col("text")).alias("pred")).collect()
+    }
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "und"}
+
+
+def test_quality_score_range(docs):
+    scored = text.quality_score(docs, "text")
+    for r in scored.collect():
+        assert 0.0 <= r["quality_score"] <= 1.0
+    # real sentence beats word-soup? both are words; at least deterministic
+    again = text.quality_score(docs, "text").collect()
+    assert [r["quality_score"] for r in scored.collect()] == [
+        r["quality_score"] for r in again
+    ]
+
+
+def test_fingerprints(docs):
+    fp = {r["doc_id"]: r for r in text.fingerprint_documents(docs, "doc_id", "text").collect()}
+    assert fp[1]["md5"] == fp[4]["md5"]
+    assert fp[1]["rolling_fp"] == fp[4]["rolling_fp"]
+    assert fp[1]["rolling_fp"] != fp[3]["rolling_fp"]
+    # rolling fp is order-sensitive
+    import ensembl_datacheck_spark.operators.text as t
+
+    df2 = fp[1]  # noqa: F841
+    sw = docs.sparkSession.createDataFrame(
+        [(1, "alpha beta"), (2, "beta alpha")], "doc_id long, text string"
+    )
+    r = {x["doc_id"]: x["rolling_fp"]
+         for x in t.fingerprint_documents(sw, "doc_id", "text").collect()}
+    assert r[1] != r[2]
+
+
+def test_arrow_token_functions(spark):
+    df = spark.createDataFrame(
+        [
+            (1, [1, 2, 3, 4]),
+            (2, [10]),
+            (3, []),
+            (4, None),
+            (5, [7, 7, 7]),
+        ],
+        "id long, tokens array<int>",
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            AR.token_stats(F.col("tokens")).alias("s"),
+            AR.token_checksum(F.col("tokens")).alias("ck"),
+            AR.token_sum(F.col("tokens")).alias("jvm_sum"),
+            AR.token_min(F.col("tokens")).alias("jvm_min"),
+            AR.token_max(F.col("tokens")).alias("jvm_max"),
+        ).collect()
+    }
+    # Arrow tier agrees with JVM tier
+    assert got[1]["s"]["min"] == 1 and got[1]["s"]["max"] == 4
+    assert got[1]["s"]["sum"] == got[1]["jvm_sum"] == 10
+    assert got[1]["s"]["n"] == 4
+    assert got[5]["s"]["sum"] == 21 and got[5]["jvm_max"] == 7
+    assert got[3]["s"]["n"] == 0 and got[3]["s"]["sum"] == 0
+    # checksum: order-sensitive, deterministic
+    df2 = spark.createDataFrame(
+        [(1, [1, 2, 3, 4]), (2, [4, 3, 2, 1])], "id long, tokens array<int>"
+    )
+    cks = {r["id"]: r["ck"] for r in df2.select(
+        "id", AR.token_checksum(F.col("tokens")).alias("ck")).collect()}
+    assert cks[1] != cks[2]
+    assert cks[1] == got[1]["ck"]
+
+
+def test_token_arrays_equal(spark):
+    df = spark.createDataFrame(
+        [(1, [1, 2], [1, 2]), (2, [1, 2], [1, 3]), (3, None, None), (4, [1], None)],
+        "id long, a array<int>, b array<int>",
+    )
+    got = {
+        r["id"]: r["eq"]
+        for r in df.select(
+            "id", AR.token_arrays_equal(F.col("a"), F.col("b")).alias("eq")
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: False}

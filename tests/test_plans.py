@@ -1,0 +1,92 @@
+"""Physical-plan assertions: the scale properties SURVEY.md §4 promises
+must be visible in the executed plan, not just intended — broadcast
+anti-joins, parquet filter pushdown, column pruning, and bounded shuffle
+counts for the fused scan and the salted distinct."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators.fused import (
+    RowPredicate,
+    fused_violation_counts,
+    with_dim_flag,
+)
+from ensembl_datacheck_spark.operators.referential import orphan_rows
+from ensembl_datacheck_spark.operators.uniqueness import exact_count_distinct_salted
+
+SF = "/root/testdata/sf0.01"
+
+
+def plan_str(df, mode: str = "formatted") -> str:
+    jmode = df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        mode
+    )
+    return df._jdf.queryExecution().explainString(jmode)
+
+
+@pytest.fixture(scope="module")
+def li(spark):
+    return spark.read.parquet(f"{SF}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def orders(spark):
+    return spark.read.parquet(f"{SF}/orders.parquet")
+
+
+def test_fk_is_broadcast_anti_join(li, orders):
+    plan = plan_str(orphan_rows(li, "l_orderkey", orders, "o_orderkey"))
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the fact side must NOT be exchanged for the join
+    pre_join = plan.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning(l_orderkey" not in plan
+
+
+def test_filter_pushdown_and_column_pruning(li):
+    df = li.filter(F.col("l_shipdate") < "1996-01-01").select("l_orderkey")
+    plan = plan_str(df)
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThan(l_shipdate" in plan
+    # pruned read schema: only the two referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_fused_scan_single_shuffle(spark, li):
+    preds = [
+        RowPredicate("neg_qty", F.col("l_quantity") < 0),
+        RowPredicate("null_flag", F.col("l_returnflag").isNull()),
+        RowPredicate("bad_disc", F.col("l_discount") > 1.0),
+    ]
+    bucket = F.pmod(F.xxhash64("l_orderkey"), F.lit(16)).cast("int")
+    df = fused_violation_counts(li, preds, bucket)
+    plan = plan_str(df, "simple")
+    # one partial + one final hash aggregate around exactly one exchange
+    assert plan.count("Exchange") == 1
+    assert plan.count("HashAggregate") == 2
+
+
+def test_dim_flag_join_is_broadcast(spark, li, orders):
+    flagged = with_dim_flag(li, "l_orderkey", orders, "o_orderkey", "__m")
+    plan = plan_str(flagged)
+    assert "BroadcastHashJoin" in plan
+    assert "LeftOuter" in plan or "BuildRight" in plan
+
+
+def test_salted_distinct_shuffle_shape(spark, li):
+    df = exact_count_distinct_salted(li, "l_returnflag", "l_partkey", n_salt=16)
+    plan = plan_str(df, "simple")
+    # three aggregation stages (dedup, salted partial, final) — each a
+    # partial/final pair; shuffles bounded at 3
+    assert plan.count("Exchange") <= 3
+    assert "HashAggregate" in plan
+
+
+def test_whole_stage_codegen_on_hot_path(li):
+    # the row-predicate scan stays inside WholeStageCodegen (no Python)
+    preds_scan = li.filter(
+        (F.col("l_quantity") < 0) | (F.col("l_discount") > 1.0)
+    ).select("l_orderkey")
+    plan = plan_str(preds_scan, "simple")
+    assert "*(1)" in plan  # whole-stage-codegen stage marker
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
