@@ -76,7 +76,12 @@ def _token_invariant_preds(ctx, scan):
         ),
         RowPredicate(
             "token_out_of_domain",
-            tok.isNotNull() & F.exists(tok, lambda t: (t < 0) | (t >= VOCAB_SIZE)),
+            # equivalent to exists(t -> t<0 or t>=vocab) but via
+            # array_min/array_max: higher-order-function lambdas are
+            # interpreted (no codegen) and showed severe thread contention
+            # in local mode; min/max are codegen'd and scale
+            tok.isNotNull()
+            & ((F.array_min(tok) < 0) | (F.array_max(tok) >= VOCAB_SIZE)),
             ("n_tok",),
         ),
     ]
@@ -117,10 +122,13 @@ def token_invariants(ctx):
 )
 def sequences_stats(ctx):
     seq = ctx.table("sequences")
-    row = column_stats(seq).collect()[0].asDict()
+    # narrow columns only: tokens-array stats already ride the fused row
+    # scan (completeness/invariants); re-scanning the widest column here
+    # would double the table's IO for an advisory check
+    row = column_stats(seq, columns=["doc_id", "n_tok", "source"]).collect()[0].asDict()
     n = row["n_rows"] or 1
     max_null_rate = ctx.config.get("max_null_rate", 0.001)
-    for col in ("doc_id", "tokens", "n_tok", "source"):
+    for col in ("doc_id", "n_tok", "source"):
         rate = (row.get(f"{col}__n_null") or 0) / n
         status = Status.OK if rate <= max_null_rate else Status.FAIL
         ctx.result.assertions.append(
@@ -152,14 +160,55 @@ def sequences_stats(ctx):
     per_partition=True,
 )
 def doc_id_unique(ctx):
+    from ensembl_datacheck_spark.plans.checkpoint import bucket_col
+
     seq = ctx.table("sequences")
     # blank ids belong to the completeness check (has_data semantics), not
     # uniqueness — same split as the reference's separate BlankNulls vs
     # stable-id checks
-    viol = duplicate_rows(
-        seq.filter(F.col("doc_id") != ""), ["doc_id"]
-    ).select("doc_id", "source", "n_tok")
-    ctx.record(A.is_rows_zero(viol, "doc_id_unique"), key_col="doc_id")
+    nonblank = seq.filter(F.col("doc_id") != "")
+    keys = nonblank.groupBy("doc_id").count().filter(F.col("count") > 1)
+    # ONE aggregation job yields per-bucket verdicts AND diagnostics:
+    # all copies of a doc_id hash to the same bucket, so dup-row counts
+    # per bucket derive from the dup-key list without joining back.
+    per_bucket = (
+        keys.groupBy(bucket_col("doc_id", ctx.n_buckets).alias("partition_id"))
+        .agg(
+            F.sum("count").alias("n_dup_rows"),
+            F.count(F.lit(1)).alias("n_dup_keys"),
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3).alias("samples"),
+        )
+        .collect()
+    )
+    total = int(sum(r["n_dup_rows"] for r in per_bucket))
+    ctx.result.partition_violations = {
+        r["partition_id"]: int(r["n_dup_rows"]) for r in per_bucket
+    }
+    diag = []
+    for r in per_bucket:
+        diag.extend(f"duplicated doc_id: {k}" for k in r["samples"])
+        if len(diag) >= 10:
+            diag = diag[:10]
+            break
+    status = Status.OK if total == 0 else Status.FAIL
+    ctx.result.n_violations = total
+    ctx.result.assertions.append(
+        AssertionResult("doc_id_unique", status, expected=0, got=total, diag=diag)
+    )
+    if total:
+        # full violation rows stay lazy; only executed if a sink writes
+        viol = duplicate_rows(nonblank, ["doc_id"]).select(
+            "doc_id", "source", "n_tok"
+        )
+        ctx.violations.append(
+            viol.select(
+                F.lit(ctx.result.check_name).alias("check_name"),
+                F.lit("doc_id_unique").alias("assertion"),
+                bucket_col("doc_id", ctx.n_buckets).alias("partition_id"),
+                F.col("doc_id").cast("string").alias("key"),
+                F.to_json(F.struct("source", "n_tok")).alias("detail"),
+            )
+        )
 
 
 # ---------------------------------------------------------------------------

@@ -85,11 +85,13 @@ def null_rate_violations(
 def token_domain_violations(
     df: DataFrame, tokens_col: str = "tokens", vocab_size: int = 50257
 ) -> DataFrame:
-    """Rows whose token array contains out-of-domain values.  JVM-side
-    `exists` over the array — no Python in the scan."""
+    """Rows whose token array contains out-of-domain values.
+    `array_min/array_max` instead of `exists(lambda)`: equivalent for a
+    range-domain test, and codegen'd (HOF lambdas are interpreted and
+    contend across threads)."""
     c = F.col(tokens_col)
     return df.filter(
-        c.isNotNull() & F.exists(c, lambda t: (t < 0) | (t >= vocab_size))
+        c.isNotNull() & ((F.array_min(c) < 0) | (F.array_max(c) >= vocab_size))
     )
 
 

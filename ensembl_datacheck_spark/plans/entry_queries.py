@@ -751,9 +751,104 @@ def content_fingerprints(spark, sf_dir):
     return d.select("doc_id", text.content_fingerprint(F.col("text")).alias("md5"))
 
 
+@q(
+    "cube_lineitem_counts",
+    """
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+)
+def cube_lineitem_counts(spark, sf_dir):
+    """CUBE grouping sets — beyond the reference's SQL surface (stated
+    n/a in SURVEY.md §2.4), native in both Spark and the oracle."""
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .cube("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .alias("sum_qty"),
+        )
+    )
+
+
+@q(
+    "custkey_set_ops",
+    """
+    SELECT
+      CAST((SELECT count(*) FROM
+            (SELECT c_custkey FROM customer
+             INTERSECT SELECT o_custkey FROM orders)) AS BIGINT) AS n_intersect,
+      CAST((SELECT count(*) FROM
+            (SELECT c_custkey FROM customer
+             EXCEPT SELECT o_custkey FROM orders)) AS BIGINT) AS n_customer_only
+    """,
+)
+def custkey_set_ops(spark, sf_dir):
+    """INTERSECT / EXCEPT set operators (hash_diff/array_diff kin)."""
+    t = _t(spark, sf_dir)
+    c = t["customer"].select(F.col("c_custkey").alias("k"))
+    o = t["orders"].select(F.col("o_custkey").alias("k"))
+    inter = c.intersect(o).count()
+    only = c.exceptAll(o).distinct().count()
+    return spark.createDataFrame(
+        [(inter, only)], "n_intersect long, n_customer_only long"
+    )
+
+
+@q(
+    "id_prefix_conformance",
+    """
+    SELECT o_orderpriority,
+           CAST(count(DISTINCT substring(CAST(o_orderkey AS VARCHAR), 1, 1))
+                AS BIGINT) AS n_prefixes
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def id_prefix_conformance(spark, sf_dir):
+    """check_id_range shape (Test/Compara.pm:163-187): COUNT(DISTINCT
+    LEFT(id, n)) per partition key."""
+    t = _t(spark, sf_dir)
+    return (
+        t["orders"]
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct(
+                F.substring(F.col("o_orderkey").cast("string"), 1, 1)
+            ).alias("n_prefixes")
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # rows-only queries (no SQL oracle: engine-specific hash/ANN math)
 # ---------------------------------------------------------------------------
+
+
+@q("approx_distinct_parts")
+def approx_distinct_parts(spark, sf_dir):
+    """HyperLogLog advisory tier (rows-only: HLL sketches are
+    implementation-specific) — the cheap first pass before an exact
+    salted distinct."""
+    t = _t(spark, sf_dir)
+    return t["lineitem"].agg(
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx_parts"),
+        F.approx_count_distinct("l_orderkey", rsd=0.02).alias("approx_orders"),
+    )
+
+
+@q("pivot_returnflag_by_status")
+def pivot_returnflag_by_status(spark, sf_dir):
+    """Pivot (rows-only; PIVOT syntax differs per engine)."""
+    t = _t(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(F.count(F.lit(1)))
+    )
 
 
 @q("minhash_lsh_candidates")

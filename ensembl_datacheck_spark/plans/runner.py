@@ -251,7 +251,13 @@ class Runner:
         fuse_row_checks: bool = True,
         write_checkpoints: bool = True,
         violations_sink: Callable[[DataFrame], None] | None = None,
+        parallelism: int = 1,
     ) -> RunSummary:
+        """``parallelism`` > 1 runs the non-fused checks concurrently from
+        a thread pool (one Spark job per check in flight, FAIR-pool
+        scheduled) — the in-session analogue of the reference's per-check
+        worker fan-out (DataCheckFan.pm:32-66, analysis_capacity throttle
+        DbDataChecks_conf.pm:270)."""
         summary = RunSummary()
         all_violations: list[DataFrame] = []
         checkpoint_rows: list[CheckpointRow] = []
@@ -262,21 +268,22 @@ class Runner:
         if fused:
             self._run_fused(fused, summary, all_violations, checkpoint_rows)
 
-        for spec in rest:
+        def exec_one(spec: CheckSpec):
             started = time.time()
             pending = self._pending_buckets(spec)
             if pending is not None and not pending:
                 res = CheckResult(check_name=spec.name)
                 res.skip_reason = "All tests passed in a previous run"  # DbCheck.pm:775 analogue
-                summary.results.append(res.finish())
-                continue
+                return res.finish(), [], [], None
             tables = self._filtered_tables(pending)
             result, violations = run_check(
                 spec, self.spark, tables, self.config,
                 bucket_key=self.bucket_key, n_buckets=self.n_buckets,
             )
             viol_counts: dict[int, int] = {}
-            if spec.per_partition and violations:
+            if result.partition_violations:
+                viol_counts = dict(result.partition_violations)
+            elif spec.per_partition and violations:
                 union = violations[0]
                 for v in violations[1:]:
                     union = union.unionByName(v)
@@ -288,11 +295,34 @@ class Runner:
                 }
             elif result.n_violations:
                 viol_counts = {-1: result.n_violations}
+            cps = self._checkpoint_rows(spec, result, viol_counts, pending, started)
+            return result, violations, cps, None
+
+        if parallelism > 1 and len(rest) > 1:
+            from concurrent.futures import ThreadPoolExecutor
+
+            self.rows_per_bucket()  # materialize once before fan-out
+
+            def pooled(spec):
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", f"dcheck_{spec.name}"
+                )
+                try:
+                    return exec_one(spec)
+                finally:
+                    self.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", None
+                    )
+
+            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+                outs = list(pool.map(pooled, rest))
+        else:
+            outs = [exec_one(spec) for spec in rest]
+
+        for result, violations, cps, _ in outs:
             summary.results.append(result)
             all_violations.extend(violations)
-            checkpoint_rows.extend(
-                self._checkpoint_rows(spec, result, viol_counts, pending, started)
-            )
+            checkpoint_rows.extend(cps)
 
         # --- funnel (DataCheckFunnel.pm: single merged write) ---
         if all_violations and violations_sink is not None:
@@ -355,6 +385,12 @@ class Runner:
         bucket = self._bucket()
         counts = fused_violation_counts(scan2, preds, bucket).collect()
         viol_rows = fused_violation_rows(scan2, preds, bucket, self.bucket_key)
+        if union_pending is None and self._rows_per_bucket is None:
+            # the fused counts already carry rows-per-bucket for the whole
+            # table — no separate counting scan needed
+            self._rows_per_bucket = {
+                r["partition_id"]: r["n_rows"] for r in counts
+            }
 
         # per-check verdicts from the fused counts
         for s in todo:

@@ -50,6 +50,9 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # smaller splits -> enough map tasks to feed every core even on
+        # medium inputs; AQE coalesces the reduce side back down
+        .config("spark.sql.files.maxPartitionBytes", str(32 * 1024 * 1024))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -72,6 +72,9 @@ class CheckResult:
     finished: float | None = None
     n_rows_checked: int = 0
     n_violations: int = 0
+    # per-bucket violation counts, when the check computed them itself in
+    # its own aggregation (saves the runner a second pass over violations)
+    partition_violations: dict[int, int] = field(default_factory=dict)
 
     @property
     def status(self) -> Status:

@@ -1,0 +1,129 @@
+"""Property-based tests (hypothesis) for the driver-side statistics and
+tolerance logic, plus seeded-random equivalence checks for the salted
+aggregation plans (SURVEY.md §7.3: per-partition partials must combine to
+exactly the global statistic)."""
+
+from __future__ import annotations
+
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ensembl_datacheck_spark.operators.drift import (
+    Tolerance,
+    chi2_sf,
+    drift_statistics,
+)
+
+bins = st.dictionaries(
+    st.text(alphabet="abcdefgh", min_size=1, max_size=3),
+    st.integers(min_value=0, max_value=10_000),
+    min_size=1,
+    max_size=12,
+)
+
+
+@given(bins)
+@settings(max_examples=200)
+def test_identical_histograms_have_zero_drift(h):
+    if sum(h.values()) == 0:
+        return
+    stats = drift_statistics(list(h.items()), list(h.items()))
+    assert stats.chi2 <= 1e-9
+    assert stats.ks <= 1e-12
+    assert stats.chi2_pvalue > 0.99
+
+
+@given(bins, bins)
+@settings(max_examples=200)
+def test_drift_statistics_bounds_and_symmetry(h1, h2):
+    if sum(h1.values()) == 0 or sum(h2.values()) == 0:
+        return
+    s12 = drift_statistics(list(h1.items()), list(h2.items()))
+    s21 = drift_statistics(list(h2.items()), list(h1.items()))
+    assert 0.0 <= s12.ks <= 1.0
+    assert s12.chi2 >= 0.0
+    # two-sample chi2 and KS are symmetric in the two samples
+    assert abs(s12.chi2 - s21.chi2) < 1e-6 * max(s12.chi2, 1.0)
+    assert abs(s12.ks - s21.ks) < 1e-12
+
+
+@given(bins, st.integers(min_value=2, max_value=8), st.randoms())
+@settings(max_examples=100)
+def test_partition_combine_exactness(h, n_parts, rnd):
+    """Splitting a histogram's counts across partitions and recombining
+    (sum per bin — what groupBy(bin) does) must reproduce the global
+    statistic exactly."""
+    if sum(h.values()) == 0:
+        return
+    partials: list[dict[str, int]] = [dict() for _ in range(n_parts)]
+    for b, c in h.items():
+        remaining = c
+        for i in range(n_parts - 1):
+            take = rnd.randint(0, remaining)
+            if take:
+                partials[i][b] = partials[i].get(b, 0) + take
+            remaining -= take
+        if remaining:
+            partials[-1][b] = partials[-1].get(b, 0) + remaining
+    combined: dict[str, int] = {}
+    for p in partials:
+        for b, c in p.items():
+            combined[b] = combined.get(b, 0) + c
+    assert combined == {b: c for b, c in h.items() if c or b in combined}
+    base = {b: c * 2 + 1 for b, c in h.items()}
+    s_global = drift_statistics(list(h.items()), list(base.items()))
+    s_combined = drift_statistics(list(combined.items()), list(base.items()))
+    assert s_global.chi2 == s_combined.chi2
+    assert s_global.ks == s_combined.ks
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1e4),
+    st.floats(min_value=0.0, max_value=1e4),
+    st.integers(min_value=1, max_value=50),
+)
+@settings(max_examples=200)
+def test_chi2_sf_monotone(a, b, dof):
+    lo, hi = sorted((a, b))
+    assert chi2_sf(hi, dof) <= chi2_sf(lo, dof) + 1e-12
+    assert 0.0 <= chi2_sf(a, dof) <= 1.0
+
+
+@given(
+    st.floats(min_value=0.0, max_value=1e6),
+    st.floats(min_value=0.0, max_value=1e6),
+    st.floats(min_value=0.01, max_value=1.0),
+)
+@settings(max_examples=200)
+def test_tolerance_min_proportion_semantics(base, cur, p):
+    t = Tolerance(min_proportion=p)
+    assert t.violated(base, cur) == (cur < base * p)
+
+
+def test_salted_distinct_equals_plain_distinct(spark):
+    """Seeded-random equivalence: the three-stage salted plan returns the
+    same per-group distinct counts as COUNT(DISTINCT) for skewed data."""
+    from pyspark.sql import functions as F
+
+    from ensembl_datacheck_spark.operators.uniqueness import (
+        exact_count_distinct_salted,
+    )
+
+    rnd = random.Random(1234)
+    rows = []
+    for _ in range(20_000):
+        g = "hot" if rnd.random() < 0.7 else f"g{rnd.randint(0, 5)}"
+        v = rnd.randint(0, 3_000)
+        rows.append((g, v))
+    df = spark.createDataFrame(rows, "g string, v long")
+    salted = {
+        r["group_key"]: r["n_distinct"]
+        for r in exact_count_distinct_salted(df, "g", "v", n_salt=8).collect()
+    }
+    plain = {
+        r["g"]: r["n"]
+        for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
+    }
+    assert salted == plain
