@@ -91,6 +91,11 @@ def bench_sequences_suite(spark, n_rows: int, n_buckets: int = 64):
             "sources": synth.gen_sources(spark),
             "baseline_stats": spark.read.parquet(f"{tmp}/baseline"),
         }
+        # one untimed warm-up (JIT + page cache), then the timed run —
+        # steady-state throughput, same protocol as scripts/scaling_bench.py
+        Runner(spark, tables, n_buckets=n_buckets).run(
+            list(registry), write_checkpoints=False
+        )
         runner = Runner(spark, tables, n_buckets=n_buckets)
         t0 = time.perf_counter()
         summary = runner.run(list(registry), write_checkpoints=False)

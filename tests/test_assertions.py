@@ -130,6 +130,15 @@ def test_has_tags_and_cmp_tag_and_id_range(spark):
     assert [r["grp"] for r in viol.collect()] == ["g2"]
 
 
+def test_same_scalar(spark):
+    cur = spark.range(10)
+    base = spark.range(10)
+    assert A.same_scalar(cur, base, F.max("id"), "max_id")[0].status == Status.OK
+    base2 = spark.range(12)
+    ar, _ = A.same_scalar(cur, base2, F.max("id"), "max_id")
+    assert ar.status == Status.FAIL and ar.expected == 11 and ar.got == 9
+
+
 def test_array_and_hash_diff(spark):
     a = _df(spark, [("x",), ("y",)], "v string")
     b = _df(spark, [("y",), ("z",)], "v string")

@@ -1,0 +1,96 @@
+"""Connected-components dup clustering and token-array MinHash dedup."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators import clusters as CL
+from ensembl_datacheck_spark.operators import token_dedup as TD
+
+
+def test_connected_components_basic(spark):
+    # components: {1,2,3}, {4,5}, chain {6,7,8,9}
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 7), (7, 8), (8, 9)], "id_a long, id_b long"
+    )
+    labels = {r["node"]: r["component"]
+              for r in CL.connected_components(pairs).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 6, 7: 6, 8: 6, 9: 6}
+
+    cl = {r["component"]: (r["size"], r["members"])
+          for r in CL.dup_clusters(pairs).collect()}
+    assert cl[1] == (3, [1, 2, 3])
+    assert cl[6] == (4, [6, 7, 8, 9])
+
+
+def test_dedup_keep_canonical(spark):
+    df = spark.createDataFrame([(i, f"doc{i}") for i in range(10)],
+                               "doc_id long, text string")
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    kept = CL.dedup_keep_canonical(df, "doc_id", pairs)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    # 2,3 collapse into 1; 8 into 7
+    assert ids == [0, 1, 4, 5, 6, 7, 9]
+
+
+@pytest.fixture(scope="module")
+def token_docs(spark):
+    base = list(range(100, 164))  # 64 tokens
+    near = base[:60] + [999, 998, 997, 996]  # differs in last 4
+    other = list(range(5000, 5064))
+    rows = [
+        (1, base),
+        (2, list(base)),       # exact dup of 1
+        (3, near),             # near-dup of 1
+        (4, other),            # unrelated
+        (5, []),               # empty
+        (6, None),             # null
+    ]
+    return spark.createDataFrame(rows, "doc_id long, tokens array<int>").cache()
+
+
+def test_token_minhash_candidates(token_docs):
+    cands = {
+        (r["id_a"], r["id_b"])
+        for r in TD.token_minhash_candidates(
+            token_docs, k=8, n_hashes=32, n_bands=16
+        ).collect()
+    }
+    assert (1, 2) in cands
+    assert (1, 3) in cands
+    assert not any(4 in p for p in cands)
+    # null/empty rows never become candidates
+    assert not any(5 in p or 6 in p for p in cands)
+
+
+def test_token_exact_jaccard(token_docs):
+    cands = token_docs.sparkSession.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    j = {
+        (r["id_a"], r["id_b"]): r
+        for r in TD.token_exact_jaccard(token_docs, cands, k=8).collect()
+    }
+    assert j[(1, 2)]["jaccard"] == 1.0
+    # 64 tokens, k=8 -> 57 shingles; changing the last 4 tokens alters
+    # the 4 shingles starting at 53..56: inter=53, union=61
+    assert 0.5 < j[(1, 3)]["jaccard"] < 1.0
+    assert (j[(1, 3)]["n_inter"], j[(1, 3)]["n_union"]) == (53, 61)
+    assert (1, 4) not in j  # no shared shingle
+
+
+def test_end_to_end_token_dedup(token_docs):
+    cands = TD.token_minhash_candidates(token_docs, k=8, n_hashes=32, n_bands=16)
+    verified = TD.token_exact_jaccard(token_docs, cands, k=8).filter(
+        F.col("jaccard") >= 0.5
+    )
+    kept = CL.dedup_keep_canonical(token_docs, "doc_id", verified)
+    ids = sorted(r["doc_id"] for r in kept.collect())
+    assert ids == [1, 4, 5, 6]  # 2 and 3 deduped into 1
+
+
+def test_signature_determinism(token_docs):
+    a = TD.token_minhash_candidates(token_docs, k=8).collect()
+    b = TD.token_minhash_candidates(token_docs, k=8).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
