@@ -80,6 +80,15 @@ class CheckpointStore:
     def __init__(self, catalog: Catalog, table: str = "checkpoints"):
         self.catalog = catalog
         self.table = table
+        # concurrent runners (fleet fan-out) share one store: parquet
+        # append jobs to the same directory share a _temporary committer
+        # dir, so writes must not overlap.  Iceberg's ACID commit makes
+        # this lock unnecessary; the parquet fallback serializes instead
+        # (the analogue of the reference's history-file lock,
+        # Manager.pm:386-399).
+        import threading
+
+        self._write_lock = threading.Lock()
 
     def load(self) -> DataFrame | None:
         if not self.catalog.exists(self.table):
@@ -92,7 +101,8 @@ class CheckpointStore:
         df = self.catalog.spark.createDataFrame(
             [r.as_tuple() for r in rows], CHECKPOINT_SCHEMA
         )
-        self.catalog.write(df, self.table, mode="append")
+        with self._write_lock:
+            self.catalog.write(df, self.table, mode="append")
 
     def completed_partitions(self, check_name: str, lineage: str) -> set[int]:
         """Partition ids whose **latest** checkpoint for this check is
@@ -103,15 +113,15 @@ class CheckpointStore:
         if df is None:
             return set()
         latest = (
-            df.filter((F.col("check_name") == check_name))
-            .groupBy("partition_id")
-            .agg(F.max_by(F.struct("finished", "status", "lineage"), "finished").alias("last"))
-            .select(
-                "partition_id",
-                F.col("last.status").alias("status"),
-                F.col("last.lineage").alias("lineage"),
+            # lineage scopes the history namespace (db + input state):
+            # rows from other lineages must not shadow this one's latest
+            df.filter(
+                (F.col("check_name") == check_name) & (F.col("lineage") == lineage)
             )
-            .filter((F.col("status") == "ok") & (F.col("lineage") == lineage))
+            .groupBy("partition_id")
+            .agg(F.max_by(F.struct("finished", "status"), "finished").alias("last"))
+            .select("partition_id", F.col("last.status").alias("status"))
+            .filter(F.col("status") == "ok")
         )
         return {r["partition_id"] for r in latest.collect()}
 

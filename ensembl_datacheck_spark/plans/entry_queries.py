@@ -936,11 +936,38 @@ def dedup_clusters_documents(spark, sf_dir):
     return dup_clusters(verified)
 
 
-@q("langid_documents")
+def _sw_list(lang: str) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in text.STOPWORDS[lang]) + "]"
+
+
+@q(
+    "langid_documents",
+    f"""
+    WITH hits AS (
+      SELECT lang,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains({_sw_list('de')}, x))) AS h_de,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains({_sw_list('en')}, x))) AS h_en,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains({_sw_list('es')}, x))) AS h_es,
+             len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                 x -> list_contains({_sw_list('fr')}, x))) AS h_fr
+      FROM documents
+    )
+    SELECT lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                ELSE 'fr' END AS predicted,
+           CAST(count(*) AS BIGINT) AS n
+    FROM hits GROUP BY 1, 2
+    """,
+)
 def langid_documents_q(spark, sf_dir):
-    """Stopword-heuristic language ID vs the labeled lang column
-    (rows-only: the CASE-chain oracle is possible but the stopword
-    tables are engine config, kept engine-side)."""
+    """Stopword-heuristic language ID vs the labeled lang column —
+    oracle reproduces the same argmax with alphabetical tie-break."""
     t = _t(spark, sf_dir)
     d = t["documents"]
     return (

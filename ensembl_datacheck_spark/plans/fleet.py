@@ -1,0 +1,83 @@
+"""Multi-database fan-out: the DbFactory → RunDataChecks analogue
+(DbDataChecks_conf.pm:209-242) — one validation run per target database
+(here: per sequences table), all within one SparkSession, results
+aggregated into a single fleet summary and one shared checkpoint table.
+
+Work-unit enumeration is the reference's species/database selection step
+(run_datachecks.pl:221-242); capacity throttling maps to
+``max_parallel_dbs`` (analysis_capacity=10, DbDataChecks_conf.pm:214).
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from ensembl_datacheck_spark.plans.checkpoint import CheckpointStore
+from ensembl_datacheck_spark.plans.runner import Runner
+from ensembl_datacheck_spark.registry import CheckSpec
+from ensembl_datacheck_spark.verdict import RunSummary
+
+
+@dataclass
+class DbTarget:
+    """One validation target: a named set of tables (db analogue)."""
+
+    name: str
+    tables: dict  # table name -> DataFrame
+    lineage: str = ""
+
+
+@dataclass
+class FleetSummary:
+    by_db: dict[str, RunSummary] = field(default_factory=dict)
+
+    @property
+    def all_passed(self) -> bool:
+        return all(s.all_passed for s in self.by_db.values())
+
+    def to_dict(self, failures_only: bool = True) -> dict:
+        return {
+            name: s.to_dict(failures_only=failures_only)
+            for name, s in self.by_db.items()
+        }
+
+
+def run_fleet(
+    spark: SparkSession,
+    targets: list[DbTarget],
+    specs: list[CheckSpec],
+    n_buckets: int = 64,
+    checkpoint_store: CheckpointStore | None = None,
+    max_parallel_dbs: int = 1,
+    config: dict | None = None,
+) -> FleetSummary:
+    """Run the check set against every target.  One checkpoint table
+    serves the whole fleet: rows are namespaced per db through the
+    lineage fingerprint (``"<db>:<input lineage>"``), so resume matching
+    is per-(db, check, partition) — the reference history file's
+    dbname-level keying (Manager.pm:410-415)."""
+    fleet = FleetSummary()
+
+    def one(target: DbTarget) -> tuple[str, RunSummary]:
+        runner = Runner(
+            spark,
+            target.tables,
+            n_buckets=n_buckets,
+            checkpoint_store=checkpoint_store,
+            lineage=f"{target.name}:{target.lineage}",
+            config=config,
+        )
+        return target.name, runner.run(specs)
+
+    if max_parallel_dbs > 1 and len(targets) > 1:
+        with ThreadPoolExecutor(max_workers=max_parallel_dbs) as pool:
+            for name, summary in pool.map(one, targets):
+                fleet.by_db[name] = summary
+    else:
+        for t in targets:
+            name, summary = one(t)
+            fleet.by_db[name] = summary
+    return fleet
