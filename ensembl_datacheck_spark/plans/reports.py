@@ -47,7 +47,13 @@ def failed_names(summary: RunSummary) -> list[str]:
 
 def exit_code(summary: RunSummary, failures_fatal: bool = True) -> int:
     """Reference exit-code convention: 0 = all pass (BaseCheck.pm:189);
-    RunDataChecks.pm:123-138 `failures_fatal` gate."""
-    if failures_fatal and not summary.all_passed:
+    RunDataChecks.pm:123-138 `failures_fatal` gate.  Only *critical*
+    failures gate (advisory checks report but never fail the run,
+    BaseCheck.pm:74-78 semantics)."""
+    critical_failed = any(
+        r.status == Status.FAIL and r.severity == "critical"
+        for r in summary.results
+    )
+    if failures_fatal and critical_failed:
         return 1
     return 0

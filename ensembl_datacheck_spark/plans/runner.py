@@ -136,6 +136,7 @@ def run_check(
         spark, tables, config, check_name=spec.name,
         bucket_key=bucket_key, n_buckets=n_buckets,
     )
+    ctx.result.severity = spec.severity.value
     try:
         spec.body(ctx)
     except SkipCheck as s:
@@ -396,6 +397,7 @@ class Runner:
         for s in todo:
             own = [p for p in preds if pred_owner[p.assertion] is s]
             res = CheckResult(check_name=s.name)
+            res.severity = s.severity.value
             res.started = started
             my_pending = pending_by_check[s.name]
             viol_counts: dict[int, int] = {}

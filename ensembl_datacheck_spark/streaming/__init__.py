@@ -6,6 +6,7 @@ This module is the engine's forward-looking streaming tier: continuous
 validation of an event/sequence stream with watermarked windows."""
 
 from ensembl_datacheck_spark.streaming.validate import (  # noqa: F401
+    dedup_stream,
     streaming_violations,
     windowed_event_counts,
 )

@@ -37,6 +37,21 @@ def streaming_violations(
     )
 
 
+def dedup_stream(
+    stream: DataFrame,
+    key_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup: drop repeated keys arriving within the
+    watermark horizon (`dropDuplicatesWithinWatermark` — state is bounded
+    by the watermark, unlike global dropDuplicates).  The streaming
+    counterpart of dedup.dedup_exact."""
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        key_cols
+    )
+
+
 def windowed_event_counts(
     stream: DataFrame,
     ts_col: str = "ts",

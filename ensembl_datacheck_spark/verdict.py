@@ -75,6 +75,9 @@ class CheckResult:
     # per-bucket violation counts, when the check computed them itself in
     # its own aggregation (saves the runner a second pass over violations)
     partition_violations: dict[int, int] = field(default_factory=dict)
+    # critical|advisory, copied from the CheckSpec by the runner
+    # (BaseCheck.pm:74-78); advisory failures don't gate the exit code
+    severity: str = "critical"
 
     @property
     def status(self) -> Status:
@@ -103,6 +106,7 @@ class CheckResult:
     def to_dict(self) -> dict[str, Any]:
         return {
             "check_name": self.check_name,
+            "severity": self.severity,
             "status": self.status.value,
             "skip_reason": self.skip_reason,
             "error": self.error,

@@ -52,6 +52,56 @@ def test_real_decode_stub_raises(media):
         feats.collect()
 
 
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from ensembl_datacheck_spark.streaming import dedup_stream
+
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [
+            ("d1", "2024-01-01 00:00:10"),
+            ("d1", "2024-01-01 00:00:30"),  # dup within watermark
+            ("d2", "2024-01-01 00:01:00"),
+        ],
+        "doc_id string, ts_str string",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    batch.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (
+        dedup_stream(stream, ["doc_id"], watermark="5 minutes")
+        .writeStream.format("memory").queryName("dd_stream")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in spark.sql("select * from dd_stream").collect())
+    assert got == ["d1", "d2"]
+
+
+def test_advisory_failures_do_not_gate_exit(spark, seq_fixture):
+    import ensembl_datacheck_spark.checks  # noqa: F401
+    from ensembl_datacheck_spark.plans import reports
+    from ensembl_datacheck_spark.plans.runner import Runner
+    from ensembl_datacheck_spark.registry import registry
+    from ensembl_datacheck_spark.verdict import Status
+
+    # SourcesUsed (advisory) fails when a source has no rows; restrict the
+    # fact table to one source to force it
+    seq = seq_fixture["sequences_clean"].filter("source = 'src_00'")
+    tables = {"sequences": seq, "sources": seq_fixture["sources"]}
+    summary = Runner(spark, tables, n_buckets=8).run(
+        registry.select(names=["SourcesUsed", "DocIdUnique"]),
+        write_checkpoints=False,
+    )
+    res = {r.check_name: r for r in summary.results}
+    assert res["SourcesUsed"].status == Status.FAIL
+    assert res["SourcesUsed"].severity == "advisory"
+    assert res["DocIdUnique"].status == Status.OK
+    # advisory failure reported but exit code stays 0
+    assert reports.exit_code(summary) == 0
+    assert summary.n_failed == 1
+
+
 def test_streaming_violations_and_windows(spark, tmp_path):
     from ensembl_datacheck_spark.streaming import (
         streaming_violations,
