@@ -323,11 +323,25 @@ def source_drift(ctx):
     cur_counts = seq.groupBy("source").count()
     base_counts = base.filter(F.col("stat_key") == "source_count")
     tol = D.Tolerance(min_proportion=ctx.config.get("source_min_proportion", 0.75))
-    viol = D.category_drift_violations(
-        cur_counts, base_counts.select(F.col("category").alias("source"), "value"),
-        "source", tol,
-    )
+    base_kv = base_counts.select(F.col("category").alias("source"), "value")
+    viol = D.category_drift_violations(cur_counts, base_kv, "source", tol)
     ctx.record(A.is_rows_zero(viol, "source_subtotals"), key_col="category")
+
+    # bidirectional option: also flag categories that GREW beyond
+    # tolerance, by running the comparison flipped — the reference runs
+    # the same subtotals check in both directions
+    # (ComparePreviousVersionProbes.pm:59-60; asymmetry documented at
+    # Test/DataCheck.pm:332-335)
+    if ctx.config.get("source_drift_bidirectional", False):
+        flipped = D.category_drift_violations(
+            base_kv.select("source", F.col("value").alias("count")),
+            cur_counts.select("source", F.col("count").alias("value")),
+            "source",
+            tol,
+            count_col="count",
+        )
+        ctx.record(A.is_rows_zero(flipped, "source_subtotals_reverse"),
+                   key_col="category")
 
     stats = D.drift_statistics(
         [(r["source"], float(r["count"])) for r in cur_counts.collect()],
