@@ -88,16 +88,63 @@ def word_ngrams(col: Column, n: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
+#: 61-bit Mersenne prime domain for the affine permutation family.  The
+#: base hash is folded to [0, P); a_j < 2^31 keeps a_j*h < 2^92?  No —
+#: we fold to 31 bits first so every product stays inside int64.
+_MH31 = (1 << 31) - 1
+
+
 def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
-    """n_hashes-wide MinHash signature: for permutation h, min over
-    xxhash64(shingle, seed=h).  One JVM expression, no UDF."""
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(shingles, lambda s, h=h: F.xxhash64(s, F.lit(h)))
+    """n_hashes-wide MinHash signature via the standard single-hash affine
+    family: base = xxhash64(shingle) folded to 31 bits, permutation j =
+    (a_j·base + b_j) mod (2^31−1).  One xxhash64 pass per shingle total —
+    n_hashes seeded re-hashes of every shingle would cost n_hashes× the
+    string hashing (the dominant term for long shingles)."""
+
+    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH31)))
+
+    def _affine_min(j: int):
+        a = 15485863 + 104729 * j
+        b = (32452843 * j) % _MH31
+        # NB: one-parameter lambda only — PySpark binds a second parameter
+        # to the array index, not to a default value.
+        return F.array_min(
+            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH31)))
+        )
+
+    return F.array(*[_affine_min(j) for j in range(n_hashes)])
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    n_hashes: int = 64,
+) -> DataFrame:
+    """(id, sig array<long>) via the aggregation plan: explode shingles →
+    one xxhash64 per shingle → groupBy(id) with n_hashes plain `min`
+    aggregates over affine permutations.  Everything stays inside
+    whole-stage codegen (no LambdaVariables in the per-shingle hot path —
+    nested HOF trees are not subexpression-eliminated and evaluate
+    interpreted), and the shuffle carries map-side partially-aggregated
+    signature rows, not shingles."""
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"),
+    ).select("id", F.pmod(F.xxhash64("g"), F.lit(_MH31)).alias("h"))
+    aggs = []
+    for j in range(n_hashes):
+        a = 15485863 + 104729 * j
+        b = (32452843 * j) % _MH31
+        aggs.append(
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MH31))).alias(
+                f"mh{j}"
             )
-            for h in range(n_hashes)
-        ]
+        )
+    grouped = sh.groupBy("id").agg(*aggs)
+    return grouped.select(
+        "id", F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig")
     )
 
 
@@ -140,10 +187,7 @@ def minhash_lsh_candidates(
     near-identical (the pathological case is the answer itself).  Bucket
     member lists are capped to protect against degenerate buckets."""
     rows_per_band = n_hashes // n_bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_ngrams(F.col(text_col), ngram), n_hashes).alias("sig"),
-    )
+    sig = minhash_signatures(df, id_col, text_col, ngram, n_hashes)
     banded = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     )
@@ -306,5 +350,101 @@ def simhash_near_duplicates(
         a.join(b, "bk")
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b", "simhash_a", "simhash_b")
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable MinHash (oracle-verifiable tier)
+# ---------------------------------------------------------------------------
+
+# Affine permutations (a*h + b) mod p over md5-derived 32-bit shingle
+# hashes: every term is computable in any engine with md5, so the full
+# MinHash → banding → candidate-pair path has an exact SQL oracle.
+# a*h < 2^63 holds: a < 2^24, h < 2^32.
+MH_PRIME = 2147483647
+MH_COEFFS = [(15485863 + 104729 * j, (32452843 * j) % MH_PRIME) for j in range(8)]
+
+
+def _portable_shingle_hash(shingles: Column) -> Column:
+    """array<long> of int(md5(shingle)[:8], 16) — 32-bit, engine-portable."""
+    return F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    )
+
+
+def portable_minhash_signature(shingles: Column) -> Column:
+    """8-wide MinHash signature over md5-derived shingle hashes."""
+    gh = _portable_shingle_hash(shingles)
+    def _affine_min(a: int, b: int):
+        return F.array_min(
+            F.transform(
+                gh, lambda g: F.pmod(g * F.lit(a) + F.lit(b), F.lit(MH_PRIME))
+            )
+        )
+
+    return F.array(*[_affine_min(a, b) for (a, b) in MH_COEFFS])
+
+
+def portable_minhash_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Candidate near-dup pairs from banded portable MinHash signatures
+    (8 hashes, `n_bands` bands of 8/n_bands rows): (id_a, id_b) sharing
+    at least one band.  Same plan shape as minhash_lsh_candidates —
+    explode band keys, shuffle keyed by (band, key), self-join — but
+    every value is reproducible by the DuckDB oracle."""
+    rows = len(MH_COEFFS) // n_bands
+    sh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"),
+    ).select(
+        "id", F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h")
+    )
+    sig = (
+        sh.groupBy("id")
+        .agg(
+            *[
+                F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MH_PRIME))).alias(
+                    f"mh{j}"
+                )
+                for j, (a, b) in enumerate(MH_COEFFS)
+            ]
+        )
+        .select(
+            "id",
+            F.array(*[F.col(f"mh{j}") for j in range(len(MH_COEFFS))]).alias("sig"),
+        )
+    )
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.concat_ws(
+                            "_",
+                            *[
+                                F.col("sig")[b * rows + r].cast("string")
+                                for r in range(rows)
+                            ],
+                        ).alias("key"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = bands.select(F.col("id").alias("id_a"), "band", "key")
+    b = bands.select(F.col("id").alias("id_b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
         .distinct()
     )

@@ -3,10 +3,10 @@
 
 Tiers:
 
-* **brute-force top-k** — the exactness baseline: broadcast the (small)
-  query set, JVM-side dot products (`zip_with` + `aggregate`), window
-  top-k.  Cost O(|corpus| × |queries|) but embarrassingly parallel and
-  shuffle-free until the final per-query top-k (tiny).
+* **brute-force top-k** — the exactness baseline: query matrix in the
+  task closure, one Arrow-batched numpy matmul per corpus partition,
+  partition-local top-k, tiny final shuffle.  Cost O(|corpus| ×
+  |queries|) but embarrassingly parallel.
 * **LSH (random hyperplanes)** — sign-bit signatures bucket the corpus;
   queries probe only their bucket (+ multiprobe neighbors).  Recall/cost
   dialed by n_planes.
@@ -25,11 +25,23 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from ensembl_datacheck_spark.functions.arrays import cosine_similarity, l2_norm
+from ensembl_datacheck_spark.functions.arrays import (
+    _stack_vectors,
+    cosine_pairs_arrow,
+    cosine_similarity,
+    hyperplane_signature_arrow,
+    l2_norm,
+)
 
 
 def _norm_col(vec):
     return F.transform(vec, lambda x: x / F.nullif(l2_norm(vec), F.lit(0.0)))
+
+
+def _normalize_rows(M: np.ndarray) -> np.ndarray:
+    n = np.linalg.norm(M, axis=1, keepdims=True)
+    n[n == 0] = 1.0
+    return M / n
 
 
 def brute_force_topk(
@@ -40,27 +52,52 @@ def brute_force_topk(
     k: int = 10,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
-    Ties broken by neighbor id for full determinism."""
-    q = F.broadcast(
-        queries.select(
-            F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    Ties broken by neighbor id for full determinism.
+
+    Scale shape: the query matrix rides in the task closure (it is small
+    by contract — ANN with a large query set goes through lsh/ivf); each
+    corpus partition computes one Arrow-batched matmul and emits only its
+    *partition-local* top-k per query, so the final shuffle carries
+    O(partitions × |Q| × k) rows regardless of corpus size."""
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int"
         )
-    )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-    scored = (
-        c.crossJoin(q)
-        .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id",
-            "neighbor_id",
-            cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
-        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Qn = _normalize_rows(np.array([list(r[1]) for r in qrows], dtype=np.float64))
+
+    def partial_topk(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            S = _normalize_rows(_stack_vectors(pdf[vec_col])) @ Qn.T  # (n, nq)
+            out_q, out_n, out_c = [], [], []
+            for j in range(len(qids)):
+                col = S[:, j]
+                mask = ids != qids[j]
+                cand_ids, cand = ids[mask], col[mask]
+                order = np.lexsort((cand_ids, -cand))[:k]
+                out_q.append(np.full(len(order), qids[j]))
+                out_n.append(cand_ids[order])
+                out_c.append(cand[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "cosine": np.concatenate(out_c),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, cosine double"
     )
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
 
@@ -109,12 +146,12 @@ def lsh_topk(
     sig_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_signature_arrow(F.col(vec_col), planes).alias("bucket"),
     )
     sig_q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_signature_arrow(F.col(vec_col), planes).alias("bucket"),
     )
     cand = sig_c.join(F.broadcast(sig_q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")
@@ -122,7 +159,7 @@ def lsh_topk(
     scored = cand.select(
         "query_id",
         "neighbor_id",
-        cosine_similarity(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
+        cosine_pairs_arrow(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -137,24 +174,18 @@ def ivf_assign(
     """Assign each vector to its best centroid (argmax dot product) —
     centroid matrix embedded as literals, evaluated JVM-side.  At scale
     the output is written bucketed by `list_id` so probes prune files."""
-    dots = F.array(
-        *[
-            F.aggregate(
-                F.zip_with(
-                    F.col(vec_col),
-                    F.array(*[F.lit(float(x)) for x in c]),
-                    lambda a, b: a * b,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            for c in centroids
-        ]
-    )
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    def assign_fn(vec: pd.Series) -> pd.Series:
+        V = _stack_vectors(vec)
+        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+
     return corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        (F.array_position(dots, F.array_max(dots)) - 1).cast("int").alias("list_id"),
+        pandas_udf(assign_fn, "int")(F.col(vec_col)).alias("list_id"),
     )
 
 
@@ -215,9 +246,7 @@ def ivf_topk(
     scored = cand.select(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
-        cosine_similarity(
-            F.col("q_vec"), F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        ).alias("cosine"),
+        cosine_pairs_arrow(F.col("q_vec"), F.col(vec_col)).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
@@ -238,7 +267,7 @@ def embedding_near_duplicates(
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
-        hyperplane_signature(F.col(vec_col), planes).alias("bucket"),
+        hyperplane_signature_arrow(F.col(vec_col), planes).alias("bucket"),
     )
     a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
     b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
@@ -248,7 +277,78 @@ def embedding_near_duplicates(
         .select(
             "id_a",
             "id_b",
-            cosine_similarity(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
+            cosine_pairs_arrow(F.col("vec_a"), F.col("vec_b")).alias("cosine"),
         )
         .filter(F.col("cosine") >= min_cosine)
+    )
+
+
+def quantize_vec(vec, scale: int = 1_000_000):
+    """floor(x * scale) as array<long> — IEEE-deterministic across engines
+    (float32 parquet values widen to the same double everywhere), so
+    integer distance math on the quantized vectors is exactly
+    reproducible by any SQL oracle."""
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(float(scale))).cast("long")
+    )
+
+
+def l2_topk_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """Exact top-k by squared L2 distance over scale-quantized integer
+    vectors: (query_id, neighbor_id, d2, rank).  All-integer arithmetic
+    (int64 throughout; |d2| ≤ dims·(2·scale·max|x|)² stays well under
+    2^63 for unit-ish embeddings), so results are bit-identical across
+    engines — the oracle-verifiable face of the ANN family.  Same
+    scale shape as brute_force_topk: per-partition partial top-k, tiny
+    final shuffle."""
+    qrows = queries.select(id_col, vec_col).collect()
+    if not qrows:
+        return corpus.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, d2 long, rank long"
+        )
+    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+    Q = np.floor(
+        np.array([list(r[1]) for r in qrows], dtype=np.float64) * scale
+    ).astype(np.int64)
+    q_sq = (Q * Q).sum(axis=1)
+
+    def partial_topk(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy(dtype=np.int64)
+            if len(ids) == 0:
+                continue
+            C = np.floor(_stack_vectors(pdf[vec_col]) * scale).astype(np.int64)
+            c_sq = (C * C).sum(axis=1)
+            # d2 = |c|^2 + |q|^2 - 2 c·q, all int64
+            D2 = c_sq[:, None] + q_sq[None, :] - 2 * (C @ Q.T)
+            out_q, out_n, out_d = [], [], []
+            for j in range(len(qids)):
+                mask = ids != qids[j]
+                cand_ids, cand = ids[mask], D2[mask, j]
+                order = np.lexsort((cand_ids, cand))[:k]
+                out_q.append(np.full(len(order), qids[j]))
+                out_n.append(cand_ids[order])
+                out_d.append(cand[order])
+            yield pd.DataFrame(
+                {
+                    "query_id": np.concatenate(out_q),
+                    "neighbor_id": np.concatenate(out_n),
+                    "d2": np.concatenate(out_d),
+                }
+            )
+
+    partial = corpus.select(id_col, vec_col).mapInPandas(
+        partial_topk, "query_id long, neighbor_id long, d2 long"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        partial.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
     )

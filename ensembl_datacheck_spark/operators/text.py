@@ -138,3 +138,23 @@ def fingerprint_documents(
         content_fingerprint(F.col(text_col)).alias("md5"),
         rolling_fingerprint(F.col(text_col)).alias("rolling_fp"),
     )
+
+
+def portable_rolling_fingerprint(col: Column) -> Column:
+    """Order-sensitive polynomial rolling hash over lowercased words whose
+    per-word hash is md5-derived (first 8 hex digits as an integer), so the
+    identical value is computable in any engine with md5 — used for
+    cross-engine content-fingerprint reconciliation (the reference compares
+    checksums across databases, SequenceChecksum.pm:46-148):
+
+        acc = (acc * 1000003 + int(md5(word)[:8], 16)) mod (2^31 - 1)
+    """
+    ws = F.split(F.lower(F.trim(col)), r"\s+")
+    word_hash = lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long")
+    return F.aggregate(
+        ws,
+        F.lit(0).cast("long"),
+        lambda acc, w: F.pmod(
+            acc * F.lit(_FP_BASE) + word_hash(w), F.lit(_FP_MOD)
+        ),
+    )

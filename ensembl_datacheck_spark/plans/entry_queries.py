@@ -847,15 +847,29 @@ def approx_distinct_parts(spark, sf_dir):
     )
 
 
-@q("pivot_returnflag_by_status")
+@q(
+    "pivot_returnflag_by_status",
+    """
+    SELECT l_returnflag,
+           CAST(count(*) FILTER (WHERE l_linestatus = 'O') AS BIGINT) AS "O",
+           CAST(count(*) FILTER (WHERE l_linestatus = 'F') AS BIGINT) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
 def pivot_returnflag_by_status(spark, sf_dir):
-    """Pivot (rows-only; PIVOT syntax differs per engine)."""
+    """Pivot with a pinned column list (oracle = conditional aggregation;
+    missing combinations zero-filled on both sides)."""
     t = _t(spark, sf_dir)
-    return (
+    piv = (
         t["lineitem"]
         .groupBy("l_returnflag")
         .pivot("l_linestatus", ["O", "F"])
         .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0)).cast("long").alias("O"),
+        F.coalesce(F.col("F"), F.lit(0)).cast("long").alias("F"),
     )
 
 
@@ -975,6 +989,194 @@ def langid_documents_q(spark, sf_dir):
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+_JACCARD_EDGES_SQL = """
+    WITH sh AS (
+      SELECT DISTINCT doc_id, gram FROM (
+        SELECT doc_id,
+               unnest(CASE WHEN len(ws) >= 3 THEN
+                 list_transform(range(1, len(ws) - 1),
+                                i -> array_to_string(ws[i:i+2], ' '))
+               ELSE [array_to_string(ws, ' ')] END) AS gram
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\\s+') AS ws
+              FROM documents WHERE doc_id < 150)
+      )
+    ),
+    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+    inter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
+      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT i.id_a, i.id_b FROM inter i
+      JOIN sizes sa ON i.id_a = sa.doc_id
+      JOIN sizes sb ON i.id_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.3
+    )
+"""
+
+
+@q(
+    "dedup_clusters_exact",
+    "WITH RECURSIVE "
+    + _JACCARD_EDGES_SQL.strip().removeprefix("WITH")
+    + """,
+    bidir AS (SELECT id_a AS u, id_b AS v FROM edges
+              UNION SELECT id_b, id_a FROM edges),
+    closure AS (
+      SELECT u, v FROM bidir
+      UNION
+      SELECT c.u, b.v FROM closure c JOIN bidir b ON c.v = b.u
+      WHERE b.v <> c.u
+    )
+    SELECT CAST(u AS BIGINT) AS node,
+           CAST(least(u, min(v)) AS BIGINT) AS component
+    FROM closure GROUP BY u
+    """,
+)
+def dedup_clusters_exact(spark, sf_dir):
+    """Connected-component dup clusters over the *exact* 3-gram Jaccard
+    edge set (min_jaccard=0.3, doc_id<150) — the oracle reproduces the
+    min-label components with a recursive transitive closure, verifying
+    the distributed label-propagation loop end to end."""
+    from ensembl_datacheck_spark.operators.clusters import connected_components
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 150)
+    edges = dedup.jaccard_pairs(d, "doc_id", "text", ngram=3, min_jaccard=0.3)
+    labels = connected_components(edges.select("id_a", "id_b"))
+    return labels.select(
+        F.col("node").cast("long").alias("node"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+@q(
+    "ann_l2_topk_exact",
+    """
+    WITH qv AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS v
+      FROM embeddings WHERE vec_id < 10
+    ),
+    cv AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding,
+                            x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT))
+               AS v
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_sum(list_transform(range(1, len(q.v) + 1),
+                      i -> (q.v[i] - c.v[i]) * (q.v[i] - c.v[i]))) AS d2
+      FROM qv q CROSS JOIN cv c
+      WHERE c.neighbor_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+           CAST(rn AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY d2, neighbor_id) AS rn
+          FROM scored)
+    WHERE rn <= 5
+    """,
+)
+def ann_l2_topk_exact(spark, sf_dir):
+    """Brute-force top-5 by squared L2 over integer-quantized embeddings —
+    the oracle-verifiable ANN: all-int64 arithmetic is bit-identical
+    across engines (similarity.l2_topk_exact; per-partition partial
+    top-k, tiny final shuffle)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.l2_topk_exact(emb, queries, k=5)
+
+
+@q(
+    "rolling_fingerprints_portable",
+    """
+    SELECT doc_id,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+                 w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT))),
+             (acc, h) -> (acc * 1000003 + h) % 2147483647) AS BIGINT)
+             AS rolling_fp
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def rolling_fingerprints_portable(spark, sf_dir):
+    """Order-sensitive polynomial word fingerprint with an md5-derived
+    per-word hash — engine-portable, so the rolling-hash path itself is
+    oracle-verified (text.portable_rolling_fingerprint)."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        text.portable_rolling_fingerprint(F.col("text")).alias("rolling_fp"),
+    )
+
+
+def _minhash_oracle_sql() -> str:
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {dedup.MH_PRIME}))"
+        for (a, b) in dedup.MH_COEFFS
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, CAST(s[{2*b+1}] AS VARCHAR) || '_' || "
+        f"CAST(s[{2*b+2}] AS VARCHAR) AS key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents WHERE doc_id < 200
+    ),
+    grams AS (
+      SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+               list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(ws[i:i+2], ' '))
+             ELSE [array_to_string(ws, ' ')] END AS gs
+      FROM docs
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(gs,
+               g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS hv
+      FROM grams
+    ),
+    sig AS (
+      SELECT doc_id,
+             [{sig_exprs}] AS s
+      FROM hs
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                    CAST(b.doc_id AS BIGINT) AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@q("minhash_candidates_portable", None)
+def minhash_candidates_portable(spark, sf_dir):
+    """MinHash → banding → LSH candidate pairs with md5-derived portable
+    hashes (dedup.portable_minhash_candidates): the full MinHash path,
+    oracle-verified value for value."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    return dedup.portable_minhash_candidates(d, "doc_id", "text", ngram=3, n_bands=4)
+
+
+ORACLES["minhash_candidates_portable"] = _minhash_oracle_sql()
 
 
 # ---------------------------------------------------------------------------

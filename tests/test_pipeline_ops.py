@@ -230,3 +230,47 @@ def test_token_arrays_equal(spark):
         ).collect()
     }
     assert got == {1: True, 2: False, 3: True, 4: False}
+
+
+def test_minhash_signature_entries_are_independent(spark):
+    """Regression: a two-parameter HOF lambda (`lambda s, h=h`) binds the
+    second parameter to the ARRAY INDEX, which silently made all
+    signature entries identical (signature collapsed to one effective
+    hash).  Entries from distinct affine permutations must differ."""
+    from ensembl_datacheck_spark.operators.dedup import minhash_signatures
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog today")],
+        "doc_id long, text string",
+    )
+    sig = minhash_signatures(df, "doc_id", "text", ngram=3, n_hashes=16)
+    vals = sig.select("sig").first()["sig"]
+    assert len(vals) == 16
+    assert len(set(vals)) > 8, f"signature entries collapsed: {vals}"
+
+
+def test_l2_topk_exact_matches_bruteforce_order(spark):
+    """Quantized-L2 top-k must rank identically to float cosine top-k on
+    unit-norm-ish vectors where L2 order == cosine order."""
+    import numpy as np
+
+    from ensembl_datacheck_spark.operators.similarity import (
+        brute_force_topk,
+        l2_topk_exact,
+    )
+
+    rng = np.random.default_rng(7)
+    V = rng.standard_normal((40, 16))
+    V /= np.linalg.norm(V, axis=1, keepdims=True)  # unit norm: L2 ~ cosine
+    rows = [(i, [float(x) for x in V[i]]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.filter(F.col("vec_id") < 3)
+    bf = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in brute_force_topk(df, q, k=5).collect()
+    }
+    l2 = {
+        (r["query_id"], r["rank"]): r["neighbor_id"]
+        for r in l2_topk_exact(df, q, k=5).collect()
+    }
+    assert bf == l2
