@@ -72,3 +72,54 @@ def windowed_event_counts(
             "n",
         )
     )
+
+
+def running_source_stats(
+    stream: DataFrame,
+    source_col: str = "source",
+    n_tok_col: str = "n_tok",
+    violation_col: str | None = None,
+) -> DataFrame:
+    """Custom stateful operator (`applyInPandasWithState`): cumulative
+    per-source validation stats — rows seen, violations seen, min/max
+    n_tok — updated every micro-batch and emitted as a running snapshot.
+    The streaming analogue of the per-partition checkpoint metrics: state
+    is one tiny row per source (bounded by |sources|), arithmetic is
+    numpy over the Arrow batch, no per-row Python."""
+    import pandas as pd  # local: keep module import light for batch-only use
+
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = (
+        f"{source_col} string, n_rows long, n_violations long, "
+        "min_n_tok long, max_n_tok long"
+    )
+    state_schema = "n_rows long, n_violations long, min_n_tok long, max_n_tok long"
+
+    def update(key, pdfs, state: GroupState):
+        n_rows, n_viol, mn, mx = (
+            state.get if state.exists else (0, 0, None, None)
+        )
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            if violation_col is not None:
+                n_viol += int(pdf[violation_col].fillna(False).sum())
+            toks = pdf[n_tok_col].dropna()
+            if len(toks):
+                bmn, bmx = int(toks.min()), int(toks.max())
+                mn = bmn if mn is None else min(mn, bmn)
+                mx = bmx if mx is None else max(mx, bmx)
+        state.update((n_rows, n_viol, mn, mx))
+        yield pd.DataFrame(
+            {
+                source_col: [key[0]],
+                "n_rows": [n_rows],
+                "n_violations": [n_viol],
+                "min_n_tok": [mn],
+                "max_n_tok": [mx],
+            }
+        )
+
+    return stream.groupBy(source_col).applyInPandasWithState(
+        update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )

@@ -159,3 +159,46 @@ def test_streaming_violations_and_windows(spark, tmp_path):
     # two windows (00:00, 00:01); src_a has 2 in the first
     by = {(str(r["window_start"]), r["source"]): r["n"] for r in rows}
     assert by[("2024-01-01 00:00:00", "src_a")] == 2
+
+
+def test_streaming_stateful_running_stats(spark, tmp_path):
+    """applyInPandasWithState keeps cumulative per-source stats across
+    micro-batches: a second batch must ADD to the first batch's counts."""
+    import time
+
+    from ensembl_datacheck_spark.streaming.validate import running_source_stats
+
+    src = tmp_path / "src"
+    b1 = spark.createDataFrame(
+        [("a", 10, False), ("a", 20, True), ("b", 5, False)],
+        "source string, n_tok int, bad boolean",
+    )
+    b1.coalesce(1).write.mode("append").parquet(str(src))
+    stream = spark.readStream.schema(b1.schema).parquet(str(src))
+    stats = running_source_stats(stream, violation_col="bad")
+    q = (
+        stats.writeStream.format("memory")
+        .queryName("run_stats")
+        .outputMode("update")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        b2 = spark.createDataFrame(
+            [("a", 99, True)], "source string, n_tok int, bad boolean"
+        )
+        b2.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        rows = spark.sql(
+            "SELECT * FROM run_stats WHERE source = 'a' ORDER BY n_rows"
+        ).collect()
+        # snapshots over time: first batch saw 2 rows/1 violation, after
+        # the second batch the running state is 3 rows/2 violations
+        assert [r["n_rows"] for r in rows] == [2, 3]
+        last = rows[-1]
+        assert last["n_violations"] == 2
+        assert last["min_n_tok"] == 10 and last["max_n_tok"] == 99
+        b_row = spark.sql("SELECT * FROM run_stats WHERE source = 'b'").collect()
+        assert b_row and b_row[-1]["n_rows"] == 1
+    finally:
+        q.stop()
