@@ -27,6 +27,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--patterns", nargs="*", help="regex patterns over names")
     p.add_argument("--groups", nargs="*", help="check groups")
     p.add_argument("--type", dest="severity", choices=["critical", "advisory"])
+    p.add_argument("--format", dest="fmt", default="parquet",
+                   choices=["parquet", "orc", "json", "csv"],
+                   help="input table format (csv/json need --schema)")
+    p.add_argument("--schema", help="DDL schema string for csv/json inputs "
+                   "(skips the inference scan)")
     p.add_argument("--warehouse", default="/tmp/dcheck_warehouse",
                    help="checkpoint/violations table root")
     p.add_argument("--n-buckets", type=int, default=64)
@@ -80,10 +85,16 @@ def main(argv: list[str] | None = None) -> int:
 
         specs = [replace(s, force=True) for s in specs]
 
+    from ensembl_datacheck_spark.sources.io import read_table
+
     spark = get_spark("dcheck-cli", cores=args.cores)
-    tables = {"sequences": spark.read.parquet(args.sequences)}
+    tables = {
+        "sequences": read_table(spark, args.sequences, args.fmt, args.schema)
+    }
     if args.sources:
-        tables["sources"] = spark.read.parquet(args.sources)
+        # --schema describes the fact table only; the small dimension can
+        # afford inference when csv/json
+        tables["sources"] = read_table(spark, args.sources, args.fmt)
     if args.baseline:
         tables["baseline_stats"] = spark.read.parquet(args.baseline)
 
@@ -115,7 +126,14 @@ def _lineage_of(path: str) -> str:
 
     h = hashlib.md5()
     root = Path(path)
-    files = sorted(root.rglob("*.parquet")) if root.is_dir() else [root]
+    # hash every data file (any format), not just parquet — otherwise
+    # csv/json inputs would all share one empty lineage and resume's
+    # freshness gate could skip work against a changed table
+    files = (
+        sorted(p for p in root.rglob("*") if p.is_file() and not p.name.startswith(("_", ".")))
+        if root.is_dir()
+        else [root]
+    )
     for p in files:
         st = p.stat()
         h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns}\n".encode())

@@ -77,6 +77,35 @@ class Catalog:
         return h.hexdigest()
 
 
+#: formats the IO layer accepts everywhere a table path is taken.
+READABLE_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched table read.  Columnar formats (parquet/orc) keep
+    predicate pushdown + column pruning; for csv/json an explicit
+    `schema` DDL string skips the inference scan (mandatory at scale —
+    inference reads the data twice) and keeps types stable.  The
+    reference's equivalent surface is DBAdaptor MySQL plus flat files
+    (DataFilesExist.pm); here every check consumes DataFrames, so any
+    readable format plugs into the same check suite unchanged.
+    """
+    if fmt not in READABLE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {READABLE_FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
 SF_TABLES = (
     "region nation customer supplier part orders lineitem events "
     "documents embeddings"
