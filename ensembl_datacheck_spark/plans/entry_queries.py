@@ -1179,6 +1179,44 @@ def minhash_candidates_portable(spark, sf_dir):
 ORACLES["minhash_candidates_portable"] = _minhash_oracle_sql()
 
 
+@q(
+    "asof_purchase_click",
+    """
+    WITH r AS (
+      SELECT user_id, ts, max(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click' GROUP BY user_id, ts
+    ),
+    l AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT l.event_id AS purchase_id, CAST(l.user_id AS BIGINT) AS user_id,
+           r.click_event_id
+    FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts > r.ts
+    """,
+)
+def asof_purchase_click(spark, sf_dir):
+    """As-of join (operators/asof.py): each purchase paired with the
+    user's most recent strictly-earlier click — oracle is DuckDB's
+    native ASOF LEFT JOIN.  Right side deduplicated to one row per
+    (user, ts) so both engines resolve ties identically."""
+    from ensembl_datacheck_spark.operators.asof import asof_join
+
+    t = _t(spark, sf_dir)
+    ev = t["events"]
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.max("event_id").alias("click_event_id"))
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    return asof_join(
+        purchases, clicks, by=["user_id"], strict=True,
+        right_cols=["click_event_id"],
+    ).select("purchase_id", "user_id", "click_event_id")
+
+
 # ---------------------------------------------------------------------------
 # flagship: the validation-suite shape on driver tables
 # ---------------------------------------------------------------------------

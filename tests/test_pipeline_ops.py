@@ -274,3 +274,36 @@ def test_l2_topk_exact_matches_bruteforce_order(spark):
         for r in l2_topk_exact(df, q, k=5).collect()
     }
     assert bf == l2
+
+
+def test_asof_join_semantics(spark):
+    """Non-strict matches equal timestamps, strict does not; tolerance
+    nulls out stale matches; unmatched left rows keep nulls."""
+    from ensembl_datacheck_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", "L1"),
+         (1, "2024-01-01 12:00:00", "L2"),
+         (2, "2024-01-01 09:00:00", "L3")],
+        "uid long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00", 100),
+         (1, "2024-01-01 11:30:00", 200),
+         (3, "2024-01-01 08:00:00", 300)],
+        "uid long, ts string, snap long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+
+    got = {r["tag"]: r["snap"] for r in asof_join(
+        left, right, by=["uid"], right_cols=["snap"]).collect()}
+    assert got == {"L1": 100, "L2": 200, "L3": None}
+
+    strict = {r["tag"]: r["snap"] for r in asof_join(
+        left, right, by=["uid"], right_cols=["snap"], strict=True).collect()}
+    assert strict == {"L1": None, "L2": 200, "L3": None}
+
+    tol = {r["tag"]: r["snap"] for r in asof_join(
+        left, right, by=["uid"], right_cols=["snap"],
+        tolerance="10 minutes").collect()}
+    # L2 at 12:00 vs snap 200 at 11:30 is 30min stale -> nulled
+    assert tol == {"L1": 100, "L2": None, "L3": None}
