@@ -94,11 +94,11 @@ def bench_sequences_suite(spark, n_rows: int, n_buckets: int = 64):
         # one untimed warm-up (JIT + page cache), then the timed run —
         # steady-state throughput, same protocol as scripts/scaling_bench.py
         Runner(spark, tables, n_buckets=n_buckets).run(
-            list(registry), write_checkpoints=False, parallelism=4
+            registry.default_suite(), write_checkpoints=False, parallelism=4
         )
         runner = Runner(spark, tables, n_buckets=n_buckets)
         t0 = time.perf_counter()
-        summary = runner.run(list(registry), write_checkpoints=False,
+        summary = runner.run(registry.default_suite(), write_checkpoints=False,
                              parallelism=4)
         wall = time.perf_counter() - t0
         assert summary.results, "no results"

@@ -46,6 +46,13 @@ class CheckSpec:
     tables: tuple[str, ...] = ()
     per_partition: bool = False
     force: bool = False  # always re-run, ignore checkpoint (DataFilesExist.pm:37)
+    # Excluded from the default suite; runs only when selected explicitly
+    # by name/pattern/group — for expensive pipeline-stage checks (e.g.
+    # whole-corpus content dedup) that a recurring validation run should
+    # not pay on every execution.  The reference's kin: checks gated off
+    # unless their group is requested (Manager.pm:246-269 group
+    # selection; per-check skip gates DbCheck.pm:740-765).
+    on_demand: bool = False
     # Optional row-level predicate factory `(ctx, scan_df) -> (predicates,
     # scan_df)` letting the Runner fuse this check into a shared single
     # scan with its siblings (operators/fused.py).  The factory may extend
@@ -61,6 +68,7 @@ class CheckSpec:
             "datacheck_type": self.severity.value,
             "tables": sorted(self.tables),
             "package_name": f"{self.body.__module__}.{self.body.__qualname__}",
+            "on_demand": self.on_demand,
         }
 
 
@@ -87,6 +95,11 @@ class Registry:
 
     def names(self) -> list[str]:
         return sorted(self._checks)
+
+    def default_suite(self) -> list[CheckSpec]:
+        """Every check except the on-demand tier — what a plain run (and
+        the benches) execute."""
+        return [s for s in self if not s.on_demand]
 
     def select(
         self,
@@ -142,6 +155,7 @@ def register(
     tables: tuple[str, ...] = (),
     per_partition: bool = False,
     force: bool = False,
+    on_demand: bool = False,
     row_predicates: Callable | None = None,
     _registry: Registry | None = None,
 ) -> Callable:
@@ -157,6 +171,7 @@ def register(
             tables=tuple(tables),
             per_partition=per_partition,
             force=force,
+            on_demand=on_demand,
             row_predicates=row_predicates,
         )
         (_registry or registry).add(spec)

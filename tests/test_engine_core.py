@@ -31,7 +31,7 @@ def test_registry_selection_and_index(tmp_path):
     sel = registry.select(groups=["drift"])
     assert {s.name for s in sel} >= {"RowTotals", "SourceDrift", "NTokDrift"}
     sel = registry.select(patterns=["^Token"])
-    assert [s.name for s in sel] == ["TokenInvariants"]
+    assert {s.name for s in sel} == {"TokenInvariants", "TokenContentDuplicates"}
     sel = registry.select(names=["DocIdUnique"], severity="critical")
     assert len(sel) == 1
     # index round-trip (t/index.t semantics)
@@ -225,3 +225,24 @@ def test_violations_sink_and_reports(spark, seq_fixture, tmp_path):
     assert j["failed"] >= 3
     tap = "\n".join(r.to_tap() for r in summary.results)
     assert "not ok" in tap and "# Subtest" in tap
+
+
+def test_token_content_duplicates_check(spark):
+    """Advisory content-dup check: identical token arrays under different
+    doc_ids fail; unique content passes."""
+    spec = registry.get("TokenContentDuplicates")
+    dup = spark.createDataFrame(
+        [("a", [1, 2, 3], 3, "s"), ("b", [1, 2, 3], 3, "s"),
+         ("c", [3, 2, 1], 3, "s"), ("d", None, 0, "s"), ("e", None, 0, "s"),
+         ("f", [], 0, "s"), ("g", [], 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    res, viols = run_check(spec, spark, {"sequences": dup}, n_buckets=4)
+    assert res.status.value == "fail"
+    assert res.assertions[0].got == 1  # only the (a,b) group; null/empty exempt
+
+    from pyspark.sql import functions as F
+
+    uniq = dup.filter(F.col("doc_id").isin("a", "c"))
+    res2, _ = run_check(spec, spark, {"sequences": uniq}, n_buckets=4)
+    assert res2.status.value == "ok"
