@@ -107,3 +107,28 @@ def test_cli_json_format_input(spark, tmp_path):
     assert rc == 1  # injected violations still found through the JSON path
     j = json.loads((tmp_path / "resj.json").read_text())
     assert j["failed"] == 3
+
+
+def test_pyfiles_zip_importable(tmp_path):
+    """The --py-files artifact must contain the full package and be
+    importable from the zip alone (executor-side import path)."""
+    import subprocess
+    import sys
+
+    out = tmp_path / "pkg.zip"
+    r = subprocess.run(
+        [sys.executable, "scripts/package_pyfiles.py", str(out)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+    probe = subprocess.run(
+        [sys.executable, "-c",
+         "import sys; sys.path.insert(0, sys.argv[1]); "
+         "import ensembl_datacheck_spark.checks, ensembl_datacheck_spark.cli; "
+         "from ensembl_datacheck_spark import registry; "
+         "print(len(registry.default_suite()))",
+         str(out)],
+        capture_output=True, text=True,
+    )
+    assert probe.returncode == 0, probe.stderr
+    assert int(probe.stdout.strip()) >= 10
