@@ -425,7 +425,9 @@ def sequences_non_empty(ctx):
     "grouped on (n_tok, hash) — the sequence-payload analogue of the "
     "reference's duplicate-row checks (DuplicateXref kin) and the "
     "check-suite face of the exact-dedup operator",
-    groups=("sequences", "dedup"),
+    # deliberately NOT in the broad "sequences" group: --groups sequences
+    # must not drag the whole-corpus dedup scan into a routine run
+    groups=("dedup",),
     severity="advisory",
     tables=("sequences",),
     on_demand=True,
@@ -439,13 +441,17 @@ def token_content_duplicates(ctx):
     # for cross-engine fingerprint parity and costs ~20x this scan
     # (measured: +90 s vs +4 s on 20M rows at 2 cores), wasted on
     # within-table dup grouping
+    # group on the content hash alone — NOT the stored n_tok column,
+    # which may itself be corrupted (TokenInvariants' concern) and would
+    # split a true content-dup pair into different groups
     groups = (
         seq.filter(F.col("tokens").isNotNull() & (F.size("tokens") > 0))
-        .select("doc_id", "n_tok", F.xxhash64("tokens").alias("ck"))
-        .groupBy("n_tok", "ck")
+        .select("doc_id", F.size("tokens").alias("len"), F.xxhash64("tokens").alias("ck"))
+        .groupBy("ck")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min("doc_id").alias("example_doc_id"),
+            F.min("len").alias("n_tok"),
         )
         .filter(F.col("n_copies") > 1)
     )

@@ -73,15 +73,12 @@ def main(argv: list[str] | None = None) -> int:
     if not args.sequences:
         print("--sequences is required to run checks", file=sys.stderr)
         return 2
-    if args.names or args.patterns or args.groups or args.severity:
-        specs = registry.select(
-            names=args.names, patterns=args.patterns, groups=args.groups,
-            severity=args.severity,
-        )
-    else:
-        # a bare run executes the default suite; on-demand checks (e.g.
-        # whole-corpus content dedup) require explicit selection
-        specs = registry.default_suite()
+    # select() keeps on-demand checks (e.g. whole-corpus content dedup)
+    # out unless a name/pattern/group explicitly picks them
+    specs = registry.select(
+        names=args.names, patterns=args.patterns, groups=args.groups,
+        severity=args.severity,
+    )
     if not specs:
         print("no checks selected", file=sys.stderr)
         return 2

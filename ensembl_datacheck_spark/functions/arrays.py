@@ -142,20 +142,39 @@ def _token_stats_fn(tokens: pd.Series) -> pd.DataFrame:
 
 
 def _stack_vectors(s: pd.Series) -> np.ndarray:
-    """Series of equal-length float arrays → (n, dim) float64 matrix."""
+    """Series of equal-length non-null float arrays → (n, dim) float64
+    matrix.  Callers with possibly-null rows go through
+    `_stack_vectors_masked`."""
     return np.array(s.tolist(), dtype=np.float64)
+
+
+def _stack_vectors_masked(s: pd.Series) -> tuple[np.ndarray, np.ndarray]:
+    """(matrix of the VALID rows, boolean valid-row mask).  A null array
+    row must yield a null result, not a ragged-ndarray ValueError that
+    kills the whole job."""
+    valid = np.array([v is not None for v in s], dtype=bool)
+    if not valid.any():
+        return np.empty((0, 0)), valid
+    M = np.array([list(v) for v, ok in zip(s, valid) if ok], dtype=np.float64)
+    return M, valid
 
 
 def _cosine_pairs_fn(a: pd.Series, b: pd.Series) -> pd.Series:
     """Row-wise cosine of two vector columns, one numpy pass per Arrow
-    batch (no per-row Python)."""
-    A = _stack_vectors(a)
-    B = _stack_vectors(b)
-    na = np.linalg.norm(A, axis=1)
-    nb = np.linalg.norm(B, axis=1)
-    denom = na * nb
-    denom[denom == 0] = np.nan
-    return pd.Series(np.einsum("ij,ij->i", A, B) / denom)
+    batch (no per-row Python).  Null inputs and zero-norm vectors yield
+    NULL (never NaN: Spark ranks NaN above every double, which would
+    float zero vectors to the top of similarity rankings)."""
+    out = np.full(len(a), np.nan)
+    valid = np.array(
+        [x is not None and y is not None for x, y in zip(a, b)], dtype=bool
+    )
+    if valid.any():
+        A = np.array([list(v) for v, ok in zip(a, valid) if ok], dtype=np.float64)
+        B = np.array([list(v) for v, ok in zip(b, valid) if ok], dtype=np.float64)
+        denom = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+        denom[denom == 0] = np.nan
+        out[valid] = np.einsum("ij,ij->i", A, B) / denom
+    return pd.Series(pd.array(out, dtype="Float64")).mask(pd.isna(out))
 
 
 def cosine_pairs_arrow(a: Column, b: Column) -> Column:
@@ -167,14 +186,17 @@ def cosine_pairs_arrow(a: Column, b: Column) -> Column:
 
 def hyperplane_signature_arrow(col: Column, planes: np.ndarray) -> Column:
     """Sign-bit LSH signature as a long, batch-vectorized: one matmul per
-    Arrow batch against the (n_planes, dim) plane matrix."""
+    Arrow batch against the (n_planes, dim) plane matrix.  Null vectors
+    get a null signature (they then fall out of bucket equi-joins)."""
     P = np.ascontiguousarray(planes, dtype=np.float64)
     weights = (1 << np.arange(P.shape[0], dtype=np.int64))
 
     def fn(vec: pd.Series) -> pd.Series:
-        V = _stack_vectors(vec)
-        bits = (V @ P.T) > 0
-        return pd.Series((bits @ weights).astype(np.int64))
+        V, valid = _stack_vectors_masked(vec)
+        out = np.zeros(len(vec), dtype=np.int64)
+        if valid.any():
+            out[valid] = ((V @ P.T) > 0) @ weights
+        return pd.Series(pd.array(out, dtype="Int64")).mask(~valid)
 
     return pandas_udf(fn, "long")(col)
 

@@ -64,7 +64,10 @@ def asof_join(
         lv.alias("__lv"),
         F.lit(None).cast(rv_type).alias("__rv"),
     )
-    r2 = right.select(
+    # a NULL right timestamp would sort first (Spark asc = NULLS FIRST)
+    # and masquerade as an "earliest" match; the oracle (ASOF JOIN on
+    # l.ts > r.ts) never matches NULL, so drop such rows up front
+    r2 = right.filter(F.col(right_ts).isNotNull()).select(
         *by,
         F.col(right_ts).cast("timestamp").alias("__t"),
         F.lit(r_side).alias("__side"),

@@ -13,8 +13,9 @@ Five tiers, all expressed as DataFrame plans that scale by shuffle-on-key
 * embedding cosine — see operators/similarity.py (near-dup = cos > τ)
 
 Everything except simhash is pure `pyspark.sql.functions` (JVM,
-whole-stage codegen).  MinHash permutations use xxhash64 with per-row
-seeds — deterministic across runs and executors.
+whole-stage codegen).  MinHash = one base hash per shingle (xxhash64, or
+md5 in the oracle-portable tier) + a shared affine permutation family —
+deterministic across runs and executors.
 """
 
 from __future__ import annotations
@@ -88,31 +89,36 @@ def word_ngrams(col: Column, n: int) -> Column:
 # ---------------------------------------------------------------------------
 
 
-#: 61-bit Mersenne prime domain for the affine permutation family.  The
-#: base hash is folded to [0, P); a_j < 2^31 keeps a_j*h < 2^92?  No —
-#: we fold to 31 bits first so every product stays inside int64.
-_MH31 = (1 << 31) - 1
+# Affine permutation family (a_j*h + b_j) mod p over 31-bit base hashes:
+# ONE definition shared by the xxhash64 tier, the md5-portable tier, and
+# the DuckDB oracle SQL generator — desynchronized copies of these
+# coefficients would silently decouple an operator from its oracle.
+MH_PRIME = (1 << 31) - 1  # base folded to 31 bits keeps a_j*h inside int64
 
 
-def minhash_signature(shingles: Column, n_hashes: int = 64) -> Column:
-    """n_hashes-wide MinHash signature via the standard single-hash affine
-    family: base = xxhash64(shingle) folded to 31 bits, permutation j =
-    (a_j·base + b_j) mod (2^31−1).  One xxhash64 pass per shingle total —
-    n_hashes seeded re-hashes of every shingle would cost n_hashes× the
-    string hashing (the dominant term for long shingles)."""
+def mh_coeff(j: int) -> tuple[int, int]:
+    return (15485863 + 104729 * j, (32452843 * j) % MH_PRIME)
 
-    base = F.transform(shingles, lambda s: F.pmod(F.xxhash64(s), F.lit(_MH31)))
 
-    def _affine_min(j: int):
-        a = 15485863 + 104729 * j
-        b = (32452843 * j) % _MH31
-        # NB: one-parameter lambda only — PySpark binds a second parameter
-        # to the array index, not to a default value.
-        return F.array_min(
-            F.transform(base, lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_MH31)))
+MH_COEFFS = [mh_coeff(j) for j in range(8)]
+
+
+def _min_sig_agg(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, sig array<long>) from exploded (id, h) shingle hashes: one
+    groupBy(id) with n_hashes plain `min` aggregates — all codegen,
+    map-side partial aggregation, shuffle carries signature rows."""
+    aggs = []
+    for j in range(n_hashes):
+        a, b = mh_coeff(j)
+        aggs.append(
+            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MH_PRIME))).alias(
+                f"mh{j}"
+            )
         )
-
-    return F.array(*[_affine_min(j) for j in range(n_hashes)])
+    grouped = sh.groupBy("id").agg(*aggs)
+    return grouped.select(
+        "id", F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig")
+    )
 
 
 def minhash_signatures(
@@ -132,20 +138,8 @@ def minhash_signatures(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"),
-    ).select("id", F.pmod(F.xxhash64("g"), F.lit(_MH31)).alias("h"))
-    aggs = []
-    for j in range(n_hashes):
-        a = 15485863 + 104729 * j
-        b = (32452843 * j) % _MH31
-        aggs.append(
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(_MH31))).alias(
-                f"mh{j}"
-            )
-        )
-    grouped = sh.groupBy("id").agg(*aggs)
-    return grouped.select(
-        "id", F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig")
-    )
+    ).select("id", F.pmod(F.xxhash64("g"), F.lit(MH_PRIME)).alias("h"))
+    return _min_sig_agg(sh, n_hashes)
 
 
 def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
@@ -358,32 +352,10 @@ def simhash_near_duplicates(
 # Portable MinHash (oracle-verifiable tier)
 # ---------------------------------------------------------------------------
 
-# Affine permutations (a*h + b) mod p over md5-derived 32-bit shingle
-# hashes: every term is computable in any engine with md5, so the full
-# MinHash → banding → candidate-pair path has an exact SQL oracle.
-# a*h < 2^63 holds: a < 2^24, h < 2^32.
-MH_PRIME = 2147483647
-MH_COEFFS = [(15485863 + 104729 * j, (32452843 * j) % MH_PRIME) for j in range(8)]
-
-
-def _portable_shingle_hash(shingles: Column) -> Column:
-    """array<long> of int(md5(shingle)[:8], 16) — 32-bit, engine-portable."""
-    return F.transform(
-        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
-    )
-
-
-def portable_minhash_signature(shingles: Column) -> Column:
-    """8-wide MinHash signature over md5-derived shingle hashes."""
-    gh = _portable_shingle_hash(shingles)
-    def _affine_min(a: int, b: int):
-        return F.array_min(
-            F.transform(
-                gh, lambda g: F.pmod(g * F.lit(a) + F.lit(b), F.lit(MH_PRIME))
-            )
-        )
-
-    return F.array(*[_affine_min(a, b) for (a, b) in MH_COEFFS])
+# The portable tier hashes shingles with md5 (int(md5(g)[:8], 16)), so
+# every value — including band keys — is reproducible by the DuckDB
+# oracle (see entry_queries._minhash_oracle_sql, generated from the
+# same MH_COEFFS).
 
 
 def portable_minhash_candidates(
@@ -405,21 +377,7 @@ def portable_minhash_candidates(
     ).select(
         "id", F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h")
     )
-    sig = (
-        sh.groupBy("id")
-        .agg(
-            *[
-                F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MH_PRIME))).alias(
-                    f"mh{j}"
-                )
-                for j, (a, b) in enumerate(MH_COEFFS)
-            ]
-        )
-        .select(
-            "id",
-            F.array(*[F.col(f"mh{j}") for j in range(len(MH_COEFFS))]).alias("sig"),
-        )
-    )
+    sig = _min_sig_agg(sh, len(MH_COEFFS))
     bands = sig.select(
         "id",
         F.explode(

@@ -86,7 +86,9 @@ def drift_statistics(
             used += 1
         cdf_c += c / C
         cdf_b += o / B
-        ks = max(ks, abs(cdf_c - cdf_b))
+        # float summation of the CDFs can drift a few ulps past 1.0 for
+        # fully-disjoint supports; KS is mathematically bounded by 1
+        ks = min(1.0, max(ks, abs(cdf_c - cdf_b)))
         worst.append((str(b), o / B, c / C))
     worst.sort(key=lambda t: abs(t[1] - t[2]), reverse=True)
     dof = max(used - 1, 1)

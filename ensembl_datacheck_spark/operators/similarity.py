@@ -26,16 +26,14 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from ensembl_datacheck_spark.functions.arrays import (
-    _stack_vectors,
+    _stack_vectors_masked,
     cosine_pairs_arrow,
-    cosine_similarity,
     hyperplane_signature_arrow,
-    l2_norm,
 )
 
 
-def _norm_col(vec):
-    return F.transform(vec, lambda x: x / F.nullif(l2_norm(vec), F.lit(0.0)))
+def _id_type(df: DataFrame, id_col: str) -> str:
+    return df.schema[id_col].dataType.simpleString()
 
 
 def _normalize_rows(M: np.ndarray) -> np.ndarray:
@@ -59,40 +57,37 @@ def brute_force_topk(
     corpus partition computes one Arrow-batched matmul and emits only its
     *partition-local* top-k per query, so the final shuffle carries
     O(partitions × |Q| × k) rows regardless of corpus size."""
-    qrows = queries.select(id_col, vec_col).collect()
+    idt = _id_type(corpus, id_col)
+    schema = f"query_id {idt}, neighbor_id {idt}, cosine double"
+    qrows = [r for r in queries.select(id_col, vec_col).collect()
+             if r[1] is not None]
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int"
-        )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        return corpus.sparkSession.createDataFrame([], schema + ", rank int")
+    qids = [r[0] for r in qrows]
     Qn = _normalize_rows(np.array([list(r[1]) for r in qrows], dtype=np.float64))
 
     def partial_topk(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            if len(ids) == 0:
+            ids = pdf[id_col].reset_index(drop=True)
+            V, valid = _stack_vectors_masked(pdf[vec_col])
+            if not valid.any():
                 continue
-            S = _normalize_rows(_stack_vectors(pdf[vec_col])) @ Qn.T  # (n, nq)
-            out_q, out_n, out_c = [], [], []
-            for j in range(len(qids)):
-                col = S[:, j]
-                mask = ids != qids[j]
-                cand_ids, cand = ids[mask], col[mask]
-                order = np.lexsort((cand_ids, -cand))[:k]
-                out_q.append(np.full(len(order), qids[j]))
-                out_n.append(cand_ids[order])
-                out_c.append(cand[order])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "cosine": np.concatenate(out_c),
-                }
-            )
+            ids = ids[valid].reset_index(drop=True)
+            S = _normalize_rows(V) @ Qn.T  # (n_valid, nq)
+            frames = []
+            for j, qid in enumerate(qids):
+                cand = pd.DataFrame(
+                    {"neighbor_id": ids, "cosine": S[:, j]}
+                )
+                cand = cand[cand["neighbor_id"] != qid]
+                cand = cand.sort_values(
+                    ["cosine", "neighbor_id"], ascending=[False, True]
+                ).head(k)
+                cand.insert(0, "query_id", qid)
+                frames.append(cand)
+            yield pd.concat(frames, ignore_index=True)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
-        partial_topk, "query_id long, neighbor_id long, cosine double"
-    )
+    partial = corpus.select(id_col, vec_col).mapInPandas(partial_topk, schema)
     w = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -100,27 +95,6 @@ def brute_force_topk(
         partial.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
-
-
-def hyperplane_signature(vec, planes: np.ndarray):
-    """Sign-bit signature as a long: bit_j = (vec · plane_j) > 0.
-    Planes are embedded as literals (broadcast with the plan)."""
-    bits = []
-    for j, p in enumerate(planes):
-        dot = F.aggregate(
-            F.zip_with(
-                vec,
-                F.array(*[F.lit(float(x)) for x in p]),
-                lambda a, b: a * b,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << j)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out.cast("long")
 
 
 def random_planes(dim: int, n_planes: int = 16, seed: int = 42) -> np.ndarray:
@@ -179,8 +153,11 @@ def ivf_assign(
     C = np.ascontiguousarray(centroids, dtype=np.float64)
 
     def assign_fn(vec: pd.Series) -> pd.Series:
-        V = _stack_vectors(vec)
-        return pd.Series(np.argmax(V @ C.T, axis=1).astype(np.int32))
+        V, valid = _stack_vectors_masked(vec)
+        out = np.zeros(len(vec), dtype=np.int64)
+        if valid.any():
+            out[valid] = np.argmax(V @ C.T, axis=1)
+        return pd.Series(pd.array(out, dtype="Int32")).mask(~valid)
 
     return corpus.select(
         F.col(id_col),
@@ -200,6 +177,7 @@ def deterministic_centroids(
     for validation reproducibility)."""
     rows = (
         corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
         .orderBy(id_col)
         .limit(n_lists)
         .collect()
@@ -225,7 +203,8 @@ def ivf_topk(
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     # driver-side probe-list computation for the (small) query set
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = queries.select(id_col, vec_col)\
+        .filter(F.col(vec_col).isNotNull()).collect()
     qids, probes = [], []
     for r in qrows:
         v = np.asarray(r[vec_col], dtype=np.float64)
@@ -308,12 +287,13 @@ def l2_topk_exact(
     engines — the oracle-verifiable face of the ANN family.  Same
     scale shape as brute_force_topk: per-partition partial top-k, tiny
     final shuffle."""
-    qrows = queries.select(id_col, vec_col).collect()
+    idt = _id_type(corpus, id_col)
+    schema = f"query_id {idt}, neighbor_id {idt}, d2 long"
+    qrows = [r for r in queries.select(id_col, vec_col).collect()
+             if r[1] is not None]
     if not qrows:
-        return corpus.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, d2 long, rank long"
-        )
-    qids = np.array([r[0] for r in qrows], dtype=np.int64)
+        return corpus.sparkSession.createDataFrame([], schema + ", rank long")
+    qids = [r[0] for r in qrows]
     Q = np.floor(
         np.array([list(r[1]) for r in qrows], dtype=np.float64) * scale
     ).astype(np.int64)
@@ -321,32 +301,27 @@ def l2_topk_exact(
 
     def partial_topk(batches):
         for pdf in batches:
-            ids = pdf[id_col].to_numpy(dtype=np.int64)
-            if len(ids) == 0:
+            ids = pdf[id_col].reset_index(drop=True)
+            V, valid = _stack_vectors_masked(pdf[vec_col])
+            if not valid.any():
                 continue
-            C = np.floor(_stack_vectors(pdf[vec_col]) * scale).astype(np.int64)
+            ids = ids[valid].reset_index(drop=True)
+            C = np.floor(V * scale).astype(np.int64)
             c_sq = (C * C).sum(axis=1)
             # d2 = |c|^2 + |q|^2 - 2 c·q, all int64
             D2 = c_sq[:, None] + q_sq[None, :] - 2 * (C @ Q.T)
-            out_q, out_n, out_d = [], [], []
-            for j in range(len(qids)):
-                mask = ids != qids[j]
-                cand_ids, cand = ids[mask], D2[mask, j]
-                order = np.lexsort((cand_ids, cand))[:k]
-                out_q.append(np.full(len(order), qids[j]))
-                out_n.append(cand_ids[order])
-                out_d.append(cand[order])
-            yield pd.DataFrame(
-                {
-                    "query_id": np.concatenate(out_q),
-                    "neighbor_id": np.concatenate(out_n),
-                    "d2": np.concatenate(out_d),
-                }
-            )
+            frames = []
+            for j, qid in enumerate(qids):
+                cand = pd.DataFrame({"neighbor_id": ids, "d2": D2[:, j]})
+                cand = cand[cand["neighbor_id"] != qid]
+                cand = cand.sort_values(
+                    ["d2", "neighbor_id"], ascending=[True, True]
+                ).head(k)
+                cand.insert(0, "query_id", qid)
+                frames.append(cand)
+            yield pd.concat(frames, ignore_index=True)
 
-    partial = corpus.select(id_col, vec_col).mapInPandas(
-        partial_topk, "query_id long, neighbor_id long, d2 long"
-    )
+    partial = corpus.select(id_col, vec_col).mapInPandas(partial_topk, schema)
     w = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
     return (
         partial.withColumn("rank", F.row_number().over(w).cast("long"))

@@ -109,7 +109,10 @@ class Registry:
         severity: Severity | str | None = None,
     ) -> list[CheckSpec]:
         """Manager.pm:246-286 selection semantics: union within a
-        criterion, intersection across criteria, type filter last."""
+        criterion, intersection across criteria, type filter last.
+        On-demand checks are included only when a name/pattern/group
+        criterion matched them — a bare or severity-only selection never
+        picks up the expensive tier."""
         selected = list(self)
         if names or patterns or groups:
             keep: set[str] = set()
@@ -121,6 +124,8 @@ class Registry:
                 if groups and set(groups) & set(s.groups):
                     keep.add(s.name)
             selected = [s for s in selected if s.name in keep]
+        else:
+            selected = [s for s in selected if not s.on_demand]
         if severity is not None:
             sev = Severity(severity)
             selected = [s for s in selected if s.severity == sev]

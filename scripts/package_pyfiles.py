@@ -33,6 +33,9 @@ def build(out: Path) -> int:
             info = zipfile.ZipInfo(str(p.relative_to(REPO)))
             info.date_time = (2020, 1, 1, 0, 0, 0)  # reproducible artifact
             info.external_attr = 0o644 << 16
+            # an explicit ZipInfo defaults to STORED, ignoring the
+            # ZipFile-level compression argument
+            info.compress_type = zipfile.ZIP_DEFLATED
             z.writestr(info, p.read_bytes())
     return len(members)
 

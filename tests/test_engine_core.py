@@ -231,8 +231,10 @@ def test_token_content_duplicates_check(spark):
     """Advisory content-dup check: identical token arrays under different
     doc_ids fail; unique content passes."""
     spec = registry.get("TokenContentDuplicates")
+    # note ("b", n_tok=2): a corrupted n_tok must not split a true
+    # content-dup group (grouping is on the content hash alone)
     dup = spark.createDataFrame(
-        [("a", [1, 2, 3], 3, "s"), ("b", [1, 2, 3], 3, "s"),
+        [("a", [1, 2, 3], 3, "s"), ("b", [1, 2, 3], 2, "s"),
          ("c", [3, 2, 1], 3, "s"), ("d", None, 0, "s"), ("e", None, 0, "s"),
          ("f", [], 0, "s"), ("g", [], 0, "s")],
         "doc_id string, tokens array<int>, n_tok int, source string",

@@ -307,3 +307,26 @@ def test_asof_join_semantics(spark):
         tolerance="10 minutes").collect()}
     # L2 at 12:00 vs snap 200 at 11:30 is 30min stale -> nulled
     assert tol == {"L1": 100, "L2": None, "L3": None}
+
+
+def test_similarity_null_and_zero_vectors(spark):
+    """Null embeddings must not crash Arrow-tier operators, zero-norm
+    cosine must be NULL (never NaN, which Spark ranks above all doubles),
+    and string ids must work in brute-force top-k."""
+    from ensembl_datacheck_spark.operators.similarity import (
+        brute_force_topk,
+        embedding_near_duplicates,
+    )
+
+    rows = [("a", [1.0, 0.0]), ("b", [0.9, 0.1]), ("z", [0.0, 0.0]),
+            ("n", None), ("c", [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
+    got = brute_force_topk(df, df.filter(F.col("vec_id") == "a"), k=3).collect()
+    # zero vector ranks by cosine 0 (tied with orthogonal c; id tie-break)
+    assert [r["neighbor_id"] for r in got] == ["b", "c", "z"]
+    assert got[0]["cosine"] > 0.9 and got[2]["cosine"] == 0.0
+
+    near = embedding_near_duplicates(df, dim=2, min_cosine=0.5, n_planes=1)
+    pairs = {(r["id_a"], r["id_b"]) for r in near.collect()}
+    # NaN-cosine pairs (zero vector) must NOT pass the >= threshold
+    assert all("z" not in p for p in pairs)
