@@ -157,5 +157,10 @@ def category_drift_violations(
     if tolerance.window is not None:
         lo, hi = tolerance.window
         ratio = F.col("cur_count") / F.nullif(F.col("base_count"), F.lit(0.0))
-        pred = pred | ratio.isNull() | (ratio < lo) | (ratio > hi)
+        # same base>0 guard as Tolerance.violated: a zero-baseline
+        # category has no ratio and is not a window breach (the driver
+        # and distributed paths must agree on the same Tolerance)
+        pred = pred | (
+            (F.col("base_count") > 0) & ((ratio < lo) | (ratio > hi))
+        )
     return j.filter(pred)

@@ -68,7 +68,13 @@ def exact_count_distinct_salted(
     """
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(distinct_col) if isinstance(distinct_col, str) else distinct_col
-    deduped = df.select(g.alias("group_key"), v.alias("val")).distinct()
+    # SQL COUNT(DISTINCT v) ignores NULLs; without this filter the null
+    # group contributes one phantom distinct value per group
+    deduped = (
+        df.select(g.alias("group_key"), v.alias("val"))
+        .filter(F.col("val").isNotNull())
+        .distinct()
+    )
     salted = (
         deduped.withColumn("salt", F.pmod(F.xxhash64("val"), F.lit(n_salt)))
         .groupBy("group_key", "salt")

@@ -109,21 +109,31 @@ class CheckpointStore:
         'ok' under the current input lineage — these are skipped on
         resume.  The latest-wins semantics mirror the reference's history
         merge (Manager.pm:460-470: newer run overwrites)."""
+        return self.completed_map(lineage).get(check_name, set())
+
+    def completed_map(self, lineage: str) -> dict[str, set[int]]:
+        """{check_name: completed partition ids} for the whole lineage in
+        ONE load + aggregation — a per-check query would re-read the
+        checkpoint table once per check per run (× fleet targets)."""
         df = self.load()
         if df is None:
-            return set()
+            return {}
         latest = (
             # lineage scopes the history namespace (db + input state):
             # rows from other lineages must not shadow this one's latest
-            df.filter(
-                (F.col("check_name") == check_name) & (F.col("lineage") == lineage)
-            )
-            .groupBy("partition_id")
+            df.filter(F.col("lineage") == lineage)
+            .groupBy("check_name", "partition_id")
             .agg(F.max_by(F.struct("finished", "status"), "finished").alias("last"))
-            .select("partition_id", F.col("last.status").alias("status"))
+            .select(
+                "check_name", "partition_id",
+                F.col("last.status").alias("status"),
+            )
             .filter(F.col("status") == "ok")
         )
-        return {r["partition_id"] for r in latest.collect()}
+        out: dict[str, set[int]] = {}
+        for r in latest.collect():
+            out.setdefault(r["check_name"], set()).add(r["partition_id"])
+        return out
 
 
 def new_run_id() -> str:

@@ -875,7 +875,9 @@ def custkey_set_ops(spark, sf_dir):
     c = t["customer"].select(F.col("c_custkey").alias("k"))
     o = t["orders"].select(F.col("o_custkey").alias("k"))
     inter = c.intersect(o).count()
-    only = c.exceptAll(o).distinct().count()
+    # subtract = SQL EXCEPT (distinct); exceptAll().distinct() would keep
+    # a key that appears more often on the left than the right
+    only = c.subtract(o).count()
     return spark.createDataFrame(
         [(inter, only)], "n_intersect long, n_customer_only long"
     )
@@ -1303,7 +1305,8 @@ def asof_purchase_click(spark, sf_dir):
     SELECT 'fk_lineitem_orders' AS check_name,
            CAST((SELECT count(*) FROM lineitem l LEFT JOIN orders o
                  ON l.l_orderkey = o.o_orderkey
-                 WHERE o.o_orderkey IS NULL) AS BIGINT) AS n_violations
+                 WHERE l.l_orderkey IS NOT NULL
+                   AND o.o_orderkey IS NULL) AS BIGINT) AS n_violations
     UNION ALL
     SELECT 'uniqueness_orders',
            CAST((SELECT count(*) FROM (SELECT o_orderkey FROM orders

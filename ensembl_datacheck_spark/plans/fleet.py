@@ -33,16 +33,25 @@ class DbTarget:
 @dataclass
 class FleetSummary:
     by_db: dict[str, RunSummary] = field(default_factory=dict)
+    # targets whose whole run raised (corrupt input, driver error):
+    # name -> traceback.  A broken database must not abort its siblings
+    # (the reference's per-db hive jobs fail independently).
+    errors: dict[str, str] = field(default_factory=dict)
 
     @property
     def all_passed(self) -> bool:
-        return all(s.all_passed for s in self.by_db.values())
+        return not self.errors and all(
+            s.all_passed for s in self.by_db.values()
+        )
 
     def to_dict(self, failures_only: bool = True) -> dict:
-        return {
+        out = {
             name: s.to_dict(failures_only=failures_only)
             for name, s in self.by_db.items()
         }
+        if self.errors:
+            out["__errors__"] = dict(self.errors)
+        return out
 
 
 def run_fleet(
@@ -61,23 +70,30 @@ def run_fleet(
     dbname-level keying (Manager.pm:410-415)."""
     fleet = FleetSummary()
 
-    def one(target: DbTarget) -> tuple[str, RunSummary]:
-        runner = Runner(
-            spark,
-            target.tables,
-            n_buckets=n_buckets,
-            checkpoint_store=checkpoint_store,
-            lineage=f"{target.name}:{target.lineage}",
-            config=config,
-        )
-        return target.name, runner.run(specs)
+    def one(target: DbTarget) -> tuple[str, RunSummary | None, str | None]:
+        try:
+            runner = Runner(
+                spark,
+                target.tables,
+                n_buckets=n_buckets,
+                checkpoint_store=checkpoint_store,
+                lineage=f"{target.name}:{target.lineage}",
+                config=config,
+            )
+            return target.name, runner.run(specs), None
+        except Exception:
+            import traceback
+
+            return target.name, None, traceback.format_exc(limit=8)
 
     if max_parallel_dbs > 1 and len(targets) > 1:
         with ThreadPoolExecutor(max_workers=max_parallel_dbs) as pool:
-            for name, summary in pool.map(one, targets):
-                fleet.by_db[name] = summary
+            outs = list(pool.map(one, targets))
     else:
-        for t in targets:
-            name, summary = one(t)
+        outs = [one(t) for t in targets]
+    for name, summary, err in outs:
+        if err is not None:
+            fleet.errors[name] = err
+        else:
             fleet.by_db[name] = summary
     return fleet

@@ -20,7 +20,7 @@ def write_json_report(
 
 
 def write_tap_report(summary: RunSummary, path: str | Path) -> None:
-    lines = [r.to_tap() for r in summary.results]
+    lines = [r.to_tap(test_number=i) for i, r in enumerate(summary.results, 1)]
     lines.append(f"1..{len(summary.results)}")
     Path(path).write_text("\n".join(lines) + "\n")
 

@@ -168,6 +168,7 @@ class Runner:
         self.config = config or {}
         self.run_id = new_run_id()
         self._rows_per_bucket: dict[int, int] | None = None
+        self._completed_cache: dict[str, set[int]] | None = None
 
     # --- helpers ---
 
@@ -190,7 +191,11 @@ class Runner:
         """None = all pending.  Empty list = nothing to do (skip)."""
         if self.store is None or spec.force:
             return None
-        done = self.store.completed_partitions(spec.name, self.lineage)
+        if self._completed_cache is None:
+            # one checkpoint-table load + aggregation serves every check
+            # in this run (and is invalidated by run() after appending)
+            self._completed_cache = self.store.completed_map(self.lineage)
+        done = self._completed_cache.get(spec.name, set())
         if not done:
             return None
         all_b = set(range(self.n_buckets)) if spec.per_partition else {-1}
@@ -215,11 +220,20 @@ class Runner:
         started: float,
     ) -> list[CheckpointRow]:
         finished = time.time()
+        if result.skip_reason is not None:
+            # a skipped check never ran: recording 'ok' buckets would make
+            # resume silently skip it forever (the reference's history
+            # only records finished runs, DbCheck.pm:767-804)
+            return []
         rpb = self.rows_per_bucket()
         if spec.per_partition:
             buckets = pending if pending is not None else list(range(self.n_buckets))
         else:
             buckets = [-1]
+        # a failure that carries no per-bucket attribution (error, or an
+        # assertion counted only globally) must poison every pending
+        # bucket, not mark them 'ok'
+        unattributed_fail = result.status is not Status.OK and not viol_counts
         rows = []
         for b in buckets:
             nv = viol_counts.get(b, 0)
@@ -228,7 +242,11 @@ class Runner:
                 status = result.status.value
             else:
                 nr = rpb.get(b, 0)
-                status = "fail" if nv > 0 or result.error else "ok"
+                status = (
+                    "fail"
+                    if nv > 0 or result.error or unattributed_fail
+                    else "ok"
+                )
             rows.append(
                 CheckpointRow(
                     run_id=self.run_id,
@@ -333,6 +351,7 @@ class Runner:
             violations_sink(union)
         if write_checkpoints and self.store is not None:
             self.store.append(checkpoint_rows)
+            self._completed_cache = None  # appended rows invalidate it
         return summary
 
     def _run_fused(
@@ -377,11 +396,40 @@ class Runner:
         preds: list[RowPredicate] = []
         pred_owner: dict[str, CheckSpec] = {}
         scan2 = scan
+        healthy: list[CheckSpec] = []
         for s in todo:
-            ps, scan2 = s.row_predicates(ctx, scan2)
+            # a predicate factory that cannot run (missing table, bad
+            # config) must skip/fail THIS check only — same error
+            # containment as run_check (BaseCheck.pm:131-139), not a
+            # crash of every sibling in the fused scan
+            try:
+                ps, scan2 = s.row_predicates(ctx, scan2)
+            except SkipCheck as e:
+                res = CheckResult(check_name=s.name)
+                res.severity = s.severity.value
+                res.skip_reason = e.reason
+                summary.results.append(res.finish())
+                continue
+            except Exception:
+                res = CheckResult(check_name=s.name)
+                res.severity = s.severity.value
+                res.error = traceback.format_exc(limit=8)
+                summary.results.append(res.finish())
+                continue
             for p in ps:
+                if p.assertion in pred_owner:
+                    raise ValueError(
+                        f"duplicate fused assertion name {p.assertion!r} "
+                        f"({pred_owner[p.assertion].name} vs {s.name}): "
+                        "assertion names key the fused counts aggregation "
+                        "and must be unique across fused checks"
+                    )
                 preds.append(p)
                 pred_owner[p.assertion] = s
+            healthy.append(s)
+        todo = healthy
+        if not todo:
+            return
 
         bucket = self._bucket()
         counts = fused_violation_counts(scan2, preds, bucket).collect()

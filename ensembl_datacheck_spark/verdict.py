@@ -116,13 +116,16 @@ class CheckResult:
             "assertions": [a.to_dict() for a in self.assertions],
         }
 
-    def to_tap(self) -> str:
+    def to_tap(self, test_number: int | None = None) -> str:
         """TAP-ish text rendering (information parity with the reference's
         TAP output — name, ok/not ok, skip reason, diagnostics, plan line —
-        not byte-format parity; see SURVEY.md §7.4)."""
+        not byte-format parity; see SURVEY.md §7.4).  ``test_number``
+        numbers the top-level line so a multi-check report has
+        sequential, plan-matching test ids (skips included)."""
+        num = "" if test_number is None else f" {test_number}"
         lines = [f"# Subtest: {self.check_name}"]
         if self.skip_reason is not None and not self.assertions:
-            lines.append(f"ok 1 # SKIP {self.skip_reason}")
+            lines.append(f"ok{num} - {self.check_name} # SKIP {self.skip_reason}")
         else:
             for i, a in enumerate(self.assertions, 1):
                 prefix = "ok" if a.ok else "not ok"
@@ -135,7 +138,7 @@ class CheckResult:
                         lines.append(f"    # {d}")
             lines.append(f"    1..{len(self.assertions)}")
             mark = "ok" if self.passed else "not ok"
-            lines.append(f"{mark} - {self.check_name}")
+            lines.append(f"{mark}{num} - {self.check_name}")
         if self.error:
             lines.append(f"# ERROR: {self.error}")
         return "\n".join(lines)

@@ -248,3 +248,63 @@ def test_token_content_duplicates_check(spark):
     uniq = dup.filter(F.col("doc_id").isin("a", "c"))
     res2, _ = run_check(spec, spark, {"sequences": uniq}, n_buckets=4)
     assert res2.status.value == "ok"
+
+
+def test_fused_check_missing_table_skips_not_crashes(spark):
+    """A fused check whose predicate factory needs an absent table must
+    skip; its fused siblings still run (error containment in the shared
+    scan)."""
+    seq = synth.gen_sequences(spark, 2_000, 4, median_tok=16, max_tok=64)
+    summary = Runner(spark, {"sequences": seq}, n_buckets=8).run(
+        registry.default_suite()
+    )
+    by = {r.check_name: r for r in summary.results}
+    assert by["SourceReferential"].status == Status.SKIP
+    assert "sources" in (by["SourceReferential"].skip_reason or "")
+    # fused sibling without the missing dependency still produced verdicts
+    assert by["SequencesCompleteness"].assertions
+
+
+def test_skipped_check_writes_no_ok_checkpoints(spark, tmp_path):
+    """A skipped check must leave NO checkpoint rows — recording 'ok'
+    buckets would make resume silently skip it forever."""
+    from ensembl_datacheck_spark.sources.io import Catalog
+
+    seq = synth.gen_sequences(spark, 2_000, 4, median_tok=16, max_tok=64)
+    catalog = Catalog(spark, tmp_path / "wh")
+    store = CheckpointStore(catalog)
+    # no 'sources' table -> SourceReferential (fused) and SourcesUsed skip
+    r1 = Runner(spark, {"sequences": seq}, n_buckets=8,
+                checkpoint_store=store, lineage="L")
+    s1 = r1.run(registry.default_suite())
+    skipped = {r.check_name for r in s1.results if r.status == Status.SKIP}
+    assert "SourceReferential" in skipped
+    cp = catalog.load("checkpoints")
+    recorded = {r["check_name"] for r in cp.select("check_name").distinct().collect()}
+    assert recorded.isdisjoint(skipped)
+    # re-run WITH the table: previously-skipped checks actually execute
+    r2 = Runner(spark, {"sequences": seq, "sources": synth.gen_sources(spark)},
+                n_buckets=8, checkpoint_store=store, lineage="L")
+    s2 = r2.run(registry.default_suite())
+    sr = next(r for r in s2.results if r.check_name == "SourceReferential")
+    assert sr.status != Status.SKIP or "previous run" not in (sr.skip_reason or "")
+    assert sr.assertions, "check must have really executed after resume"
+
+
+def test_fleet_isolates_broken_target(spark):
+    """One corrupt database must not abort its siblings."""
+    from ensembl_datacheck_spark.plans.fleet import DbTarget, run_fleet
+
+    good = DbTarget("good", {
+        "sequences": synth.gen_sequences(spark, 1_000, 2, median_tok=16,
+                                         max_tok=64, inject_violations=False),
+        "sources": synth.gen_sources(spark),
+    })
+    class Boom:
+        def __getattr__(self, item):
+            raise RuntimeError("corrupt table")
+    bad = DbTarget("bad", {"sequences": Boom()})
+    fleet = run_fleet(spark, [good, bad], registry.default_suite(), n_buckets=4)
+    assert "good" in fleet.by_db
+    assert "bad" in fleet.errors and "corrupt table" in fleet.errors["bad"]
+    assert not fleet.all_passed

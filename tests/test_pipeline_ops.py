@@ -330,3 +330,39 @@ def test_similarity_null_and_zero_vectors(spark):
     pairs = {(r["id_a"], r["id_b"]) for r in near.collect()}
     # NaN-cosine pairs (zero vector) must NOT pass the >= threshold
     assert all("z" not in p for p in pairs)
+
+
+def test_salted_distinct_ignores_nulls(spark):
+    """COUNT(DISTINCT v) semantics: NULLs contribute nothing."""
+    from ensembl_datacheck_spark.operators.uniqueness import (
+        exact_count_distinct_salted,
+    )
+
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", None), ("b", None), ("c", 2)],
+        "g string, v int",
+    )
+    got = {r["group_key"]: r["n_distinct"] for r in
+           exact_count_distinct_salted(df, "g", "v", n_salt=4).collect()}
+    want = {r["g"]: r["n"] for r in
+            df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
+    assert got.get("a") == 1 and "b" not in got or got.get("b", 0) == 0
+    for g, n in want.items():
+        if n:
+            assert got[g] == n
+
+
+def test_drift_window_zero_baseline_parity(spark):
+    """Distributed window tolerance must agree with Tolerance.violated:
+    zero-baseline categories are not window breaches."""
+    from ensembl_datacheck_spark.operators.drift import (
+        Tolerance,
+        category_drift_violations,
+    )
+
+    cur = spark.createDataFrame([("x", 0), ("y", 100)], "cat string, n int")
+    base = spark.createDataFrame([("x", 0), ("y", 100)], "cat string, n int")
+    tol = Tolerance(window=(0.95, 1.10))
+    viol = category_drift_violations(cur, base, "cat", tol, "n", "n").collect()
+    assert viol == []  # no change anywhere, incl. the 0->0 category
+    assert not tol.violated(0, 0)
