@@ -98,13 +98,19 @@ def main(argv: list[str] | None = None) -> int:
         # afford inference when csv/json
         tables["sources"] = read_table(spark, args.sources, args.fmt)
     if args.baseline:
-        tables["baseline_stats"] = spark.read.parquet(args.baseline)
+        tables["baseline_stats"] = read_table(spark, args.baseline, args.fmt)
 
     catalog = Catalog(spark, args.warehouse)
+    # the resume lineage must cover EVERY input a check reads: a changed
+    # sources/baseline table invalidates referential/drift checkpoints
+    # even when the fact table is untouched
+    lineage = "|".join(
+        _lineage_of(p) for p in [args.sequences, args.sources, args.baseline] if p
+    )
     runner = Runner(
         spark, tables, n_buckets=args.n_buckets,
         checkpoint_store=CheckpointStore(catalog),
-        lineage=_lineage_of(args.sequences),
+        lineage=lineage,
     )
     summary = runner.run(
         specs,
@@ -130,7 +136,9 @@ def _lineage_of(path: str) -> str:
     root = Path(path)
     # hash every data file (any format), not just parquet — otherwise
     # csv/json inputs would all share one empty lineage and resume's
-    # freshness gate could skip work against a changed table
+    # freshness gate could skip work against a changed table.  Keyed by
+    # RELATIVE PATH (not basename): moving a file between hive-partition
+    # directories changes its rows' partition-column values
     files = (
         sorted(p for p in root.rglob("*") if p.is_file() and not p.name.startswith(("_", ".")))
         if root.is_dir()
@@ -138,7 +146,8 @@ def _lineage_of(path: str) -> str:
     )
     for p in files:
         st = p.stat()
-        h.update(f"{p.name}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+        rel = p.relative_to(root) if root.is_dir() else p.name
+        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}\n".encode())
     return h.hexdigest()
 
 

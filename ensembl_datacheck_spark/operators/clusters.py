@@ -25,23 +25,28 @@ def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
-    max_iterations: int = 20,
+    max_iterations: int = 50,
 ) -> DataFrame:
     """(node, component) labels from an undirected edge list; component =
     min node id in the component.
 
-    Algorithm: label propagation on the edge list — every node starts as
-    its own label; each round nodes adopt the min label in their
-    neighborhood (including themselves); stop when no label changes.
-    Checkpoint via localCheckpoint every few rounds to cut the growing
-    lineage (iterative plans otherwise re-execute from the source).
+    Algorithm: min-label propagation — every node starts as its own
+    label; each round nodes adopt the min label in their neighborhood
+    (including themselves); stop when no label changes.  Convergence
+    takes O(graph diameter) rounds; near-dup graphs are overwhelmingly
+    tiny cliques (diameter 1-2) with the occasional templated-document
+    chain, which ``max_iterations=50`` covers.  If the cap is hit
+    before convergence a RuntimeWarning is emitted — labels are then an
+    over-segmentation (clusters split, never wrongly merged).
+    localCheckpoint cuts the growing lineage each round (iterative
+    plans otherwise re-execute from the source).
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    # undirected: both directions, plus self-loops to keep isolated ends
+    # undirected: both directions
     sym = edges.unionByName(
         edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
     )
@@ -77,6 +82,16 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    else:
+        import warnings
+
+        warnings.warn(
+            f"connected_components did not converge in {max_iterations} "
+            "iterations (graph diameter exceeds the cap); labels are an "
+            "over-segmentation",
+            RuntimeWarning,
+            stacklevel=2,
+        )
     return labels
 
 

@@ -165,6 +165,54 @@ def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column
     )
 
 
+def bucket_candidate_pairs(banded: DataFrame, cap: int = 100) -> DataFrame:
+    """(id_a, id_b) candidate pairs from (bk, id) bucket membership.
+
+    All-pairs among the first ``cap`` members per bucket (by id), PLUS a
+    hub-spoke pair (bucket-min id → member) for EVERY member — so a
+    degenerate bucket of 10k identical docs yields linear output and
+    connected components still recover the full cluster through the hub,
+    instead of silently dropping members 101+ (which would leave them
+    un-deduplicated with no trace).  The member ranking is a window, not
+    collect_list-then-slice: a huge bucket never materializes as one
+    in-memory array."""
+    wb = Window.partitionBy("bk")
+    ranked = banded.withColumn("hub", F.min("id").over(wb)).withColumn(
+        "rn", F.row_number().over(wb.orderBy("id"))
+    )
+    star = ranked.filter(F.col("id") != F.col("hub")).select(
+        F.col("hub").alias("id_a"), F.col("id").alias("id_b")
+    )
+    capped = (
+        ranked.filter(F.col("rn") <= cap)
+        .groupBy("bk")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .filter(F.size("ids") > 1)
+    )
+    allpairs = (
+        capped.select(
+            F.explode(
+                F.filter(
+                    F.flatten(
+                        F.transform(
+                            F.col("ids"),
+                            lambda x: F.transform(
+                                F.col("ids"),
+                                lambda y: F.struct(
+                                    x.alias("id_a"), y.alias("id_b")
+                                ),
+                            ),
+                        )
+                    ),
+                    lambda p: p["id_a"] < p["id_b"],
+                )
+            ).alias("p")
+        )
+        .select("p.id_a", "p.id_b")
+    )
+    return allpairs.unionByName(star).distinct()
+
+
 def minhash_lsh_candidates(
     df: DataFrame,
     id_col: str,
@@ -185,32 +233,7 @@ def minhash_lsh_candidates(
     banded = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     )
-    buckets = (
-        banded.groupBy("bk")
-        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, 100).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    pairs = (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("ids"),
-                            lambda a: F.transform(
-                                F.col("ids"),
-                                lambda b: F.struct(a.alias("id_a"), b.alias("id_b")),
-                            ),
-                        )
-                    ),
-                    lambda p: p["id_a"] < p["id_b"],
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
-    return pairs
+    return bucket_candidate_pairs(banded)
 
 
 def jaccard_pairs(
@@ -232,6 +255,17 @@ def jaccard_pairs(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"),
     ).distinct()
+    if candidates is not None:
+        # prune shingles to candidate docs BEFORE the self-join — the
+        # semi-join on (id_a, id_b) after the join cannot be pushed below
+        # it by Catalyst, so without this the shingle self-join runs over
+        # the whole corpus even for a handful of candidate pairs
+        cand_ids = (
+            candidates.select(F.col("id_a").alias("id"))
+            .unionByName(candidates.select(F.col("id_b").alias("id")))
+            .distinct()
+        )
+        sh = sh.join(cand_ids, "id", "left_semi")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
     a = sh.select(F.col("id").alias("id_a"), "shingle")
     b = sh.select(F.col("id").alias("id_b"), "shingle")

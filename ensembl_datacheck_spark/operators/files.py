@@ -26,7 +26,12 @@ def listing_df(spark: SparkSession, root: str) -> DataFrame:
     for dirpath, _dirs, files in os.walk(root):
         for name in files:
             p = os.path.join(dirpath, name)
-            st = os.stat(p)
+            try:
+                st = os.stat(p)
+            except OSError:
+                # dangling symlink or file deleted between walk and stat:
+                # one bad entry must not abort the whole reconciliation
+                continue
             rows.append((os.path.relpath(p, root), st.st_size, st.st_mtime_ns))
     return spark.createDataFrame(rows or [], LISTING_SCHEMA)
 

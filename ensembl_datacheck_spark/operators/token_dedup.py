@@ -93,31 +93,9 @@ def token_minhash_candidates(
     banded = sig.select(
         "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
     )
-    buckets = (
-        banded.groupBy("bk")
-        .agg(F.slice(F.sort_array(F.collect_list("id")), 1, 100).alias("ids"))
-        .filter(F.size("ids") > 1)
-    )
-    return (
-        buckets.select(
-            F.explode(
-                F.filter(
-                    F.flatten(
-                        F.transform(
-                            F.col("ids"),
-                            lambda x: F.transform(
-                                F.col("ids"),
-                                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
-                            ),
-                        )
-                    ),
-                    lambda p: p["id_a"] < p["id_b"],
-                )
-            ).alias("p")
-        )
-        .select("p.id_a", "p.id_b")
-        .distinct()
-    )
+    from ensembl_datacheck_spark.operators.dedup import bucket_candidate_pairs
+
+    return bucket_candidate_pairs(banded)
 
 
 def token_exact_jaccard(
@@ -144,8 +122,18 @@ def token_exact_jaccard(
         ),
         "array<bigint>",
     )
+    # shingle only the candidate docs — the semi-join after the self-join
+    # cannot be pushed below it, so without this prefilter the whole
+    # corpus would be shingled and self-joined for a handful of pairs
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("id"))
+        .unionByName(candidates.select(F.col("id_b").alias("id")))
+        .distinct()
+        .withColumnRenamed("id", id_col)
+    )
+    scoped = df.join(cand_ids, id_col, "left_semi")
     sh = (
-        df.select(F.col(id_col).alias("id"), sh_udf(F.col(tokens_col)).alias("shs"))
+        scoped.select(F.col(id_col).alias("id"), sh_udf(F.col(tokens_col)).alias("shs"))
         .filter(F.col("shs").isNotNull())
         .select("id", F.explode("shs").alias("shingle"))
     )

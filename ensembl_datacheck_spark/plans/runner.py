@@ -164,7 +164,10 @@ class Runner:
         self.bucket_key = bucket_key
         self.n_buckets = n_buckets
         self.store = checkpoint_store
-        self.lineage = lineage
+        # bucket count participates in the checkpoint namespace: resuming
+        # under a different n_buckets would reinterpret old partition ids
+        # and skip rows that were never checked
+        self.lineage = f"{lineage}#nb{n_buckets}" if lineage else lineage
         self.config = config or {}
         self.run_id = new_run_id()
         self._rows_per_bucket: dict[int, int] | None = None
@@ -414,6 +417,15 @@ class Runner:
                 res = CheckResult(check_name=s.name)
                 res.severity = s.severity.value
                 res.error = traceback.format_exc(limit=8)
+                summary.results.append(res.finish())
+                continue
+            if not ps:
+                # e.g. a generated sweep over a table with no applicable
+                # columns: nothing to assert, and an empty predicate list
+                # would crash the fused aggregation downstream
+                res = CheckResult(check_name=s.name)
+                res.severity = s.severity.value
+                res.skip_reason = "no applicable columns/predicates"
                 summary.results.append(res.finish())
                 continue
             for p in ps:

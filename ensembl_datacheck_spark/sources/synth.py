@@ -141,8 +141,12 @@ def gen_sequences(
                     mod.isin(*BAD_TOKEN_RESIDUES),
                     F.concat(
                         F.array(
-                            F.when(mod % 2 == 1, F.lit(-5))
-                            .otherwise(F.lit(VOCAB_SIZE + 3))
+                            # every BAD residue is odd, so parity would
+                            # pick -5 always — key on the residue itself
+                            # to cover BOTH domain violations
+                            F.when(mod == BAD_TOKEN_RESIDUES[1],
+                                   F.lit(VOCAB_SIZE + 3))
+                            .otherwise(F.lit(-5))
                             .cast("int")
                         ),
                         F.slice(F.col("tokens"), 2, 1_000_000),

@@ -22,6 +22,8 @@ def streaming_violations(
 ) -> DataFrame:
     """Tag violating rows on a stream — same semantics as the batch
     fused_violation_rows (map-only; safe for append-mode sinks)."""
+    if not predicates:
+        raise ValueError("streaming_violations needs at least one predicate")
     tags = F.array_compact(
         F.array(*[F.when(p.predicate, F.lit(p.assertion)) for p in predicates])
     )

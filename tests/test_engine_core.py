@@ -178,8 +178,9 @@ def test_checkpoint_partial_resume(spark, seq_fixture, tmp_path):
     store = CheckpointStore(catalog)
     now = time.time()
     done = [
+        # the runner namespaces lineage with the bucket count
         CheckpointRow("run_pre", "DocIdUnique", b, "ok", now - 10, now,
-                      100, 0, "snap-A")
+                      100, 0, "snap-A#nb16")
         for b in range(10)  # 10 of 16 buckets done
     ]
     store.append(done)
