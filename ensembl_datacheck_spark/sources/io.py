@@ -122,3 +122,23 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     for name, df in load_sf_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_by: str,
+    n_buckets: int = 64,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (+optionally sorted) table in the session
+    catalog.  Two tables bucketed on the join key with the same bucket
+    count join with ZERO shuffle (SortMergeJoin reads co-located
+    buckets) — the 100-TB layout for fact↔fact joins (dedup pair
+    verification, sequences↔annotations): pay the shuffle once at write
+    time, never again per query."""
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_by)
+    if sort_by is not None:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table_name)

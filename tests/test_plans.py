@@ -90,3 +90,28 @@ def test_whole_stage_codegen_on_hot_path(li):
     plan = plan_str(preds_scan, "simple")
     assert "*(1)" in plan  # whole-stage-codegen stage marker
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Tables bucketed on the join key with equal bucket counts join with
+    ZERO shuffle — the pay-once layout for fact-to-fact joins at scale."""
+    from ensembl_datacheck_spark.sources.io import write_bucketed
+
+    a = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("x"))
+    b = spark.range(5000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("y"))
+    try:
+        write_bucketed(a, "bkt_a", "k", 8, sort_by="k")
+        write_bucketed(b, "bkt_b", "k", 8, sort_by="k")
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            j = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+            plan = j._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan
+        assert j.count() == 5000
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
