@@ -254,6 +254,30 @@ def tpch_q1(spark, sf_dir):
 
 
 @q(
+    "percentile_qty_by_flag",
+    """
+    SELECT l_returnflag,
+           CAST(quantile_cont(l_quantity, 0.5)  AS DOUBLE) AS p50,
+           CAST(quantile_cont(l_quantity, 0.9)  AS DOUBLE) AS p90,
+           CAST(quantile_cont(l_quantity, 0.99) AS DOUBLE) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def percentile_qty_by_flag(spark, sf_dir):
+    """Exact linear-interpolated percentiles per group (S5 extension:
+    the distribution-stats face of column profiling).  Spark
+    `percentile` and DuckDB `quantile_cont` share the continuous
+    interpolation definition, so values match exactly; the
+    approx_percentile sketch tier stays rows-only like HLL."""
+    t = _t(spark, sf_dir)
+    return t["lineitem"].groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.5)).alias("p50"),
+        F.percentile("l_quantity", F.lit(0.9)).alias("p90"),
+        F.percentile("l_quantity", F.lit(0.99)).alias("p99"),
+    )
+
+
+@q(
     "tpch_q6",
     """
     SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
