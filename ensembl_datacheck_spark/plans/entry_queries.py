@@ -1025,6 +1025,18 @@ def embedding_near_duplicates_q(spark, sf_dir):
     )
 
 
+@q("multimodal_image_features")
+def multimodal_image_features(spark, sf_dir):
+    """Multimodal tier (rows-only: binary payloads, deterministic fake
+    decoder): image feature extraction over opaque binary columns via
+    mapInPandas (operators/multimodal.py) — the sf_dir tables carry no
+    media, so the deterministic fixture generator supplies the input."""
+    from ensembl_datacheck_spark.operators import multimodal as MM
+
+    media = MM.gen_media_fixture(spark, n_rows=96, n_partitions=4)
+    return MM.image_features(media.filter(F.col("modality") == "image"))
+
+
 @q("rolling_fingerprints")
 def rolling_fingerprints_q(spark, sf_dir):
     """Order-sensitive polynomial word fingerprint (rows-only:
