@@ -127,3 +127,57 @@ def test_salted_distinct_equals_plain_distinct(spark):
         for r in df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()
     }
     assert salted == plain
+
+
+def test_asof_join_matches_pandas_merge_asof(spark):
+    """Randomized cross-validation of asof_join against pandas
+    merge_asof (an independent reference implementation), both strict
+    and non-strict, across several seeds."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from ensembl_datacheck_spark.operators.asof import asof_join
+
+    for seed in (0, 1, 2):
+        rnd = random.Random(seed)
+        base = 1_700_000_000
+        left_rows = [
+            (u, base + rnd.randrange(0, 10_000), i)
+            for i, u in enumerate(rnd.choices(range(5), k=60))
+        ]
+        right_rows = [
+            (u, base + rnd.randrange(0, 10_000), 100 + i)
+            for i, u in enumerate(rnd.choices(range(6), k=40))
+        ]
+        # dedup right per (u, ts): keep max value — both engines then
+        # resolve ties identically
+        rdict = {}
+        for u, ts, v in right_rows:
+            rdict[(u, ts)] = max(v, rdict.get((u, ts), -1))
+        right_rows = [(u, ts, v) for (u, ts), v in rdict.items()]
+
+        ldf = spark.createDataFrame(left_rows, "u long, epoch long, lid long") \
+            .withColumn("ts", F.col("epoch").cast("timestamp"))
+        rdf = spark.createDataFrame(right_rows, "u long, epoch long, snap long") \
+            .withColumn("ts", F.col("epoch").cast("timestamp"))
+
+        for strict in (False, True):
+            got = {
+                r["lid"]: r["snap"]
+                for r in asof_join(
+                    ldf.select("u", "ts", "lid"),
+                    rdf.select("u", "ts", "snap"),
+                    by=["u"], strict=strict, right_cols=["snap"],
+                ).collect()
+            }
+            lp = pd.DataFrame(left_rows, columns=["u", "t", "lid"]).sort_values("t")
+            rp = pd.DataFrame(right_rows, columns=["u", "t", "snap"]).sort_values("t")
+            m = pd.merge_asof(
+                lp, rp, on="t", by="u", direction="backward",
+                allow_exact_matches=not strict,
+            )
+            want = {
+                int(r.lid): (None if pd.isna(r.snap) else int(r.snap))
+                for r in m.itertuples()
+            }
+            assert got == want, (seed, strict)
