@@ -154,8 +154,9 @@ def row_subtotals(
     category shrink below proportion", directionally.  Run with the tables
     flipped for the other direction (ComparePreviousVersionProbes.pm:59-60).
 
-    Distributed: full-outer join on category, coalesce missing to 0,
-    per-row tolerance predicate; violations = categories out of tolerance.
+    Distributed: LEFT join from baseline (current-only categories drop
+    out by construction), missing current coalesced to 0, per-row
+    tolerance predicate; violations = categories out of tolerance.
     """
     cur = current.select(
         F.col(category_col).alias("category"),
@@ -169,7 +170,7 @@ def row_subtotals(
         base.join(cur, "category", "left_outer")  # current-only categories ignored
         .select(
             "category",
-            F.coalesce("base_count", F.lit(0)).alias("base_count"),
+            "base_count",  # left side of a left join is never null
             F.coalesce("cur_count", F.lit(0)).alias("cur_count"),
         )
     )
@@ -350,11 +351,10 @@ def array_diff(
     a = df1.select(F.col(col).alias("value")).distinct()
     b = df2.select(F.col(col).alias("value")).distinct()
     return (
-        a.join(b.withColumn("__r", F.lit(1)), "value", "left_anti")
+        a.join(b, "value", "left_anti")
         .withColumn("only_in", F.lit(label1))
         .unionByName(
-            b.join(a.withColumn("__l", F.lit(1)), "value", "left_anti")
-            .withColumn("only_in", F.lit(label2))
+            b.join(a, "value", "left_anti").withColumn("only_in", F.lit(label2))
         )
     )
 
@@ -363,12 +363,18 @@ def hash_diff(
     df1: DataFrame, df2: DataFrame, key_col: str, val_col: str
 ) -> DataFrame:
     """Dict diff (Utils.pm:269-307): keys only in one side, or same key
-    with different value.  Full-outer join on key."""
-    a = df1.select(F.col(key_col).alias("key"), F.col(val_col).alias("left_value"))
-    b = df2.select(F.col(key_col).alias("key"), F.col(val_col).alias("right_value"))
+    with different value.  Full-outer join on key with explicit presence
+    markers — a value column that is legitimately NULL on both sides is
+    NOT a difference, so presence can't be inferred from value nullness."""
+    a = df1.select(
+        F.col(key_col).alias("key"), F.col(val_col).alias("left_value")
+    ).withColumn("__lp", F.lit(1))
+    b = df2.select(
+        F.col(key_col).alias("key"), F.col(val_col).alias("right_value")
+    ).withColumn("__rp", F.lit(1))
     j = a.join(b, "key", "full_outer")
     return j.filter(
-        F.col("left_value").isNull()
-        | F.col("right_value").isNull()
-        | (F.col("left_value") != F.col("right_value"))
-    )
+        F.col("__lp").isNull()
+        | F.col("__rp").isNull()
+        | ~F.col("left_value").eqNullSafe(F.col("right_value"))
+    ).drop("__lp", "__rp")

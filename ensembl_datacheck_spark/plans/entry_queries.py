@@ -48,13 +48,15 @@ def q(name: str, oracle: str | None = None):
     return deco
 
 
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[str, str], dict[str, DataFrame]] = {}
 
 
 def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
-    """Per-(session, dir) cache: avoids re-reading 10 parquet footers on
-    every query call (schema inference is driver-side latency)."""
-    key = (id(spark), sf_dir)
+    """Per-(application, dir) cache: avoids re-reading 10 parquet footers
+    on every query call (schema inference is driver-side latency).
+    Keyed by applicationId, not id(spark) — a new session allocated at a
+    dead session's address must not resurrect its stale DataFrames."""
+    key = (spark.sparkContext.applicationId, sf_dir)
     if key not in _TABLE_CACHE:
         _TABLE_CACHE[key] = load_sf_tables(spark, sf_dir)
     return _TABLE_CACHE[key]
@@ -692,7 +694,9 @@ def priority_drift_halves(spark, sf_dir):
     "json_props_events",
     """
     SELECT event_type,
-           CAST(sum(CASE WHEN json_valid(props) THEN 1 ELSE 0 END) AS BIGINT)
+           CAST(sum(CASE WHEN props IS NOT NULL AND json_valid(props)
+                          AND json_type(props) = 'OBJECT'
+                     THEN 1 ELSE 0 END) AS BIGINT)
              AS n_valid,
            CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
              AS sum_k
@@ -701,14 +705,21 @@ def priority_drift_halves(spark, sf_dir):
 )
 def json_props_events(spark, sf_dir):
     """Per-row JSON validation + extraction (S23, CheckJSONObjects.pm:44-70)
-    via from_json — no per-row Python."""
+    via from_json — no per-row Python.  "Valid" = parses as a JSON
+    OBJECT: PERMISSIVE from_json returns a non-null all-null struct for
+    malformed input, so bare isNotNull() would count garbage as valid —
+    the corrupt-record column is the actual parse-failure signal."""
     t = _t(spark, sf_dir)
-    parsed = F.from_json(F.col("props"), "k BIGINT")
+    parsed = F.from_json(
+        F.col("props"), "k BIGINT, _corrupt_record STRING",
+        {"columnNameOfCorruptRecord": "_corrupt_record"},
+    )
+    valid = parsed.isNotNull() & parsed["_corrupt_record"].isNull()
     return (
         t["events"]
         .groupBy("event_type")
         .agg(
-            F.sum(parsed.isNotNull().cast("long")).alias("n_valid"),
+            F.sum(valid.cast("long")).alias("n_valid"),
             F.sum(parsed["k"]).alias("sum_k"),
         )
     )
@@ -751,9 +762,12 @@ def distinct_content_count(spark, sf_dir):
     )
 
 
-@q(
-    "ngram_jaccard_pairs",
-    """
+def _jaccard_sql(doc_bound: int, threshold: float, select: str) -> str:
+    """One parameterized body for every word-3-gram Jaccard oracle —
+    duplicated copies of the shingling SQL would silently desync an
+    operator from its oracle (same hazard the MH_COEFFS comment in
+    operators/dedup.py names)."""
+    return f"""
     WITH sh AS (
       SELECT DISTINCT doc_id, gram FROM (
         SELECT doc_id,
@@ -763,7 +777,7 @@ def distinct_content_count(spark, sf_dir):
                ELSE [array_to_string(ws, ' ')] END) AS gram
         FROM (SELECT doc_id,
                      string_split_regex(lower(trim(text)), '\\s+') AS ws
-              FROM documents WHERE doc_id < 40)
+              FROM documents WHERE doc_id < {doc_bound})
       )
     ),
     sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
@@ -771,15 +785,23 @@ def distinct_content_count(spark, sf_dir):
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
       FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
       GROUP BY 1, 2
+    ),
+    edges AS (
+      SELECT i.id_a, i.id_b, i.n_inter,
+             sa.n_sh + sb.n_sh - i.n_inter AS n_union
+      FROM inter i
+      JOIN sizes sa ON i.id_a = sa.doc_id
+      JOIN sizes sb ON i.id_b = sb.doc_id
+      WHERE CAST(i.n_inter AS DOUBLE)
+            / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= {threshold}
     )
-    SELECT i.id_a, i.id_b, CAST(i.n_inter AS BIGINT) AS n_inter,
-           CAST(sa.n_sh + sb.n_sh - i.n_inter AS BIGINT) AS n_union
-    FROM inter i
-    JOIN sizes sa ON i.id_a = sa.doc_id
-    JOIN sizes sb ON i.id_b = sb.doc_id
-    WHERE CAST(i.n_inter AS DOUBLE)
-          / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.05
-    """,
+    {select}
+    """
+
+
+@q(
+    "ngram_jaccard_pairs",
+    None,
 )
 def ngram_jaccard_pairs_q(spark, sf_dir):
     """Exact word-3-gram Jaccard near-dup pairs over a bounded id range —
@@ -789,6 +811,13 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     return dedup.jaccard_pairs(d, "doc_id", "text", ngram=3, min_jaccard=0.05).select(
         "id_a", "id_b", "n_inter", "n_union"
     )
+
+
+ORACLES["ngram_jaccard_pairs"] = _jaccard_sql(
+    40, 0.05,
+    """SELECT id_a, id_b, CAST(n_inter AS BIGINT) AS n_inter,
+              CAST(n_union AS BIGINT) AS n_union FROM edges""",
+)
 
 
 @q(
@@ -894,16 +923,18 @@ def cube_lineitem_counts(spark, sf_dir):
     """,
 )
 def custkey_set_ops(spark, sf_dir):
-    """INTERSECT / EXCEPT set operators (hash_diff/array_diff kin)."""
+    """INTERSECT / EXCEPT set operators (hash_diff/array_diff kin) —
+    both counts from ONE lazy full-outer aggregation (no eager driver
+    actions at plan-build time, one scan per side instead of two)."""
     t = _t(spark, sf_dir)
-    c = t["customer"].select(F.col("c_custkey").alias("k"))
-    o = t["orders"].select(F.col("o_custkey").alias("k"))
-    inter = c.intersect(o).count()
-    # subtract = SQL EXCEPT (distinct); exceptAll().distinct() would keep
-    # a key that appears more often on the left than the right
-    only = c.subtract(o).count()
-    return spark.createDataFrame(
-        [(inter, only)], "n_intersect long, n_customer_only long"
+    c = t["customer"].select(F.col("c_custkey").alias("k")).distinct()         .withColumn("__l", F.lit(1))
+    o = t["orders"].select(F.col("o_custkey").alias("k")).distinct()         .withColumn("__r", F.lit(1))
+    j = c.join(o, "k", "full_outer")
+    return j.agg(
+        F.sum((F.col("__l").isNotNull() & F.col("__r").isNotNull())
+              .cast("long")).alias("n_intersect"),
+        F.sum((F.col("__l").isNotNull() & F.col("__r").isNull())
+              .cast("long")).alias("n_customer_only"),
     )
 
 
@@ -1004,12 +1035,20 @@ def ann_bruteforce_topk_q(spark, sf_dir):
     return similarity.brute_force_topk(emb, queries, k=5)
 
 
+def _embedding_dim(emb) -> int | None:
+    row = emb.select("embedding").filter(F.col("embedding").isNotNull()).first()
+    return None if row is None else len(row[0])
+
+
 @q("ann_lsh_topk")
 def ann_lsh_topk_q(spark, sf_dir):
     """LSH-bucketed ANN top-5 (rows-only)."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(emb)
+    if dim is None:  # empty/all-null table: empty result, not a crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, cosine double, rank int")
     queries = emb.filter(F.col("vec_id") < 10)
     return similarity.lsh_topk(emb, queries, dim=dim, k=5, n_planes=8)
 
@@ -1019,7 +1058,9 @@ def embedding_near_duplicates_q(spark, sf_dir):
     """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
-    dim = len(emb.select("embedding").first()[0])
+    dim = _embedding_dim(emb)
+    if dim is None:
+        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
     return similarity.embedding_near_duplicates(
         emb, dim=dim, min_cosine=0.8, n_planes=6
     )
@@ -1104,33 +1145,7 @@ def langid_documents_q(spark, sf_dir):
     )
 
 
-_JACCARD_EDGES_SQL = """
-    WITH sh AS (
-      SELECT DISTINCT doc_id, gram FROM (
-        SELECT doc_id,
-               unnest(CASE WHEN len(ws) >= 3 THEN
-                 list_transform(range(1, len(ws) - 1),
-                                i -> array_to_string(ws[i:i+2], ' '))
-               ELSE [array_to_string(ws, ' ')] END) AS gram
-        FROM (SELECT doc_id,
-                     string_split_regex(lower(trim(text)), '\\s+') AS ws
-              FROM documents WHERE doc_id < 150)
-      )
-    ),
-    sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
-    inter AS (
-      SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_inter
-      FROM sh a JOIN sh b ON a.gram = b.gram AND a.doc_id < b.doc_id
-      GROUP BY 1, 2
-    ),
-    edges AS (
-      SELECT i.id_a, i.id_b FROM inter i
-      JOIN sizes sa ON i.id_a = sa.doc_id
-      JOIN sizes sb ON i.id_b = sb.doc_id
-      WHERE CAST(i.n_inter AS DOUBLE)
-            / CAST(sa.n_sh + sb.n_sh - i.n_inter AS DOUBLE) >= 0.3
-    )
-"""
+_JACCARD_EDGES_SQL = _jaccard_sql(150, 0.3, '').rstrip()
 
 
 @q(

@@ -55,7 +55,7 @@ for _ in range(2):
 wall = min(walls)
 n_failed = summary.n_failed
 print(json.dumps({{"wall": wall, "walls": walls, "cores": cores,
-                   "n_failed": n_failed}}))
+                   "n_failed": n_failed, "rows": seq.count()}}))
 """
 
 
@@ -114,6 +114,15 @@ def main():
         res_n = json.load(open(args.report_from[0]))
         res_4n = json.load(open(args.report_from[1]))
         args.n = res_n["cores"]
+        if res_4n["cores"] != 4 * res_n["cores"]:
+            sys.exit(f"not an N/4N pair: cores {res_n['cores']} vs "
+                     f"{res_4n['cores']}")
+        measured = res_n.get("rows") or res_4n.get("rows")
+        if measured:
+            if res_n.get("rows") and res_4n.get("rows") \
+                    and res_n["rows"] != res_4n["rows"]:
+                sys.exit("level JSONs measured different row counts")
+            args.rows = measured
     else:
         if not args.skip_gen or not os.path.exists(f"{args.data}/sequences"):
             print(f"generating {args.rows:,} rows at {args.data} ...", file=sys.stderr)
