@@ -125,3 +125,61 @@ def running_source_stats(
     return stream.groupBy(source_col).applyInPandasWithState(
         update, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
     )
+
+
+def windowed_subtotals_drift(
+    stream: DataFrame,
+    baseline_props: DataFrame,
+    ts_col: str = "ts",
+    category_col: str = "event_type",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    min_proportion: float = 0.5,
+) -> DataFrame:
+    """Streaming drift alerts: per-window category mix compared against a
+    static baseline proportion table (category, prop) — the streaming
+    analogue of row_subtotals (Test/DataCheck.pm:283-365).
+
+    The baseline categories are compiled into ONE windowed aggregation
+    (window total + a conditional counter per baseline category), because
+    chained/multiple streaming aggregations are unsupported; a category
+    whose windowed count falls below min_proportion·prop·window_total
+    (including count 0 — missing entirely) emits an alert row.  Bounded
+    state: one row per open window."""
+    base = baseline_props.select("category", "prop").collect()
+    cats = [r["category"] for r in base]
+    props = {r["category"]: float(r["prop"]) for r in base}
+    counters = [
+        F.sum((F.col(category_col) == c).cast("long")).alias(f"__c_{i}")
+        for i, c in enumerate(cats)
+    ]
+    agg = (
+        stream.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("win"))
+        .agg(F.count(F.lit(1)).alias("window_total"), *counters)
+    )
+    per_cat = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(c).alias("category"),
+                    F.col(f"__c_{i}").alias("n"),
+                    F.lit(props[c]).alias("baseline_prop"),
+                )
+                for i, c in enumerate(cats)
+            ]
+        )
+    ).alias("p")
+    return (
+        agg.select(F.col("win.start").alias("window_start"), "window_total", per_cat)
+        .select(
+            "window_start", "window_total",
+            F.col("p.category").alias("category"),
+            F.col("p.n").alias("n"),
+            F.col("p.baseline_prop").alias("baseline_prop"),
+        )
+        .filter(
+            F.col("n")
+            < F.lit(min_proportion) * F.col("baseline_prop") * F.col("window_total")
+        )
+    )

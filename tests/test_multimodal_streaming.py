@@ -202,3 +202,45 @@ def test_streaming_stateful_running_stats(spark, tmp_path):
         assert b_row and b_row[-1]["n_rows"] == 1
     finally:
         q.stop()
+
+
+def test_streaming_windowed_subtotals_drift(spark, tmp_path):
+    """Streaming row_subtotals: a category that vanishes from a window
+    (vs its baseline share) produces an alert row; healthy mixes don't."""
+    from ensembl_datacheck_spark.streaming.validate import (
+        windowed_subtotals_drift,
+    )
+
+    src = tmp_path / "sd"
+    rows = []
+    # minute 0: healthy 50/50 a/b; minute 2: b vanishes
+    for i in range(20):
+        rows.append((f"2024-01-01 00:00:{i:02d}", "a" if i % 2 else "b"))
+    for i in range(20):
+        rows.append((f"2024-01-01 00:02:{i:02d}", "a"))
+    batch = spark.createDataFrame(rows, "ts_s string, event_type string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    batch.coalesce(1).write.mode("append").parquet(str(src))
+    baseline = spark.createDataFrame([("a", 0.5), ("b", 0.5)],
+                                     "category string, prop double")
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    alerts = windowed_subtotals_drift(stream, baseline, window="1 minute",
+                                      watermark="10 minutes",
+                                      min_proportion=0.5)
+    q = (alerts.writeStream.format("memory").queryName("sd_alerts")
+         .outputMode("append").start())
+    try:
+        # append-mode windowed aggs only emit after the watermark passes:
+        # advance event time far beyond both windows
+        late = spark.createDataFrame([("2024-01-01 01:00:00", "a")],
+                                     "ts_s string, event_type string") \
+            .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        late.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sd_alerts").collect()
+        cats = {(str(r["window_start"]), r["category"]) for r in got}
+        assert ("2024-01-01 00:02:00", "b") in cats, cats
+        assert ("2024-01-01 00:00:00", "b") not in cats
+        assert all(r["n"] == 0 for r in got if r["category"] == "b")
+    finally:
+        q.stop()
