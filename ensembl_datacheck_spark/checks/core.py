@@ -81,7 +81,13 @@ def _token_invariant_preds(ctx, scan):
             # interpreted (no codegen) and showed severe thread contention
             # in local mode; min/max are codegen'd and scale
             tok.isNotNull()
-            & ((F.array_min(tok) < 0) | (F.array_max(tok) >= VOCAB_SIZE)),
+            & (
+                (F.array_min(tok) < 0)
+                | (F.array_max(tok) >= VOCAB_SIZE)
+                # null ELEMENTS are skipped by array_min/max — compare
+                # compacted size (codegen-safe, no lambda)
+                | (F.size(F.array_compact(tok)) != F.size(tok))
+            ),
             ("n_tok",),
         ),
     ]

@@ -76,7 +76,12 @@ def null_rate_violations(
     n = stats_row["n_rows"] or 1
     out = []
     for col, thresh in max_null_rate.items():
-        rate = (stats_row.get(f"{col}__n_null") or 0) / n
+        if f"{col}__n_null" not in stats_row:
+            raise KeyError(
+                f"no null-count for column {col!r} in stats row — "
+                "misspelled column in the threshold config?"
+            )
+        rate = (stats_row[f"{col}__n_null"] or 0) / n
         if rate > thresh:
             out.append((col, rate, thresh))
     return out
@@ -90,8 +95,16 @@ def token_domain_violations(
     range-domain test, and codegen'd (HOF lambdas are interpreted and
     contend across threads)."""
     c = F.col(tokens_col)
+    # array_min/array_max SKIP null elements, so a null token would pass
+    # a pure min/max range test — array_compact size-compare catches it
+    # (still codegen, no lambda)
     return df.filter(
-        c.isNotNull() & ((F.array_min(c) < 0) | (F.array_max(c) >= vocab_size))
+        c.isNotNull()
+        & (
+            (F.array_min(c) < 0)
+            | (F.array_max(c) >= vocab_size)
+            | (F.size(F.array_compact(c)) != F.size(c))
+        )
     )
 
 
@@ -101,4 +114,8 @@ def token_length_violations(
     """Per-row invariant from input_hint: size(tokens) == n_tok (null
     arrays reported by completeness, not here)."""
     c = F.col(tokens_col)
-    return df.filter(c.isNotNull() & (F.size(c) != F.col(n_tok_col)))
+    # empty arrays belong to completeness (same guard as the live fused
+    # predicate in checks/core.py — keep the two in agreement)
+    return df.filter(
+        c.isNotNull() & (F.size(c) > 0) & (F.size(c) != F.col(n_tok_col))
+    )

@@ -31,6 +31,19 @@ class FkSpec:
     constraint: str | None = None  # SQL predicate over the fact side
 
 
+def run_fk(spec: FkSpec, tables: dict[str, DataFrame]) -> DataFrame:
+    """Execute a declarative FkSpec against a table dict: violation rows
+    from the broadcast anti-join, with the spec's SQL constraint string
+    bridged to a Column via F.expr (ForeignKeys.pm constrained-FK
+    semantics, 82-89)."""
+    constraint = F.expr(spec.constraint) if spec.constraint else None
+    return orphan_rows(
+        tables[spec.table], spec.column,
+        tables[spec.ref_table], spec.ref_column,
+        constraint=constraint,
+    )
+
+
 def orphan_rows(
     fact: DataFrame,
     fk_col: str,

@@ -89,20 +89,37 @@ class CheckpointStore:
         import threading
 
         self._write_lock = threading.Lock()
+        self._map_cache: tuple[str, dict[str, set[int]]] | None = None
 
     def load(self) -> DataFrame | None:
         if not self.catalog.exists(self.table):
             return None
-        return self.catalog.load(self.table)
+        # appends live in per-batch subdirectories (see append); a
+        # recursive lookup reads them all as one flat table
+        return (
+            self.catalog.spark.read.option("recursiveFileLookup", "true")
+            .schema(CHECKPOINT_SCHEMA)
+            .parquet(self.catalog.path(self.table))
+        )
 
     def append(self, rows: list[CheckpointRow]) -> None:
+        """Each append writes its OWN subdirectory — concurrent appends
+        to one parquet directory share the _temporary committer dir and
+        can destroy each other's staged files (two CLIs on the same
+        warehouse, fleet threads).  A fresh subdir per batch is the
+        no-coordination atomic commit of the parquet fallback; with
+        Iceberg on the classpath this becomes a table.append (ACID)."""
         if not rows:
             return
+        import uuid
+
         df = self.catalog.spark.createDataFrame(
             [r.as_tuple() for r in rows], CHECKPOINT_SCHEMA
         )
+        sub = f"{self.table}/batch_{uuid.uuid4().hex}"
         with self._write_lock:
-            self.catalog.write(df, self.table, mode="append")
+            self.catalog.write(df, sub, mode="overwrite")
+            self._map_cache = None
 
     def completed_partitions(self, check_name: str, lineage: str) -> set[int]:
         """Partition ids whose **latest** checkpoint for this check is
@@ -113,8 +130,11 @@ class CheckpointStore:
 
     def completed_map(self, lineage: str) -> dict[str, set[int]]:
         """{check_name: completed partition ids} for the whole lineage in
-        ONE load + aggregation — a per-check query would re-read the
-        checkpoint table once per check per run (× fleet targets)."""
+        ONE load + aggregation, memoized until the next append — a
+        per-check query would re-read the checkpoint table once per
+        check per run (× fleet targets)."""
+        if self._map_cache is not None and self._map_cache[0] == lineage:
+            return self._map_cache[1]
         df = self.load()
         if df is None:
             return {}
@@ -133,6 +153,7 @@ class CheckpointStore:
         out: dict[str, set[int]] = {}
         for r in latest.collect():
             out.setdefault(r["check_name"], set()).add(r["partition_id"])
+        self._map_cache = (lineage, out)
         return out
 
 

@@ -32,7 +32,7 @@ def summary_line(summary: RunSummary) -> str:
     return (
         f"datachecks {status}: {summary.n_passed} passed, "
         f"{summary.n_failed} failed, {summary.n_skipped} skipped "
-        f"in {sum(r.runtime for r in summary.results):.1f}s"
+        f"in {summary.wall_runtime:.1f}s"
     )
 
 

@@ -11,9 +11,10 @@ Reference semantics reproduced:
   sync by hooks/pre-commit.sh — our `write_index`/`verify_index` mirror
   t/index.t:26-33);
 * selection by exact names, regex patterns, groups and type
-  (Manager.pm:246-286: names/patterns/groups are OR-ed within each
-  criterion and AND-ed across criteria; datacheck_type filter applied
-  last).
+  (Manager.pm:246-286: a check is kept when ANY of names / patterns /
+  groups matches it — the criteria are OR-ed; patterns also match
+  against descriptions, Manager.pm:258-260 — and the datacheck_type
+  filter is AND-ed last).
 """
 
 from __future__ import annotations
@@ -108,18 +109,23 @@ class Registry:
         groups: list[str] | None = None,
         severity: Severity | str | None = None,
     ) -> list[CheckSpec]:
-        """Manager.pm:246-286 selection semantics: union within a
-        criterion, intersection across criteria, type filter last.
-        On-demand checks are included only when a name/pattern/group
-        criterion matched them — a bare or severity-only selection never
-        picks up the expensive tier."""
+        """Manager.pm:246-286 selection semantics: a check is kept when
+        ANY of names / patterns / groups matches it (criteria OR-ed, as
+        the reference's filter() does); patterns also match against
+        descriptions (Manager.pm:258-260); severity (datacheck_type) is
+        AND-ed last.  On-demand checks are included only when a
+        name/pattern/group criterion matched them — a bare or
+        severity-only selection never picks up the expensive tier."""
         selected = list(self)
         if names or patterns or groups:
             keep: set[str] = set()
             for s in selected:
                 if names and s.name in names:
                     keep.add(s.name)
-                if patterns and any(re.search(p, s.name) for p in patterns):
+                if patterns and any(
+                    re.search(p, s.name) or re.search(p, s.description, re.I)
+                    for p in patterns
+                ):
                     keep.add(s.name)
                 if groups and set(groups) & set(s.groups):
                     keep.add(s.name)

@@ -84,8 +84,18 @@ class CheckResult:
         # error-in-check = fail, not crash (BaseCheck.pm:131-139)
         if self.error is not None:
             return Status.FAIL
-        if self.skip_reason is not None and not self.assertions:
+        if self.skip_reason is not None:
+            # a mid-check skip (after some assertions ran) still aborts
+            # the subtest: the TAP skip_all semantics — partial passes
+            # must not masquerade as a full OK, but recorded failures
+            # still count as failures
+            if any(not a.ok and a.status != Status.SKIP for a in self.assertions):
+                return Status.FAIL
             return Status.SKIP
+        if not self.assertions:
+            # a body that asserted nothing is a vacuous run, not a pass
+            # (Test::More: "No tests run!" is a failure)
+            return Status.FAIL
         if all(a.ok for a in self.assertions):
             return Status.OK
         return Status.FAIL
@@ -129,7 +139,8 @@ class CheckResult:
         else:
             for i, a in enumerate(self.assertions, 1):
                 prefix = "ok" if a.ok else "not ok"
-                suffix = f" # SKIP {a.diag[0]}" if a.status == Status.SKIP else ""
+                skip_note = a.diag[0] if a.diag else "skipped"
+                suffix = f" # SKIP {skip_note}" if a.status == Status.SKIP else ""
                 lines.append(f"    {prefix} {i} - {a.name}{suffix}")
                 if not a.ok:
                     if a.expected is not None or a.got is not None:
@@ -138,7 +149,14 @@ class CheckResult:
                         lines.append(f"    # {d}")
             lines.append(f"    1..{len(self.assertions)}")
             mark = "ok" if self.passed else "not ok"
-            lines.append(f"{mark}{num} - {self.check_name}")
+            # a mid-check skip (assertions ran, then the body skipped)
+            # surfaces its reason on the subtest line
+            note = (
+                f" # SKIP (mid-check) {self.skip_reason}"
+                if self.skip_reason is not None
+                else ""
+            )
+            lines.append(f"{mark}{num} - {self.check_name}{note}")
         if self.error:
             lines.append(f"# ERROR: {self.error}")
         return "\n".join(lines)
@@ -168,6 +186,18 @@ class RunSummary:
     def all_passed(self) -> bool:
         return self.n_failed == 0
 
+    @property
+    def wall_runtime(self) -> float:
+        """max(finished) − min(started): the run's true wall time.
+        Summing per-check runtimes over-counts shared work — every fused
+        check carries the single shared scan's duration, and
+        thread-parallel checks overlap."""
+        if not self.results:
+            return 0.0
+        start = min(r.started for r in self.results)
+        end = max(r.finished or r.started for r in self.results)
+        return max(end - start, 0.0)
+
     def to_dict(self, failures_only: bool = False) -> dict[str, Any]:
         # failures-only default mirrors ConvertTapToJson.pm:40-48
         results = [
@@ -179,6 +209,9 @@ class RunSummary:
             "passed": self.n_passed,
             "failed": self.n_failed,
             "skipped": self.n_skipped,
+            "wall_runtime_sec": round(self.wall_runtime, 3),
+            # per-check runtimes summed (over-counts shared/parallel
+            # work; kept for per-check accounting parity)
             "total_runtime_sec": round(sum(r.runtime for r in self.results), 3),
             "datachecks": results,
         }

@@ -280,7 +280,7 @@ def test_skipped_check_writes_no_ok_checkpoints(spark, tmp_path):
     s1 = r1.run(registry.default_suite())
     skipped = {r.check_name for r in s1.results if r.status == Status.SKIP}
     assert "SourceReferential" in skipped
-    cp = catalog.load("checkpoints")
+    cp = store.load()  # appends live in per-batch subdirs
     recorded = {r["check_name"] for r in cp.select("check_name").distinct().collect()}
     assert recorded.isdisjoint(skipped)
     # re-run WITH the table: previously-skipped checks actually execute
