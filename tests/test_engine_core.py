@@ -309,3 +309,32 @@ def test_fleet_isolates_broken_target(spark):
     assert "good" in fleet.by_db
     assert "bad" in fleet.errors and "corrupt table" in fleet.errors["bad"]
     assert not fleet.all_passed
+
+
+def test_concurrent_checkpoint_appends_from_separate_stores(spark, tmp_path):
+    """Two CheckpointStore instances (as two drivers sharing a warehouse
+    would be — separate locks) appending concurrently must both land:
+    each append commits its own subdirectory, so there is no shared
+    _temporary committer dir to clobber."""
+    import time as _t
+    from concurrent.futures import ThreadPoolExecutor
+
+    from ensembl_datacheck_spark.plans.checkpoint import CheckpointRow
+    from ensembl_datacheck_spark.sources.io import Catalog
+
+    cat = Catalog(spark, tmp_path / "wh")
+    stores = [CheckpointStore(cat), CheckpointStore(cat)]
+    now = _t.time()
+
+    def append(i):
+        rows = [CheckpointRow(f"run_{i}", f"Check{i}", b, "ok", now, now + 1,
+                              10, 0, "L") for b in range(8)]
+        stores[i].append(rows)
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        list(pool.map(append, [0, 1]))
+
+    cp = stores[0].load()
+    assert cp.count() == 16
+    assert {r["check_name"] for r in cp.select("check_name").distinct().collect()} \
+        == {"Check0", "Check1"}
