@@ -114,7 +114,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     summary = runner.run(
         specs,
-        violations_sink=lambda df: catalog.write(df, "violations", mode="append"),
+        violations_sink=lambda df: catalog.append_atomic(df, "violations"),
     )
 
     if args.output_json:

@@ -32,7 +32,19 @@ def salted_join(
     Cost model: dim is duplicated n_salt× through the shuffle — use for
     mid-size dims (too big to broadcast, small enough to replicate) with
     a skewed fact key; for small dims broadcast instead.
+
+    Only fact-preserving join types are allowed: under right/full outer
+    joins every unmatched dim REPLICA would surface as a spurious
+    null-extended row (n_salt of them per unmatched key).
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "left_anti", "leftanti", "semi", "anti"}
+    if how.replace("_", "").lower() not in {a.replace("_", "") for a in allowed}:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only, not {how!r}: "
+            "the replicated dim side would emit one spurious null-extended "
+            "row per unmatched (key, salt) replica under right/full outer"
+        )
     sf = F.col(salt_from) if isinstance(salt_from, str) else salt_from
     f = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(sf.cast("string")), F.lit(n_salt)).cast("int")

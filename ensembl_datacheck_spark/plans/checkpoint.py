@@ -90,6 +90,7 @@ class CheckpointStore:
 
         self._write_lock = threading.Lock()
         self._map_cache: tuple[str, dict[str, set[int]]] | None = None
+        self._append_gen = 0  # bumps on append; guards the cache fill
 
     def load(self) -> DataFrame | None:
         if not self.catalog.exists(self.table):
@@ -111,15 +112,13 @@ class CheckpointStore:
         Iceberg on the classpath this becomes a table.append (ACID)."""
         if not rows:
             return
-        import uuid
-
         df = self.catalog.spark.createDataFrame(
             [r.as_tuple() for r in rows], CHECKPOINT_SCHEMA
         )
-        sub = f"{self.table}/batch_{uuid.uuid4().hex}"
         with self._write_lock:
-            self.catalog.write(df, sub, mode="overwrite")
+            self.catalog.append_atomic(df, self.table)
             self._map_cache = None
+            self._append_gen += 1
 
     def completed_partitions(self, check_name: str, lineage: str) -> set[int]:
         """Partition ids whose **latest** checkpoint for this check is
@@ -135,6 +134,7 @@ class CheckpointStore:
         check per run (× fleet targets)."""
         if self._map_cache is not None and self._map_cache[0] == lineage:
             return self._map_cache[1]
+        gen = self._append_gen
         df = self.load()
         if df is None:
             return {}
@@ -153,7 +153,11 @@ class CheckpointStore:
         out: dict[str, set[int]] = {}
         for r in latest.collect():
             out.setdefault(r["check_name"], set()).add(r["partition_id"])
-        self._map_cache = (lineage, out)
+        with self._write_lock:
+            # don't publish a map computed from pre-append data: a
+            # concurrent append invalidated it mid-computation
+            if gen == self._append_gen:
+                self._map_cache = (lineage, out)
         return out
 
 

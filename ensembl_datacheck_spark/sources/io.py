@@ -50,8 +50,13 @@ class Catalog:
         p = Path(self.path(name))
         return p.exists() and any(p.iterdir())
 
-    def load(self, name: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(name))
+    def load(self, name: str, recursive: bool = False) -> DataFrame:
+        """``recursive=True`` reads tables grown with append_atomic
+        (per-batch subdirectories)."""
+        reader = self.spark.read
+        if recursive:
+            reader = reader.option("recursiveFileLookup", "true")
+        return reader.parquet(self.path(name))
 
     def write(
         self,
@@ -64,6 +69,15 @@ class Catalog:
         if partition_by:
             w = w.partitionBy(*partition_by)
         w.parquet(self.path(name))
+
+    def append_atomic(self, df: DataFrame, name: str) -> None:
+        """Append by writing a fresh subdirectory: concurrent appends to
+        one parquet directory share the _temporary committer dir and can
+        destroy each other's staged files (two drivers on one warehouse).
+        Read back with ``load(name, recursive=True)``."""
+        import uuid
+
+        self.write(df, f"{name}/batch_{uuid.uuid4().hex}", mode="overwrite")
 
     def lineage(self, name: str) -> str:
         """Stable fingerprint of the current table state: Iceberg snapshot

@@ -150,10 +150,12 @@ class CheckResult:
             lines.append(f"    1..{len(self.assertions)}")
             mark = "ok" if self.passed else "not ok"
             # a mid-check skip (assertions ran, then the body skipped)
-            # surfaces its reason on the subtest line
+            # surfaces its reason on the subtest line — but NEVER on a
+            # failed check: TAP consumers honor SKIP directives as
+            # non-failures, which would contradict the exit code
             note = (
                 f" # SKIP (mid-check) {self.skip_reason}"
-                if self.skip_reason is not None
+                if self.skip_reason is not None and self.status == Status.SKIP
                 else ""
             )
             lines.append(f"{mark}{num} - {self.check_name}{note}")

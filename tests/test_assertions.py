@@ -149,3 +149,22 @@ def test_array_and_hash_diff(spark):
     h2 = _df(spark, [("k1", "a"), ("k3", "c")], "k string, v string")
     keys = {r["key"] for r in A.hash_diff(h1, h2, "k", "v").collect()}
     assert keys == {"k2", "k3"}
+
+
+def test_run_fk_declarative_spec(spark):
+    """FkSpec executes through run_fk: constrained orphan detection with
+    the SQL constraint string bridged via F.expr."""
+    from ensembl_datacheck_spark.operators.referential import FkSpec, run_fk
+
+    fact = spark.createDataFrame(
+        [(1, "s1", "live"), (2, "s9", "live"), (3, "s9", "archived")],
+        "id long, src string, state string",
+    )
+    dim = spark.createDataFrame([("s1",), ("s2",)], "src string")
+    spec = FkSpec(table="fact", column="src", ref_table="dims",
+                  ref_column="src", constraint="state = 'live'")
+    viol = run_fk(spec, {"fact": fact, "dims": dim})
+    assert [r["id"] for r in viol.collect()] == [2]  # archived orphan exempt
+    # unconstrained: both orphans
+    spec2 = FkSpec(table="fact", column="src", ref_table="dims", ref_column="src")
+    assert run_fk(spec2, {"fact": fact, "dims": dim}).count() == 2

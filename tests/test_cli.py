@@ -36,7 +36,8 @@ def test_cli_run_fail_and_reports(spark, tmp_path):
     tap = (tmp_path / "res.tap").read_text()
     assert "not ok" in tap and tap.strip().endswith("1..3")
     # violations persisted
-    viol = spark.read.parquet(str(tmp_path / "wh" / "violations"))
+    viol = (spark.read.option("recursiveFileLookup", "true")
+            .parquet(str(tmp_path / "wh" / "violations")))
     assert viol.count() > 0
 
     # resume: same inputs -> all skip, exit 0
