@@ -28,10 +28,12 @@ def _shingle_hashes(arr: np.ndarray, k: int) -> np.ndarray:
     add sweep per shingle offset (k sweeps total, not n·k)."""
     n = len(arr) - k + 1
     if n <= 0:
-        # short sequence: hash the whole array as one shingle
-        h = np.uint64(1469598103934665603)
-        for v in arr.astype(np.uint64):
-            h = (h ^ v) * np.uint64(1099511628211)
+        # short sequence: hash the whole array as one shingle (FNV-1a;
+        # the mod-2^64 wraparound is the hash, not an error)
+        with np.errstate(over="ignore"):
+            h = np.uint64(1469598103934665603)
+            for v in arr.astype(np.uint64):
+                h = (h ^ v) * np.uint64(1099511628211)
         return np.array([h], dtype=np.uint64)
     out = np.zeros(n, dtype=np.uint64)
     base = np.uint64(1000003)
