@@ -428,7 +428,7 @@ def sequences_non_empty(ctx):
     "TokenContentDuplicates",
     "No two documents share identical token content (advisory): "
     "order-sensitive 64-bit content hash per row (JVM codegen), "
-    "grouped on (n_tok, hash) — the sequence-payload analogue of the "
+    "grouped on the 64-bit content hash — the sequence-payload analogue of the "
     "reference's duplicate-row checks (DuplicateXref kin) and the "
     "check-suite face of the exact-dedup operator",
     # deliberately NOT in the broad "sequences" group: --groups sequences

@@ -65,9 +65,15 @@ def asof_join(
         F.lit(None).cast(rv_type).alias("__rv"),
     )
     # a NULL right timestamp would sort first (Spark asc = NULLS FIRST)
-    # and masquerade as an "earliest" match; the oracle (ASOF JOIN on
-    # l.ts > r.ts) never matches NULL, so drop such rows up front
-    r2 = right.filter(F.col(right_ts).isNotNull()).select(
+    # and masquerade as an "earliest" match; likewise Spark windows group
+    # NULL partition keys together, so a NULL-`by`-key right row would
+    # match NULL-key left rows — but the oracle (DuckDB ASOF JOIN with an
+    # equi-condition, pandas merge_asof) never matches NULL on either the
+    # key or the timestamp.  Drop such right rows up front.
+    r_clean = right.filter(F.col(right_ts).isNotNull())
+    for k in by:
+        r_clean = r_clean.filter(F.col(k).isNotNull())
+    r2 = r_clean.select(
         *by,
         F.col(right_ts).cast("timestamp").alias("__t"),
         F.lit(r_side).alias("__side"),

@@ -243,18 +243,36 @@ def jaccard_pairs(
     ngram: int = 3,
     min_jaccard: float = 0.0,
     candidates: DataFrame | None = None,
+    max_df: int | None = 1000,
 ) -> DataFrame:
     """Exact n-gram Jaccard for pairs sharing ≥1 shingle (or restricted to
     ``candidates`` (id_a, id_b)).  Integer arithmetic throughout:
     intersection from the shingle self-join, union = |A| + |B| − |I|.
 
-    Scale shape: explode to (shingle, id) — shuffle keyed by shingle;
-    frequency-capped (very common shingles are dropped, standard practice)
-    so no shingle bucket explodes quadratically."""
+    Scale shape: explode to (shingle, id) — shuffle keyed by shingle.
+    When ``candidates`` is None the self-join is frequency-capped:
+    shingles appearing in more than ``max_df`` documents are dropped
+    BEFORE the join (broadcast anti-join — the hot-shingle list is small
+    by definition, ≤ |shingle rows| / max_df entries), so one stop-word
+    shingle shared by 10^6 docs cannot emit ~10^12 pairs.  Both the
+    intersection AND the per-doc sizes are computed on the filtered
+    shingle universe, so ``jaccard`` remains a true Jaccard of the
+    capped sets (self-consistent, not an undercounted numerator over a
+    full-set denominator).  Pass ``max_df=None`` for the uncapped exact
+    semantics (safe only on bounded corpora); with ``candidates`` the
+    shingle set is pruned to candidate docs instead and no cap applies."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"),
     ).distinct()
+    if candidates is None and max_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > max_df)
+            .select("shingle")
+        )
+        sh = sh.join(F.broadcast(hot), "shingle", "left_anti")
     if candidates is not None:
         # prune shingles to candidate docs BEFORE the self-join — the
         # semi-join on (id_a, id_b) after the join cannot be pushed below
@@ -359,7 +377,6 @@ def simhash_near_duplicates(
     )
     banded = sh.select(
         "id",
-        "simhash",
         F.explode(
             F.array(
                 *[
@@ -372,13 +389,19 @@ def simhash_near_duplicates(
             )
         ).alias("bk"),
     )
-    a = banded.select(F.col("id").alias("id_a"), F.col("simhash").alias("simhash_a"), "bk")
-    b = banded.select(F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b"), "bk")
+    # Capped hub-spoke pairing (shared with MinHash-LSH): a degenerate
+    # band bucket of k identical docs emits O(k) rows, not k².
+    pairs = bucket_candidate_pairs(banded)
     return (
-        a.join(b, "bk")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(
+            sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("simhash_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b")),
+            "id_b",
+        )
         .select("id_a", "id_b", "simhash_a", "simhash_b")
-        .distinct()
     )
 
 

@@ -52,6 +52,10 @@ def brute_force_topk(
     """Exact cosine top-k: (query_id, neighbor_id, cosine, rank).
     Ties broken by neighbor id for full determinism.
 
+    Zero-norm vectors are EXCLUDED on both sides (cosine undefined),
+    matching the NULL convention of cosine_pairs_arrow used by the
+    lsh/ivf tiers — all tiers agree that zero vectors are never ranked.
+
     Scale shape: the query matrix rides in the task closure (it is small
     by contract — ANN with a large query set goes through lsh/ivf); each
     corpus partition computes one Arrow-batched matmul and emits only its
@@ -59,8 +63,11 @@ def brute_force_topk(
     O(partitions × |Q| × k) rows regardless of corpus size."""
     idt = _id_type(corpus, id_col)
     schema = f"query_id {idt}, neighbor_id {idt}, cosine double"
-    qrows = [r for r in queries.select(id_col, vec_col).collect()
-             if r[1] is not None]
+    qrows = [
+        r
+        for r in queries.select(id_col, vec_col).collect()
+        if r[1] is not None and any(x != 0 for x in r[1])
+    ]
     if not qrows:
         return corpus.sparkSession.createDataFrame([], schema + ", rank int")
     qids = [r[0] for r in qrows]
@@ -72,7 +79,11 @@ def brute_force_topk(
             V, valid = _stack_vectors_masked(pdf[vec_col])
             if not valid.any():
                 continue
-            ids = ids[valid].reset_index(drop=True)
+            nonzero = np.linalg.norm(V, axis=1) > 0
+            ids = ids[valid].reset_index(drop=True)[nonzero].reset_index(drop=True)
+            V = V[nonzero]
+            if not len(V):
+                continue
             S = _normalize_rows(V) @ Qn.T  # (n_valid, nq)
             frames = []
             for j, qid in enumerate(qids):
@@ -134,7 +145,7 @@ def lsh_topk(
         "query_id",
         "neighbor_id",
         cosine_pairs_arrow(F.col("q_vec"), F.col("c_vec")).alias("cosine"),
-    )
+    ).filter(F.col("cosine").isNotNull())  # zero-norm never ranked (all tiers)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -226,7 +237,7 @@ def ivf_topk(
         "query_id",
         F.col(id_col).alias("neighbor_id"),
         cosine_pairs_arrow(F.col("q_vec"), F.col(vec_col)).alias("cosine"),
-    )
+    ).filter(F.col("cosine").isNotNull())  # zero-norm never ranked (all tiers)
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
 
@@ -240,19 +251,32 @@ def embedding_near_duplicates(
     n_planes: int = 10,
     seed: int = 42,
 ) -> DataFrame:
-    """Embedding-cosine near-dup pairs via LSH self-join: same sign-bucket
-    pairs with cosine ≥ threshold.  (id_a < id_b, cosine)."""
+    """Embedding-cosine near-dup pairs via LSH banding: same sign-bucket
+    candidates paired through the capped hub-spoke generator (a degenerate
+    bucket of k identical vectors emits O(k) candidates, not k²), then
+    scored exactly.  (id_a < id_b, cosine).  Zero-norm vectors score NULL
+    (cosine_pairs_arrow convention) and are filtered by the threshold."""
+    from ensembl_datacheck_spark.operators.dedup import bucket_candidate_pairs
+
     planes = random_planes(dim, n_planes, seed)
     sig = corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         hyperplane_signature_arrow(F.col(vec_col), planes).alias("bucket"),
     )
-    a = sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a"), "bucket")
-    b = sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b"), "bucket")
+    banded = sig.filter(F.col("bucket").isNotNull()).select(
+        "id", F.col("bucket").alias("bk")
+    )
+    pairs = bucket_candidate_pairs(banded)
     return (
-        a.join(b, "bucket")
-        .filter(F.col("id_a") < F.col("id_b"))
+        pairs.join(
+            sig.select(F.col("id").alias("id_a"), F.col("vec").alias("vec_a")),
+            "id_a",
+        )
+        .join(
+            sig.select(F.col("id").alias("id_b"), F.col("vec").alias("vec_b")),
+            "id_b",
+        )
         .select(
             "id_a",
             "id_b",

@@ -68,17 +68,19 @@ def exact_count_distinct_salted(
     """
     g = F.col(group_col) if isinstance(group_col, str) else group_col
     v = F.col(distinct_col) if isinstance(distinct_col, str) else distinct_col
-    # SQL COUNT(DISTINCT v) ignores NULLs; without this filter the null
-    # group contributes one phantom distinct value per group
-    deduped = (
-        df.select(g.alias("group_key"), v.alias("val"))
-        .filter(F.col("val").isNotNull())
-        .distinct()
-    )
+    # NULL vals ride THROUGH the dedup stage (so every input group stays
+    # present in the output — SQL GROUP BY g returns all-NULL groups with
+    # count 0) but are excluded from the count: F.count("val") skips
+    # NULLs, exactly COUNT(DISTINCT v) semantics.  Still three exchanges,
+    # no join-back.
+    deduped = df.select(g.alias("group_key"), v.alias("val")).distinct()
     salted = (
-        deduped.withColumn("salt", F.pmod(F.xxhash64("val"), F.lit(n_salt)))
+        deduped.withColumn(
+            "salt",
+            F.pmod(F.coalesce(F.xxhash64("val"), F.lit(0)), F.lit(n_salt)),
+        )
         .groupBy("group_key", "salt")
-        .agg(F.count(F.lit(1)).alias("partial"))
+        .agg(F.count("val").alias("partial"))
     )
     return salted.groupBy("group_key").agg(F.sum("partial").alias("n_distinct"))
 

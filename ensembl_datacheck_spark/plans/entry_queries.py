@@ -1101,7 +1101,15 @@ def dedup_clusters_documents(spark, sf_dir):
     verified = dedup.jaccard_pairs(
         d, "doc_id", "text", ngram=3, min_jaccard=0.3, candidates=cands
     ).select("id_a", "id_b")
-    return dup_clusters(verified)
+    # Driver-portable projection: the harness canonicalizes rows in pandas
+    # and cannot sort/hash array columns, so render members as a CSV scalar.
+    return dup_clusters(verified).select(
+        "component",
+        F.col("size").cast("long").alias("size"),
+        F.concat_ws(",", F.col("members").cast("array<string>")).alias(
+            "members_csv"
+        ),
+    )
 
 
 def _sw_list(lang: str) -> str:

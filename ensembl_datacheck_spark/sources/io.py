@@ -117,6 +117,12 @@ def read_table(
         reader = reader.schema(schema)
     if fmt == "csv":
         options.setdefault("header", "true")
+        if schema is None:
+            # Without a schema, csv loads every column as string (json
+            # infers types natively); numeric baseline/source counts as
+            # strings silently corrupt drift/subtotal arithmetic.  The
+            # inference scan is the documented cost of schema-less csv.
+            options.setdefault("inferSchema", "true")
     return reader.options(**options).format(fmt).load(path)
 
 

@@ -310,9 +310,10 @@ def test_asof_join_semantics(spark):
 
 
 def test_similarity_null_and_zero_vectors(spark):
-    """Null embeddings must not crash Arrow-tier operators, zero-norm
-    cosine must be NULL (never NaN, which Spark ranks above all doubles),
-    and string ids must work in brute-force top-k."""
+    """Null embeddings must not crash Arrow-tier operators; zero-norm
+    vectors are NEVER ranked by any tier (unified convention: cosine
+    undefined → NULL in cosine_pairs_arrow, excluded from brute-force
+    partial top-k); string ids must work in brute-force top-k."""
     from ensembl_datacheck_spark.operators.similarity import (
         brute_force_topk,
         embedding_near_duplicates,
@@ -322,9 +323,11 @@ def test_similarity_null_and_zero_vectors(spark):
             ("n", None), ("c", [0.0, 1.0])]
     df = spark.createDataFrame(rows, "vec_id string, embedding array<float>")
     got = brute_force_topk(df, df.filter(F.col("vec_id") == "a"), k=3).collect()
-    # zero vector ranks by cosine 0 (tied with orthogonal c; id tie-break)
-    assert [r["neighbor_id"] for r in got] == ["b", "c", "z"]
-    assert got[0]["cosine"] > 0.9 and got[2]["cosine"] == 0.0
+    # zero vector is excluded (cosine undefined), null row is excluded
+    assert [r["neighbor_id"] for r in got] == ["b", "c"]
+    assert got[0]["cosine"] > 0.9 and got[1]["cosine"] == 0.0
+    # a zero-norm QUERY yields no rows rather than arbitrary rankings
+    assert brute_force_topk(df, df.filter(F.col("vec_id") == "z"), k=3).count() == 0
 
     near = embedding_near_duplicates(df, dim=2, min_cosine=0.5, n_planes=1)
     pairs = {(r["id_a"], r["id_b"]) for r in near.collect()}
@@ -346,10 +349,9 @@ def test_salted_distinct_ignores_nulls(spark):
            exact_count_distinct_salted(df, "g", "v", n_salt=4).collect()}
     want = {r["g"]: r["n"] for r in
             df.groupBy("g").agg(F.countDistinct("v").alias("n")).collect()}
-    assert got.get("a") == 1 and "b" not in got or got.get("b", 0) == 0
-    for g, n in want.items():
-        if n:
-            assert got[g] == n
+    # full GROUP BY parity: all-NULL groups are PRESENT with count 0
+    assert got == want
+    assert got["b"] == 0
 
 
 def test_drift_window_zero_baseline_parity(spark):
@@ -366,3 +368,101 @@ def test_drift_window_zero_baseline_parity(spark):
     viol = category_drift_violations(cur, base, "cat", tol, "n", "n").collect()
     assert viol == []  # no change anywhere, incl. the 0->0 category
     assert not tol.violated(0, 0)
+
+
+def test_jaccard_frequency_cap_degenerate_corpus(spark):
+    """A stop-word-ish shingle shared by the whole corpus must NOT fan
+    the self-join out quadratically: 5k copies of one doc emit zero
+    pairs under the default cap (their shingles exceed max_df and are
+    dropped from the filtered universe), while rare near-dup pairs
+    survive untouched."""
+    rows = [(i, "alpha beta gamma delta epsilon zeta eta theta")
+            for i in range(5_000)]
+    rows += [
+        (10_000, "unique doc about spark adaptive query execution planning"),
+        (10_001, "unique doc about spark adaptive query execution planner"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = dedup.jaccard_pairs(df, "doc_id", "text", ngram=3, max_df=100)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in out.collect()}
+    assert len(pairs) <= 10  # NOT ~12.5M
+    assert pairs[(10_000, 10_001)] > 0.5
+
+
+def test_simhash_degenerate_bucket_linear_output(spark):
+    """k identical docs land in one band bucket; the capped hub-spoke
+    pairing emits O(k + cap²) rows, not k²/2, and connected components
+    still recover the single full cluster through the hub."""
+    from ensembl_datacheck_spark.operators.clusters import connected_components
+
+    k = 500
+    df = spark.createDataFrame(
+        [(i, "identical content repeated across the corpus many times over")
+         for i in range(k)],
+        "doc_id long, text string",
+    )
+    out = dedup.simhash_near_duplicates(df, "doc_id", "text").cache()
+    n = out.count()
+    assert n < 15_000  # k²/2 = 124_750 without the cap
+    labels = connected_components(out.select("id_a", "id_b"))
+    assert labels.select("node").distinct().count() == k
+    assert labels.select("component").distinct().count() == 1
+    # simhash values still attached and identical across the cluster
+    assert out.select("simhash_a").distinct().count() == 1
+
+
+def test_embedding_near_dup_degenerate_bucket(spark):
+    """k identical vectors: capped pairing keeps output linear-ish while
+    the hub preserves full-cluster connectivity."""
+    from ensembl_datacheck_spark.operators.clusters import connected_components
+
+    k = 300
+    vec = [1.0, 0.5, -0.25, 2.0]
+    df = spark.createDataFrame(
+        [(i, vec) for i in range(k)], "vec_id long, embedding array<double>"
+    )
+    out = similarity.embedding_near_duplicates(
+        df, dim=4, min_cosine=0.99, n_planes=4
+    ).cache()
+    n = out.count()
+    assert 0 < n < 12_000  # C(300,2) = 44_850 without the cap
+    labels = connected_components(out.select("id_a", "id_b"))
+    assert labels.select("node").distinct().count() == k
+    assert labels.select("component").distinct().count() == 1
+
+
+def test_asof_join_null_key_never_matches(spark):
+    """NULL `by` keys never match (oracle semantics: DuckDB ASOF JOIN
+    equi-condition / pandas merge_asof) — even though Spark windows
+    group NULL partition keys together."""
+    from ensembl_datacheck_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(None, "2024-01-01 12:00:00", "Lnull"),
+         (1, "2024-01-01 12:00:00", "L1")],
+        "uid long, ts string, tag string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(None, "2024-01-01 10:00:00", 999),
+         (1, "2024-01-01 10:00:00", 100)],
+        "uid long, ts string, snap long",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {r["tag"]: r["snap"] for r in asof_join(
+        left, right, by=["uid"], right_cols=["snap"]).collect()}
+    assert got == {"Lnull": None, "L1": 100}
+
+
+def test_read_table_csv_infers_schema(spark, tmp_path):
+    """Schema-less csv reads must infer numeric types (not load every
+    column as string and silently corrupt drift arithmetic)."""
+    from ensembl_datacheck_spark.sources.io import read_table
+
+    p = str(tmp_path / "t.csv")
+    spark.createDataFrame([("a", 1, 2.5)], "k string, n long, x double") \
+        .coalesce(1).write.option("header", "true").mode("overwrite").csv(p)
+    df = read_table(spark, p, fmt="csv")
+    types = dict(df.dtypes)
+    assert types["n"] in ("int", "bigint") and types["x"] == "double"
+    # explicit schema still wins (no inference scan)
+    df2 = read_table(spark, p, fmt="csv", schema="k string, n int, x double")
+    assert dict(df2.dtypes)["n"] == "int"
