@@ -463,3 +463,94 @@ def portable_minhash_candidates(
         .select("id_a", "id_b")
         .distinct()
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable SimHash (oracle-verifiable tier)
+# ---------------------------------------------------------------------------
+
+#: 60-bit simhash: per-word hash = first 15 hex chars of md5 (DuckDB can
+#: reproduce via CAST('0x'||substring(md5(w),1,15) AS BIGINT)); 60 bits
+#: keep every intermediate inside int64 on both engines.
+PORTABLE_SIMHASH_BITS = 60
+
+
+def portable_simhash(words_col: Column) -> Column:
+    """All-integer 60-bit SimHash, entirely JVM-side codegen (no UDF):
+    explode-free — computed per row over the word array via aggregate
+    expressions would need a HOF per bit; instead callers explode words
+    and use `portable_simhash_agg` (a groupBy aggregation)."""
+    raise NotImplementedError("use portable_simhash_agg on exploded words")
+
+
+def _portable_word_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def portable_simhash_signatures(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(id, simhash) — md5-based 60-bit SimHash over word occurrences
+    (occurrence-weighted, matching the Arrow tier's convention): explode
+    words → 60 conditional-sum aggregates per doc (one shuffle, map-side
+    partial agg, all codegen) → bit assembly.  Every step is exact
+    integer arithmetic reproducible by a SQL oracle."""
+    wh = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(words(F.col(text_col))).alias("w"),
+    ).select("id", _portable_word_hash(F.col("w")).alias("h"))
+    aggs = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(PORTABLE_SIMHASH_BITS)
+    ]
+    sums = wh.groupBy("id").agg(*aggs)
+    bit_terms = [
+        F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
+        for b in range(PORTABLE_SIMHASH_BITS)
+    ]
+    expr = bit_terms[0]
+    for t in bit_terms[1:]:
+        expr = expr + t
+    return sums.select("id", expr.cast("long").alias("simhash"))
+
+
+def portable_simhash_near_duplicates(
+    df: DataFrame, id_col: str, text_col: str, band_bits: int = 15
+) -> DataFrame:
+    """Near-dup candidates from the portable 60-bit SimHash: docs sharing
+    any of the 60/band_bits bands, paired through the capped hub-spoke
+    generator.  (id_a, id_b, simhash_a, simhash_b), oracle-verifiable
+    value for value."""
+    n_bands = PORTABLE_SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
+    sh = portable_simhash_signatures(df, id_col, text_col)
+    banded = sh.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * band_bits)
+                        .bitwiseAND(mask)
+                        .alias("v"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    )
+    pairs = bucket_candidate_pairs(banded)
+    return (
+        pairs.join(
+            sh.select(F.col("id").alias("id_a"), F.col("simhash").alias("simhash_a")),
+            "id_a",
+        )
+        .join(
+            sh.select(F.col("id").alias("id_b"), F.col("simhash").alias("simhash_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", "simhash_a", "simhash_b")
+    )

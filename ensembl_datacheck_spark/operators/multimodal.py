@@ -166,3 +166,46 @@ def gen_media_fixture(spark, n_rows: int = 64, n_partitions: int = 4) -> DataFra
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(n_partitions)
+
+
+PAYLOAD_FEATURES_SCHEMA = (
+    "media_id long, payload_bytes long, n_chars long, first_cp long, "
+    "payload_md5 string"
+)
+
+
+def payload_features(
+    df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
+) -> DataFrame:
+    """Portable (oracle-verifiable) feature tier over opaque binary
+    payloads: byte length, UTF-8 character count, first code point (−1
+    when empty), md5 hex digest — no codec required, so the full
+    mapInPandas plumbing (binary column → Arrow batch → feature rows) is
+    exercised AND every output value is reproducible by a SQL engine when
+    the payload is the UTF-8 encoding of a text column (strlen / length /
+    ascii / md5 in DuckDB)."""
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nbytes, nchars, firsts, digests = [], [], [], [], []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                raw = bytes(payload)
+                s = raw.decode("utf-8")
+                ids.append(mid)
+                nbytes.append(len(raw))
+                nchars.append(len(s))
+                firsts.append(ord(s[0]) if s else -1)
+                digests.append(hashlib.md5(raw).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "payload_bytes": nbytes,
+                    "n_chars": nchars,
+                    "first_cp": firsts,
+                    "payload_md5": digests,
+                }
+            )
+
+    return df.select(id_col, payload_col).mapInPandas(
+        extract, schema=PAYLOAD_FEATURES_SCHEMA
+    )

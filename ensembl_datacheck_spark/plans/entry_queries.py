@@ -1016,23 +1016,120 @@ def minhash_lsh_candidates_q(spark, sf_dir):
     )
 
 
+def _portable_simhash_oracle_sql(doc_bound: int = 80, band_bits: int = 15) -> str:
+    nb = dedup.PORTABLE_SIMHASH_BITS
+    bit_sums = ",\n             ".join(
+        f"sum(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(nb)
+    )
+    assemble = " + ".join(
+        f"(CASE WHEN b{b} > 0 THEN CAST({1 << b} AS BIGINT) ELSE 0 END)"
+        for b in range(nb)
+    )
+    n_bands = nb // band_bits
+    mask = (1 << band_bits) - 1
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, simhash, {b} AS band, "
+        f"(simhash >> {b * band_bits}) & {mask} AS v FROM sh"
+        for b in range(n_bands)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws
+      FROM documents WHERE doc_id < {doc_bound}
+    ),
+    wh AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(unnest(ws)), 1, 15)) AS BIGINT) AS h
+      FROM docs
+    ),
+    bits AS (
+      SELECT doc_id,
+             {bit_sums}
+      FROM wh GROUP BY doc_id
+    ),
+    sh AS (
+      SELECT doc_id, {assemble} AS simhash FROM bits
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                    CAST(b.doc_id AS BIGINT) AS id_b,
+                    a.simhash AS simhash_a, b.simhash AS simhash_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.v = b.v AND a.doc_id < b.doc_id
+    """
+
+
 @q("simhash_near_duplicates")
 def simhash_near_duplicates_q(spark, sf_dir):
-    """SimHash banding near-dup candidates (rows-only; Arrow-vectorized
-    signature UDF)."""
+    """Portable 60-bit md5-based SimHash banding near-dup candidates
+    (dedup.portable_simhash_near_duplicates): all-integer JVM-side bit
+    aggregation, capped hub-spoke pairing — oracle-verified value for
+    value (the Arrow xxhash tier remains the library fast path, covered
+    by pytest)."""
     t = _t(spark, sf_dir)
-    d = t["documents"].filter(F.col("doc_id") < 200)
-    return dedup.simhash_near_duplicates(d, "doc_id", "text", band_bits=16)
+    d = t["documents"].filter(F.col("doc_id") < 80)
+    return dedup.portable_simhash_near_duplicates(d, "doc_id", "text", band_bits=15)
 
 
-@q("ann_bruteforce_topk")
+ORACLES["simhash_near_duplicates"] = _portable_simhash_oracle_sql(80, 15)
+
+
+_ANN_COSINE_CTE = """
+    qv AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE vec_id < 10 AND embedding IS NOT NULL
+        AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+    ),
+    cv AS (
+      SELECT vec_id AS neighbor_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+    )
+"""
+
+
+@q(
+    "ann_bruteforce_topk",
+    f"""
+    WITH {_ANN_COSINE_CTE},
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM qv q CROSS JOIN cv c
+      WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
 def ann_bruteforce_topk_q(spark, sf_dir):
-    """Brute-force cosine top-5 for 10 query vectors (rows-only: float
-    ordering across engines is not hash-stable)."""
+    """Brute-force cosine top-5 for 10 query vectors.  The driver entry
+    returns INTEGER RANKS only (query_id, neighbor_id, rank): the ranking
+    is hash-stable across engines (cosine gaps between distinct random
+    vectors dwarf float-summation noise; exact ties break by neighbor_id
+    on both sides), while raw cosine doubles would not be bit-identical."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.brute_force_topk(emb, queries, k=5)
+    return similarity.brute_force_topk(emb, queries, k=5).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
 
 
 def _embedding_dim(emb) -> int | None:
@@ -1040,42 +1137,140 @@ def _embedding_dim(emb) -> int | None:
     return None if row is None else len(row[0])
 
 
+def _ann_lsh_oracle_sql(dim: int = 64, n_planes: int = 8, k: int = 5) -> str:
+    """LSH oracle with the hyperplane matrix embedded as double literals
+    (same rng seed as similarity.random_planes) — bucket assignment and
+    cosine rerank recomputed entirely in SQL; integer ranks compared."""
+    P = similarity.random_planes(dim, n_planes, seed=42)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in P[i])
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH {_ANN_COSINE_CTE},
+    qb AS (SELECT query_id, v, {bucket_terms} AS bucket FROM qv),
+    cb AS (SELECT neighbor_id, v, {bucket_terms} AS bucket FROM cv),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(q.v, c.v)
+               / (sqrt(list_dot_product(q.v, q.v))
+                  * sqrt(list_dot_product(c.v, c.v))) AS cosine
+      FROM qb q JOIN cb c ON q.bucket = c.bucket
+      WHERE q.query_id <> c.neighbor_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {k}
+    """
+
+
 @q("ann_lsh_topk")
 def ann_lsh_topk_q(spark, sf_dir):
-    """LSH-bucketed ANN top-5 (rows-only)."""
+    """LSH-bucketed ANN top-5, oracle-verified: the plane matrix is
+    shared (seed 42) between the Spark Arrow signature UDF and the
+    DuckDB oracle's embedded literals; integer ranks compared (see
+    ann_bruteforce_topk on why ranks, not cosines)."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     dim = _embedding_dim(emb)
     if dim is None:  # empty/all-null table: empty result, not a crash
         return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, cosine double, rank int")
+            [], "query_id long, neighbor_id long, rank long")
     queries = emb.filter(F.col("vec_id") < 10)
-    return similarity.lsh_topk(emb, queries, dim=dim, k=5, n_planes=8)
+    return similarity.lsh_topk(emb, queries, dim=dim, k=5, n_planes=8).select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank")
+    )
+
+
+ORACLES["ann_lsh_topk"] = _ann_lsh_oracle_sql(64, 8, 5)
+
+
+def _embedding_neardup_oracle_sql(
+    dim: int = 64, n_planes: int = 6, min_cosine: float = 0.8
+) -> str:
+    P = similarity.random_planes(dim, n_planes, seed=42)
+    bucket_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in P[i])
+        + f"]) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+    WITH cv AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+      WHERE embedding IS NOT NULL
+        AND list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+                             list_transform(embedding, x -> CAST(x AS DOUBLE))) > 0
+    ),
+    sig AS (SELECT id, v, {bucket_terms} AS bucket FROM cv)
+    SELECT DISTINCT a.id AS id_a, b.id AS id_b
+    FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.id < b.id
+    WHERE list_dot_product(a.v, b.v)
+            / (sqrt(list_dot_product(a.v, a.v))
+               * sqrt(list_dot_product(b.v, b.v))) >= {min_cosine}
+    """
 
 
 @q("embedding_near_duplicates")
 def embedding_near_duplicates_q(spark, sf_dir):
-    """Embedding-cosine near-dup pairs via hyperplane LSH (rows-only)."""
+    """Embedding-cosine near-dup pairs via hyperplane LSH, oracle-verified
+    on the pair set (cosine doubles are dropped from the driver output —
+    not bit-identical across engines; the ≥ threshold decision is, for
+    non-boundary data).  Plane matrix shared with the oracle (seed 42)."""
     t = _t(spark, sf_dir)
     emb = t["embeddings"]
     dim = _embedding_dim(emb)
     if dim is None:
-        return spark.createDataFrame([], "id_a long, id_b long, cosine double")
+        return spark.createDataFrame([], "id_a long, id_b long")
+    # threshold 0.35 (not the 0.9-ish production default): the synthetic
+    # embeddings are near-orthogonal random vectors (max pairwise cosine
+    # ~0.51 at sf0.01), so a realistic threshold would make the oracle a
+    # trivial empty-vs-empty pass; 0.35 yields a non-trivial pair set
     return similarity.embedding_near_duplicates(
-        emb, dim=dim, min_cosine=0.8, n_planes=6
-    )
+        emb, dim=dim, min_cosine=0.35, n_planes=6
+    ).select("id_a", "id_b")
 
 
-@q("multimodal_image_features")
+ORACLES["embedding_near_duplicates"] = _embedding_neardup_oracle_sql(64, 6, 0.35)
+
+
+@q(
+    "multimodal_image_features",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS media_id,
+           CAST(strlen(text) AS BIGINT) AS payload_bytes,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(CASE WHEN length(text) = 0 THEN -1
+                ELSE ascii(substring(text, 1, 1)) END AS BIGINT) AS first_cp,
+           md5(text) AS payload_md5
+    FROM documents WHERE doc_id < 64
+    """,
+)
 def multimodal_image_features(spark, sf_dir):
-    """Multimodal tier (rows-only: binary payloads, deterministic fake
-    decoder): image feature extraction over opaque binary columns via
-    mapInPandas (operators/multimodal.py) — the sf_dir tables carry no
-    media, so the deterministic fixture generator supplies the input."""
+    """Multimodal binary-column plumbing, oracle-verified: payloads are
+    the UTF-8 bytes of documents.text treated as opaque media blobs and
+    pushed through the real mapInPandas feature stage
+    (operators/multimodal.py payload_features — binary column → Arrow
+    batches → feature rows); every feature (byte length, char count,
+    first code point, md5) is recomputable by DuckDB from the text.  The
+    codec-backed tier (image_features with fake/real decoders) remains
+    pytest-covered."""
     from ensembl_datacheck_spark.operators import multimodal as MM
 
-    media = MM.gen_media_fixture(spark, n_rows=96, n_partitions=4)
-    return MM.image_features(media.filter(F.col("modality") == "image"))
+    t = _t(spark, sf_dir)
+    media = t["documents"].filter(F.col("doc_id") < 64).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return MM.payload_features(media)
 
 
 @q("rolling_fingerprints")
