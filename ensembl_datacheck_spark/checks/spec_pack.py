@@ -1,0 +1,240 @@
+"""Declarative check-spec pack: the authoring layer that closes the gap
+to the reference's 267 ready-made Checks/*.pm files.
+
+The reference ships hundreds of small named checks that are all instances
+of a handful of shapes (meta-key completeness CompareMetaKeys.pm:99-144,
+meta-key cardinality MetaKeyCardinality.pm:44-85, tag presence/comparison
+Test/Compara.pm:62-146, duplicated-column sync Test/DataCheck.pm:442-470).
+Here each shape is a frozen dataclass; `register_spec` compiles a spec
+into a registered CheckSpec whose body builds the DataFrame plan through
+the existing assertion primitives — authoring a new named check is one
+declaration, no new plan code.
+
+A default pack over the synthetic `meta` tag table (sources.synth
+gen_meta) is registered at import, mirroring how the reference's index
+ships with its standard battery.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark import assertions as A
+from ensembl_datacheck_spark.registry import register
+from ensembl_datacheck_spark.sources.synth import (
+    META_REQUIRED_KEYS,
+    META_SINGLETON_KEYS,
+)
+
+
+@dataclass(frozen=True)
+class TagRequirementSpec:
+    """Every entity carries all required tag keys (has_tags,
+    Test/Compara.pm:62-97; CompareMetaKeys.pm:99-144)."""
+
+    name: str
+    description: str
+    table: str
+    entity_col: str
+    tag_col: str
+    required: tuple[str, ...]
+    groups: tuple[str, ...] = ("meta",)
+    severity: str = "critical"
+
+
+@dataclass(frozen=True)
+class CardinalitySpec:
+    """Singleton tag keys appear at most ``max_count`` times per entity
+    (MetaKeyCardinality.pm:44-85)."""
+
+    name: str
+    description: str
+    table: str
+    entity_col: str
+    tag_col: str
+    singleton_keys: tuple[str, ...]
+    max_count: int = 1
+    groups: tuple[str, ...] = ("meta",)
+    severity: str = "critical"
+
+
+@dataclass(frozen=True)
+class TagValueSpec:
+    """A tag's numeric value satisfies ``value <op> expected`` for every
+    entity carrying it (cmp_tag, Test/Compara.pm:109-146).  Several
+    (op, expected) clauses become several assertions in one check."""
+
+    name: str
+    description: str
+    table: str
+    entity_col: str
+    tag_col: str
+    value_col: str
+    tag_key: str
+    clauses: tuple[tuple[str, float], ...]
+    groups: tuple[str, ...] = ("meta",)
+    severity: str = "critical"
+
+
+@dataclass(frozen=True)
+class DenormalizedSpec:
+    """A value duplicated across two tables stays in sync
+    (Test/DataCheck.pm:442-470)."""
+
+    name: str
+    description: str
+    table1: str
+    key1: str
+    val1: str  # column expression source; see val1_builder in body
+    table2: str
+    key2: str
+    val2: str
+    # optional pre-filter applied to table1 (e.g. select one tag key)
+    table1_filter: tuple[str, str] | None = None  # (col, value)
+    cast: str | None = None  # cast both value sides before comparing
+    groups: tuple[str, ...] = ("meta",)
+    severity: str = "critical"
+
+
+def register_spec(spec, registry=None) -> None:
+    """Compile a declarative spec into a registered check."""
+    kw = {"_registry": registry} if registry is not None else {}
+
+    if isinstance(spec, TagRequirementSpec):
+
+        def body(ctx, spec=spec):
+            t = ctx.table(spec.table)
+            ctx.record(
+                A.has_tags(
+                    t, spec.entity_col, spec.tag_col, list(spec.required),
+                    f"{spec.name}_required_tags",
+                ),
+                key_col=spec.entity_col,
+            )
+
+        tables = (spec.table,)
+    elif isinstance(spec, CardinalitySpec):
+
+        def body(ctx, spec=spec):
+            t = ctx.table(spec.table)
+            viol = (
+                t.filter(F.col(spec.tag_col).isin(*spec.singleton_keys))
+                .groupBy(spec.entity_col, spec.tag_col)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > spec.max_count)
+            )
+            ctx.record(
+                A.is_rows_zero(viol, f"{spec.name}_cardinality"),
+                key_col=spec.entity_col,
+            )
+
+        tables = (spec.table,)
+    elif isinstance(spec, TagValueSpec):
+
+        def body(ctx, spec=spec):
+            t = ctx.table(spec.table).filter(F.col(spec.tag_col) == spec.tag_key)
+            vals = t.select(
+                spec.entity_col,
+                F.col(spec.value_col).cast("double").alias("__v"),
+            )
+            for op, expected in spec.clauses:
+                ctx.record(
+                    A.cmp_tag(vals, "__v", op, expected,
+                              f"{spec.name}_{spec.tag_key}_{op}_{expected}"),
+                    key_col=spec.entity_col,
+                )
+
+        tables = (spec.table,)
+    elif isinstance(spec, DenormalizedSpec):
+
+        def body(ctx, spec=spec):
+            t1 = ctx.table(spec.table1)
+            if spec.table1_filter is not None:
+                col, value = spec.table1_filter
+                t1 = t1.filter(F.col(col) == value)
+            t2 = ctx.table(spec.table2)
+            if spec.cast:
+                t1 = t1.withColumn(spec.val1, F.col(spec.val1).cast(spec.cast))
+                t2 = t2.withColumn(spec.val2, F.col(spec.val2).cast(spec.cast))
+            ctx.record(
+                A.denormalized(
+                    t1, spec.key1, spec.val1, t2, spec.key2, spec.val2,
+                    f"{spec.name}_sync",
+                ),
+                key_col=spec.key1,
+            )
+
+        tables = (spec.table1, spec.table2)
+    else:  # pragma: no cover - authoring error
+        raise TypeError(f"unknown spec type {type(spec).__name__}")
+
+    register(
+        spec.name,
+        spec.description,
+        groups=spec.groups,
+        severity=spec.severity,
+        tables=tables,
+        **kw,
+    )(body)
+
+
+#: The default pack (reference kin in each description).  Authoring a new
+#: named check = appending one declaration here.
+DEFAULT_PACK = (
+    TagRequirementSpec(
+        name="MetaKeyRequired",
+        description=(
+            "Every meta entity carries the required keys "
+            f"{', '.join(META_REQUIRED_KEYS)} (CompareMetaKeys.pm:99-144; "
+            "has_tags Test/Compara.pm:62-97)"
+        ),
+        table="meta",
+        entity_col="entity_id",
+        tag_col="meta_key",
+        required=tuple(META_REQUIRED_KEYS),
+    ),
+    CardinalitySpec(
+        name="MetaKeyCardinality",
+        description=(
+            "Singleton meta keys appear at most once per entity "
+            "(MetaKeyCardinality.pm:44-85)"
+        ),
+        table="meta",
+        entity_col="entity_id",
+        tag_col="meta_key",
+        singleton_keys=tuple(META_SINGLETON_KEYS),
+    ),
+    TagValueSpec(
+        name="MetaWeightRange",
+        description=(
+            "source.weight meta values lie in [0, 1] (cmp_tag "
+            "Test/Compara.pm:109-146)"
+        ),
+        table="meta",
+        entity_col="entity_id",
+        tag_col="meta_key",
+        value_col="meta_value",
+        tag_key="source.weight",
+        clauses=((">=", 0.0), ("<=", 1.0)),
+    ),
+    DenormalizedSpec(
+        name="MetaWeightSync",
+        description=(
+            "source.weight meta value equals sources.weight_expected — "
+            "duplicated-column sync (Test/DataCheck.pm:442-470)"
+        ),
+        table1="meta",
+        key1="entity_id",
+        val1="meta_value",
+        table2="sources",
+        key2="source",
+        val2="weight_expected",
+        table1_filter=("meta_key", "source.weight"),
+        cast="double",
+    ),
+)
+
+for _spec in DEFAULT_PACK:
+    register_spec(_spec)

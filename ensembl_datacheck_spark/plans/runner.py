@@ -179,8 +179,13 @@ class Runner:
         return bucket_col(self.bucket_key, self.n_buckets)
 
     def rows_per_bucket(self) -> dict[int, int]:
-        """One groupBy-count per run, shared by all checkpoint rows."""
+        """One groupBy-count per run, shared by all checkpoint rows.
+        Runs without the fact table (e.g. a meta-only spec-pack suite)
+        report no per-bucket row counts rather than failing."""
         if self._rows_per_bucket is None:
+            if self.fact_table not in self.tables:
+                self._rows_per_bucket = {}
+                return self._rows_per_bucket
             rows = (
                 self.tables[self.fact_table]
                 .groupBy(self._bucket().alias("b"))

@@ -185,7 +185,10 @@ def register(
             on_demand=on_demand,
             row_predicates=row_predicates,
         )
-        (_registry or registry).add(spec)
+        # NOT `_registry or registry`: an empty Registry has len 0 and is
+        # falsy, which would silently reroute the first spec of a private
+        # registry into the global one
+        (registry if _registry is None else _registry).add(spec)
         fn.spec = spec
         return fn
 

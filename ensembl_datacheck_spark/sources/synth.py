@@ -239,3 +239,103 @@ def gen_baseline_stats(
         F.col("count").cast("double").alias("value"),
     )
     return n_tok_hist.unionByName(src_counts)
+
+
+# meta-table injected-violation constants (spec-pack checks): which
+# entities carry which defect — exact expected counts for tests
+META_MISSING_KEY_ENTITY = "src_03"    # loses its required 'source.weight'
+META_DUP_KEY_ENTITY = "src_05"        # singleton 'source.active' twice
+META_DESYNC_ENTITY = "src_07"         # meta weight != sources.weight_expected
+META_RANGE_ENTITY = "src_09"          # weight tag outside [0, 1]
+
+#: keys every entity must carry (CompareMetaKeys.pm-style completeness)
+META_REQUIRED_KEYS = ("source.name", "source.weight", "source.active")
+#: keys allowed at most once per entity (MetaKeyCardinality.pm:44-85)
+META_SINGLETON_KEYS = ("source.name", "source.weight", "source.active")
+
+
+def gen_meta(
+    spark: SparkSession,
+    sources: DataFrame,
+    inject_violations: bool = True,
+) -> DataFrame:
+    """The `meta` tag table (entity_id, meta_key, meta_value) — the
+    analogue of the reference's meta/method_link_species_set_tag tables
+    that MetaKeyCardinality.pm / CompareMetaKeys.pm / Test::Compara
+    has_tags+cmp_tag validate.  One entity per source row; values are
+    strings (the reference's meta_value is VARCHAR).  With
+    ``inject_violations`` four entities carry one known defect each (see
+    META_*_ENTITY constants)."""
+    m = sources.select(
+        F.col("source").alias("entity_id"),
+        F.col("weight_expected"),
+        F.col("active"),
+    )
+    rows = (
+        m.select(
+            "entity_id",
+            F.lit("source.name").alias("meta_key"),
+            F.col("entity_id").alias("meta_value"),
+        )
+        .unionByName(
+            m.select(
+                "entity_id",
+                F.lit("source.weight").alias("meta_key"),
+                F.col("weight_expected").cast("string").alias("meta_value"),
+            )
+        )
+        .unionByName(
+            m.select(
+                "entity_id",
+                F.lit("source.active").alias("meta_key"),
+                F.col("active").cast("string").alias("meta_value"),
+            )
+        )
+        # multi-valued key: aliases are legitimately repeated (cardinality
+        # checks must NOT flag keys outside the singleton list)
+        .unionByName(
+            m.select(
+                "entity_id",
+                F.lit("source.alias").alias("meta_key"),
+                F.concat(F.lit("alias_a_"), F.col("entity_id")).alias("meta_value"),
+            )
+        )
+        .unionByName(
+            m.select(
+                "entity_id",
+                F.lit("source.alias").alias("meta_key"),
+                F.concat(F.lit("alias_b_"), F.col("entity_id")).alias("meta_value"),
+            )
+        )
+    )
+    if not inject_violations:
+        return rows
+    rows = rows.filter(
+        ~(
+            (F.col("entity_id") == META_MISSING_KEY_ENTITY)
+            & (F.col("meta_key") == "source.weight")
+        )
+    )
+    extra = spark.createDataFrame(
+        [
+            (META_DUP_KEY_ENTITY, "source.active", "false"),
+        ],
+        "entity_id string, meta_key string, meta_value string",
+    )
+    rows = rows.unionByName(extra)
+    # desync + out-of-range rewrites on the weight tag
+    rows = rows.withColumn(
+        "meta_value",
+        F.when(
+            (F.col("entity_id") == META_DESYNC_ENTITY)
+            & (F.col("meta_key") == "source.weight"),
+            F.lit("0.123456789"),
+        )
+        .when(
+            (F.col("entity_id") == META_RANGE_ENTITY)
+            & (F.col("meta_key") == "source.weight"),
+            F.lit("1.5"),
+        )
+        .otherwise(F.col("meta_value")),
+    )
+    return rows

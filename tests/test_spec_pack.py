@@ -1,0 +1,106 @@
+"""Declarative spec-pack checks (meta-key completeness / cardinality /
+tag-value / denormalized sync) against the synthetic meta table with
+known injected defects."""
+
+from __future__ import annotations
+
+import pytest
+
+from ensembl_datacheck_spark import registry
+from ensembl_datacheck_spark.plans.runner import Runner
+from ensembl_datacheck_spark.sources import synth
+from ensembl_datacheck_spark.verdict import Status
+import ensembl_datacheck_spark.checks  # noqa: F401  (registers suite)
+
+PACK_NAMES = ["MetaKeyRequired", "MetaKeyCardinality", "MetaWeightRange",
+              "MetaWeightSync"]
+
+
+def _pack_specs():
+    return registry.select(names=PACK_NAMES)
+
+
+@pytest.fixture(scope="module")
+def meta_world(spark):
+    sources = synth.gen_sources(spark)
+    return {
+        "sources": sources,
+        "meta": synth.gen_meta(spark, sources).cache(),
+        "meta_clean": synth.gen_meta(spark, sources,
+                                     inject_violations=False).cache(),
+    }
+
+
+def _run(spark, tables):
+    runner = Runner(spark, tables, n_buckets=8)
+    summary = runner.run(_pack_specs())
+    return {r.check_name: r for r in summary.results}
+
+
+def test_pack_registered_in_default_suite():
+    names = {s.name for s in registry.default_suite()}
+    assert set(PACK_NAMES) <= names
+
+
+def test_clean_meta_all_ok(spark, meta_world):
+    res = _run(spark, {"sources": meta_world["sources"],
+                       "meta": meta_world["meta_clean"]})
+    assert {n: r.status for n, r in res.items()} == {
+        n: Status.OK for n in PACK_NAMES
+    }
+
+
+def test_injected_defects_detected_with_exact_counts(spark, meta_world):
+    res = _run(spark, {"sources": meta_world["sources"],
+                       "meta": meta_world["meta"]})
+    assert all(r.status == Status.FAIL for r in res.values())
+    # one entity lost a required key
+    assert res["MetaKeyRequired"].n_violations == 1
+    assert any(synth.META_MISSING_KEY_ENTITY in d
+               for a in res["MetaKeyRequired"].assertions for d in a.diag)
+    # one entity carries a singleton key twice
+    assert res["MetaKeyCardinality"].n_violations == 1
+    assert any(synth.META_DUP_KEY_ENTITY in d
+               for a in res["MetaKeyCardinality"].assertions for d in a.diag)
+    # one weight out of [0,1]
+    assert res["MetaWeightRange"].n_violations == 1
+    assert any(synth.META_RANGE_ENTITY in d
+               for a in res["MetaWeightRange"].assertions for d in a.diag)
+    # desynced weight on src_07 plus the out-of-range rewrite on src_09
+    assert res["MetaWeightSync"].n_violations == 2
+    diags = [d for a in res["MetaWeightSync"].assertions for d in a.diag]
+    assert any(synth.META_DESYNC_ENTITY in d for d in diags)
+    assert any(synth.META_RANGE_ENTITY in d for d in diags)
+
+
+def test_missing_meta_table_skips(spark, meta_world):
+    res = _run(spark, {"sources": meta_world["sources"]})
+    assert all(r.status == Status.SKIP for r in res.values())
+    assert all("meta" in (r.skip_reason or "") for r in res.values())
+
+
+def test_register_spec_is_reusable_authoring_api(spark, meta_world):
+    """A user-authored spec registers into a private registry and runs."""
+    from ensembl_datacheck_spark.checks.spec_pack import (
+        CardinalitySpec,
+        register_spec,
+    )
+    from ensembl_datacheck_spark.registry import Registry
+
+    reg = Registry()
+    register_spec(
+        CardinalitySpec(
+            name="AliasAtMostTwice",
+            description="aliases capped at 2 per entity",
+            table="meta",
+            entity_col="entity_id",
+            tag_col="meta_key",
+            singleton_keys=("source.alias",),
+            max_count=2,
+        ),
+        registry=reg,
+    )
+    runner = Runner(spark, {"meta": meta_world["meta"]}, n_buckets=8)
+    summary = runner.run(reg.default_suite())
+    [r] = summary.results
+    assert r.check_name == "AliasAtMostTwice" and r.status == Status.OK
