@@ -182,21 +182,64 @@ def deterministic_centroids(
     n_lists: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    sample_factor: int = 20,
+    n_iter: int = 8,
+    seed: int = 42,
 ) -> np.ndarray:
-    """Deterministic centroid seed: the n_lists lowest-id normalized
-    vectors (k-means init left as a refinement; determinism matters more
-    for validation reproducibility)."""
+    """Deterministic spherical k-means centroids from a hash-ordered
+    sample.
+
+    Sample: the ``sample_factor * n_lists`` vectors with the smallest
+    xxhash64(id) — a deterministic pseudo-random sample that is
+    independent of physical partitioning (unlike `DataFrame.sample`,
+    whose draw depends on partition layout) and representative of the
+    data distribution (unlike the lowest-id rows).  Executed as a
+    TakeOrderedAndProject (per-partition top-n, no global sort
+    materialization), so driver cost is bounded by the sample size at
+    any corpus scale.
+
+    Refinement: seeded k-means++ init + ``n_iter`` Lloyd iterations in
+    numpy on the (normalized) sample — the sample-then-centralize
+    pattern used by IVF index builders; the full corpus is never
+    collected.  Empty clusters keep their previous centroid.  Fully
+    deterministic for a given (corpus ids, n_lists, seed)."""
+    n_samp = max(n_lists * sample_factor, n_lists)
     rows = (
         corpus.select(id_col, vec_col)
         .filter(F.col(vec_col).isNotNull())
-        .orderBy(id_col)
-        .limit(n_lists)
+        .orderBy(F.xxhash64(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_samp)
         .collect()
     )
-    m = np.array([r[vec_col] for r in rows], dtype=np.float64)
-    norms = np.linalg.norm(m, axis=1, keepdims=True)
-    norms[norms == 0] = 1.0
-    return m / norms
+    m = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+    X = _normalize_rows(m)
+    k = min(n_lists, len(X))
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding on the sample (cosine distance = 1 - dot on the
+    # unit sphere)
+    centroids = np.empty((k, X.shape[1]))
+    first = int(rng.integers(len(X)))
+    centroids[0] = X[first]
+    d2 = np.maximum(1.0 - X @ centroids[0], 0.0)
+    for j in range(1, k):
+        total = d2.sum()
+        if total <= 0:
+            centroids[j:] = X[rng.integers(len(X), size=k - j)]
+            break
+        probs = d2 / total
+        nxt = int(rng.choice(len(X), p=probs))
+        centroids[j] = X[nxt]
+        d2 = np.minimum(d2, np.maximum(1.0 - X @ centroids[j], 0.0))
+    for _ in range(n_iter):
+        assign = np.argmax(X @ centroids.T, axis=1)
+        for j in range(k):
+            members = X[assign == j]
+            if len(members):
+                c = members.mean(axis=0)
+                n = np.linalg.norm(c)
+                if n > 0:
+                    centroids[j] = c / n
+    return centroids
 
 
 def ivf_topk(

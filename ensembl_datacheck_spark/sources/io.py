@@ -92,7 +92,7 @@ class Catalog:
 
 
 #: formats the IO layer accepts everywhere a table path is taken.
-READABLE_FORMATS = ("parquet", "orc", "json", "csv")
+READABLE_FORMATS = ("parquet", "orc", "json", "csv", "jdbc")
 
 
 def read_table(
@@ -112,6 +112,30 @@ def read_table(
     """
     if fmt not in READABLE_FORMATS:
         raise ValueError(f"unsupported format {fmt!r}; one of {READABLE_FORMATS}")
+    if fmt == "jdbc":
+        # The reference's canonical source is a live MySQL server
+        # (DbCheck.pm:47-52 adaptor types); this arm is the direct
+        # migration path.  `path` is the JDBC URL; one of dbtable/query
+        # selects the relation.  For scale, callers pass
+        # partitionColumn/lowerBound/upperBound/numPartitions so the scan
+        # fans out across executors instead of one serialized cursor
+        # (the Spark-native answer to the reference's server-side
+        # mysql_use_result streaming, CheckJSONObjects.pm:52-57).
+        if not ("dbtable" in options or "query" in options):
+            raise ValueError(
+                "jdbc reads need a 'dbtable' or 'query' option"
+            )
+        if "partitionColumn" in options:
+            needed = {"lowerBound", "upperBound", "numPartitions"}
+            if not needed <= options.keys():
+                raise ValueError(
+                    "partitioned jdbc reads need all of partitionColumn/"
+                    "lowerBound/upperBound/numPartitions"
+                )
+        reader = spark.read.format("jdbc").option("url", path)
+        if schema is not None:
+            reader = reader.schema(schema)
+        return reader.options(**options).load()
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)

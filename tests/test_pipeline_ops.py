@@ -466,3 +466,89 @@ def test_read_table_csv_infers_schema(spark, tmp_path):
     # explicit schema still wins (no inference scan)
     df2 = read_table(spark, p, fmt="csv", schema="k string, n int, x double")
     assert dict(df2.dtypes)["n"] == "int"
+
+
+def test_ivf_centroids_kmeans_recall(spark):
+    """IVF with seeded-sample k-means centroids reaches recall@10 >= 0.9
+    vs brute force on a clustered corpus with nprobe < n_lists (the
+    lowest-id seeding this replaced could not: unrepresentative seeds
+    collapse most of the corpus into few lists)."""
+    import numpy as np
+
+    from ensembl_datacheck_spark.operators.similarity import (
+        brute_force_topk,
+        deterministic_centroids,
+        ivf_topk,
+    )
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((8, 16)) * 4
+    rows = []
+    for i in range(400):
+        c = centers[i % 8]
+        rows.append((i, [float(x) for x in c + 0.3 * rng.standard_normal(16)]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") < 8)
+
+    exact = brute_force_topk(emb, queries, k=10)
+    truth = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    approx = ivf_topk(emb, queries, k=10, n_lists=8, nprobe=2)
+    got = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.9, f"recall@10 = {recall}"
+
+    # determinism: same corpus, same seed -> identical centroids
+    c1 = deterministic_centroids(emb, 8)
+    c2 = deterministic_centroids(emb, 8)
+    assert np.array_equal(c1, c2)
+
+
+def test_read_table_jdbc_dispatch(spark):
+    """The jdbc arm builds the right reader config (no driver jar in the
+    container, so validate dispatch/required-option errors plus the
+    constructed reader state via a recording stub)."""
+    import pytest as _pytest
+
+    from ensembl_datacheck_spark.sources.io import read_table
+
+    with _pytest.raises(ValueError, match="dbtable"):
+        read_table(spark, "jdbc:mysql://h/db", fmt="jdbc")
+    with _pytest.raises(ValueError, match="partitionColumn"):
+        read_table(spark, "jdbc:mysql://h/db", fmt="jdbc", dbtable="t",
+                   partitionColumn="id")
+
+    calls = {}
+
+    class _Reader:
+        def format(self, f):
+            calls["format"] = f
+            return self
+
+        def option(self, k, v):
+            calls.setdefault("options", {})[k] = v
+            return self
+
+        def options(self, **kw):
+            calls.setdefault("options", {}).update(kw)
+            return self
+
+        def schema(self, s):
+            calls["schema"] = s
+            return self
+
+        def load(self):
+            calls["loaded"] = True
+            return "df"
+
+    class _Spark:
+        read = _Reader()
+
+    out = read_table(
+        _Spark(), "jdbc:mysql://h/db", fmt="jdbc", dbtable="t",
+        partitionColumn="id", lowerBound="0", upperBound="1000",
+        numPartitions="8",
+    )
+    assert out == "df" and calls["format"] == "jdbc" and calls["loaded"]
+    assert calls["options"]["url"] == "jdbc:mysql://h/db"
+    assert calls["options"]["dbtable"] == "t"
+    assert calls["options"]["numPartitions"] == "8"
