@@ -86,6 +86,10 @@ def bench_sequences_suite(spark, n_rows: int, n_buckets: int = 64):
                                 inject_violations=False),
         )
         clean_stats.write.mode("overwrite").parquet(f"{tmp}/baseline")
+        # NOTE: no `meta` table here — the seqs/sec protocol times the
+        # sequences fact-table families (BENCH/BASELINE.md); the meta
+        # spec-pack checks skip in microseconds and are covered by
+        # pytest + the verify drive
         tables = {
             "sequences": seq_disk,
             "sources": synth.gen_sources(spark),
@@ -120,6 +124,14 @@ def main():
     # worker pool, parquet footer cache — so the first timed query
     # measures the query, not session bring-up
     spark.range(1_000_000).selectExpr("sum(id)").collect()
+    # warm the Arrow python-worker pool too (mapInPandas/pandas_udf
+    # queries otherwise pay ~1-2 s of one-time worker fork + import in
+    # whichever headline query happens to run first)
+    import pandas as _pd
+
+    spark.range(10_000).mapInPandas(
+        lambda it: (b.assign(id=b["id"]) for b in it), "id long"
+    ).write.format("noop").mode("overwrite").save()
     from ensembl_datacheck_spark.plans.entry_queries import _t
 
     _consume(next(iter(_t(spark, sf_dir).values())).limit(1000))

@@ -371,10 +371,13 @@ def simhash_near_duplicates(
     (id_a, id_b, simhash_a, simhash_b) pairs."""
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
+    # signatures are reused three times (banding + two join-backs);
+    # cache the (id, simhash) table — 16 bytes/doc, the standard LSH
+    # signature-store pattern — instead of recomputing the UDF per use
     sh = df.select(
         F.col(id_col).alias("id"),
         simhash64(words(F.col(text_col))).alias("simhash"),
-    )
+    ).cache()
     banded = sh.select(
         "id",
         F.explode(
@@ -499,21 +502,21 @@ def portable_simhash_signatures(
         F.col(id_col).alias("id"),
         F.explode(words(F.col(text_col))).alias("w"),
     ).select("id", _portable_word_hash(F.col("w")).alias("h"))
+    # string expressions, not Column builders: 60 nested builder trees
+    # cost hundreds of py4j round trips per plan build (~1 s of driver
+    # latency); one parse call per expression keeps plan construction
+    # cheap.  ((h>>b)&1)*2-1 == the oracle's CASE WHEN bit=1 THEN 1
+    # ELSE -1, and the boolean-cast shift == its CASE WHEN sum>0 THEN 2^b.
     aggs = [
-        F.sum(
-            F.when(F.shiftright(F.col("h"), b).bitwiseAND(1) == 1, 1).otherwise(-1)
-        ).alias(f"b{b}")
+        F.expr(f"sum(((h >> {b}) & 1) * 2 - 1) AS b{b}")
         for b in range(PORTABLE_SIMHASH_BITS)
     ]
     sums = wh.groupBy("id").agg(*aggs)
-    bit_terms = [
-        F.when(F.col(f"b{b}") > 0, F.lit(1).cast("long") * (1 << b)).otherwise(0)
+    assemble = " + ".join(
+        f"(CAST(b{b} > 0 AS BIGINT) << {b})"
         for b in range(PORTABLE_SIMHASH_BITS)
-    ]
-    expr = bit_terms[0]
-    for t in bit_terms[1:]:
-        expr = expr + t
-    return sums.select("id", expr.cast("long").alias("simhash"))
+    )
+    return sums.selectExpr("id", f"({assemble}) AS simhash")
 
 
 def portable_simhash_near_duplicates(
@@ -525,7 +528,9 @@ def portable_simhash_near_duplicates(
     value for value."""
     n_bands = PORTABLE_SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
-    sh = portable_simhash_signatures(df, id_col, text_col)
+    # cache: the 60-aggregate signature subplan would otherwise run
+    # three times (banding + two join-backs)
+    sh = portable_simhash_signatures(df, id_col, text_col).cache()
     banded = sh.select(
         "id",
         F.explode(
