@@ -79,9 +79,20 @@ class CheckContext:
         self.n_buckets = n_buckets
 
     def table(self, name: str) -> DataFrame:
-        if name not in self.tables:
-            raise SkipCheck(f"required table '{name}' not available")
-        return self.tables[name]
+        if name in self.tables:
+            return self.tables[name]
+        if "." in name:
+            # cross-database lookup (S25): a qualified name resolves
+            # through the session catalog (io.register_database) — the
+            # analogue of the reference's get_dna_dba sibling-database
+            # fetch (DbCheck.pm:331-401)
+            try:
+                return self.spark.table(name)
+            except Exception as exc:  # AnalysisException: missing ns/table
+                raise SkipCheck(
+                    f"required table '{name}' not available ({exc.__class__.__name__})"
+                ) from exc
+        raise SkipCheck(f"required table '{name}' not available")
 
     def skip(self, reason: str) -> None:
         raise SkipCheck(reason)

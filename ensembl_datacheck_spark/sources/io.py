@@ -163,6 +163,38 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     }
 
 
+def register_database(
+    spark: SparkSession,
+    db: str,
+    tables: dict[str, str],
+    fmt: str = "parquet",
+) -> None:
+    """Register a NAMED database of external tables in the session
+    catalog — the cross-database surface (SURVEY S25): the reference
+    fetches sibling databases for the same species and joins across them
+    (DbCheck.pm:331-401 get_dna_dba; DataFilesExist.pm:167-184).  Here a
+    sibling database is a catalog namespace: each entry maps a table
+    name to its storage path, and any query or check addresses it as
+    ``db.table`` — joins across namespaces plan exactly like same-table
+    joins (Catalyst resolves both to scans; broadcast/pushdown apply
+    unchanged)."""
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    for name, path in tables.items():
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {db}.{name} "
+            f"USING {fmt} LOCATION '{path}'"
+        )
+
+
+def register_sf_database(spark: SparkSession, db: str, sf_dir: str) -> None:
+    """Register every driver test table under a namespace (one call per
+    'database' the way the reference points one DBAdaptor per db)."""
+    register_database(
+        spark, db,
+        {t: os.path.join(sf_dir, f"{t}.parquet") for t in SF_TABLES},
+    )
+
+
 def register_sf_views(spark: SparkSession, sf_dir: str) -> None:
     for name, df in load_sf_tables(spark, sf_dir).items():
         df.createOrReplaceTempView(name)

@@ -338,3 +338,59 @@ def test_concurrent_checkpoint_appends_from_separate_stores(spark, tmp_path):
     assert cp.count() == 16
     assert {r["check_name"] for r in cp.select("check_name").distinct().collect()} \
         == {"Check0", "Check1"}
+
+
+def test_cross_database_lookup_s25(spark, tmp_path):
+    """S25 full tier: named catalog namespaces + cross-database join +
+    checks resolving qualified table names through the session catalog."""
+    from pyspark.sql import functions as F
+
+    from ensembl_datacheck_spark.plans.runner import Runner
+    from ensembl_datacheck_spark.registry import Registry, register
+    from ensembl_datacheck_spark.sources.io import register_database
+
+    core = str(tmp_path / "core_nation")
+    func = str(tmp_path / "funcgen_counts")
+    spark.createDataFrame(
+        [(0, "ALGERIA"), (1, "ARGENTINA")], "n_nationkey long, n_name string"
+    ).write.mode("overwrite").parquet(core)
+    spark.createDataFrame(
+        [(0, 10), (1, 20), (7, 5)], "n_nationkey long, n_features long"
+    ).write.mode("overwrite").parquet(func)
+    register_database(spark, "coredb", {"nation": core})
+    register_database(spark, "funcgendb", {"counts": func})
+
+    # cross-namespace join, addressed by qualified names
+    joined = spark.table("funcgendb.counts").join(
+        spark.table("coredb.nation"), "n_nationkey", "left_anti"
+    )
+    assert [r["n_nationkey"] for r in joined.collect()] == [7]
+
+    # a check pulling a sibling-database table via ctx.table("db.table")
+    reg = Registry()
+
+    @register("CrossDbOrphans", "funcgen rows must reference core nations",
+              tables=("funcgendb.counts", "coredb.nation"), _registry=reg)
+    def body(ctx):
+        from ensembl_datacheck_spark import assertions as A
+
+        ctx.record(
+            A.fk(ctx.table("funcgendb.counts"), "n_nationkey",
+                 ctx.table("coredb.nation"), "n_nationkey",
+                 "funcgen_nation_fk"),
+            key_col="n_nationkey",
+        )
+
+    summary = Runner(spark, {}, n_buckets=4).run(reg.default_suite())
+    [res] = summary.results
+    assert res.status.value == "fail" and res.n_violations == 1
+
+    # missing namespace -> skip with reason, not a crash
+    @register("MissingDb", "absent namespace skips",
+              tables=("nosuchdb.t",), _registry=reg)
+    def body2(ctx):
+        ctx.table("nosuchdb.t")
+
+    summary2 = Runner(spark, {}, n_buckets=4).run(reg.select(names=["MissingDb"]))
+    [res2] = summary2.results
+    assert res2.status.value == "skip" and "nosuchdb.t" in res2.skip_reason
