@@ -106,19 +106,17 @@ MH_COEFFS = [mh_coeff(j) for j in range(8)]
 def _min_sig_agg(sh: DataFrame, n_hashes: int) -> DataFrame:
     """(id, sig array<long>) from exploded (id, h) shingle hashes: one
     groupBy(id) with n_hashes plain `min` aggregates — all codegen,
-    map-side partial aggregation, shuffle carries signature rows."""
+    map-side partial aggregation, shuffle carries signature rows.
+    String expressions (one SQL parse each) rather than nested Column
+    builders: 64 builder trees cost hundreds of py4j round trips of
+    driver latency per plan build."""
     aggs = []
     for j in range(n_hashes):
         a, b = mh_coeff(j)
-        aggs.append(
-            F.min(F.pmod(F.col("h") * F.lit(a) + F.lit(b), F.lit(MH_PRIME))).alias(
-                f"mh{j}"
-            )
-        )
+        aggs.append(F.expr(f"min(pmod(h * {a} + {b}, {MH_PRIME})) AS mh{j}"))
     grouped = sh.groupBy("id").agg(*aggs)
-    return grouped.select(
-        "id", F.array(*[F.col(f"mh{j}") for j in range(n_hashes)]).alias("sig")
-    )
+    sig = "array(" + ", ".join(f"mh{j}" for j in range(n_hashes)) + ")"
+    return grouped.selectExpr("id", f"{sig} AS sig")
 
 
 def minhash_signatures(
@@ -142,27 +140,43 @@ def minhash_signatures(
     return _min_sig_agg(sh, n_hashes)
 
 
-def lsh_band_keys(signature: Column, n_bands: int, rows_per_band: int) -> Column:
+def lsh_band_keys(
+    signature: Column | str, n_bands: int, rows_per_band: int
+) -> Column:
     """Band the signature: key_i = (i, hash(sig[i*r : (i+1)*r])).  Docs
     sharing any band key are candidate pairs (standard MinHash-LSH
-    banding; threshold ≈ (1/b)^(1/r))."""
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.xxhash64(
-                    F.concat_ws(
-                        ",",
-                        F.transform(
-                            F.slice(signature, b * rows_per_band + 1, rows_per_band),
-                            lambda x: x.cast("string"),
-                        ),
-                    )
-                ).alias("bucket"),
-            )
-            for b in range(n_bands)
-        ]
+    banding; threshold ≈ (1/b)^(1/r)).  Built as ONE parsed SQL
+    expression — n_bands nested builder trees would cost a py4j round
+    trip per node at plan-build time."""
+    sig = signature if isinstance(signature, str) else None
+    if sig is None:
+        # Column input (legacy callers): fall back to the builder path
+        return F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    signature, b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ).alias("bucket"),
+                )
+                for b in range(n_bands)
+            ]
+        )
+    entries = ", ".join(
+        f"named_struct('band', {b}, 'bucket', "
+        f"xxhash64(concat_ws(',', transform(slice({sig}, {b * rows_per_band + 1}, "
+        f"{rows_per_band}), x -> cast(x AS string)))))"
+        for b in range(n_bands)
     )
+    return F.expr(f"array({entries})")
 
 
 def bucket_candidate_pairs(banded: DataFrame, cap: int = 100) -> DataFrame:
@@ -231,7 +245,7 @@ def minhash_lsh_candidates(
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(df, id_col, text_col, ngram, n_hashes)
     banded = sig.select(
-        "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+        "id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("bk")
     )
     return bucket_candidate_pairs(banded)
 

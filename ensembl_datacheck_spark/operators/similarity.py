@@ -122,21 +122,30 @@ def lsh_topk(
     k: int = 10,
     n_planes: int = 12,
     seed: int = 42,
+    multiprobe: int = 0,
 ) -> DataFrame:
     """LSH-bucketed ANN: corpus and queries hashed into 2^n_planes sign
     buckets; candidates = same-bucket pairs, reranked exactly.  Recall is
-    tunable via n_planes (fewer planes → bigger buckets → higher recall);
-    multiprobe left for the scale path (IVF below covers it)."""
+    tunable via n_planes (fewer planes → bigger buckets → higher recall)
+    and ``multiprobe``: each query additionally probes the buckets at
+    Hamming distance 1 obtained by flipping its first ``multiprobe``
+    signature bits (standard multiprobe LSH).  Probing fans out ONLY the
+    broadcast query side — corpus-side cost is unchanged, so multiprobe
+    is nearly free at scale: with Q queries and m probes the broadcast
+    carries Q×(m+1) rows instead of Q."""
     planes = random_planes(dim, n_planes, seed)
     sig_c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         hyperplane_signature_arrow(F.col(vec_col), planes).alias("bucket"),
     )
+    base = hyperplane_signature_arrow(F.col(vec_col), planes)
+    n_probe_bits = min(max(multiprobe, 0), n_planes)
+    probes = F.array(base, *[base.bitwiseXOR(1 << i) for i in range(n_probe_bits)])
     sig_q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        hyperplane_signature_arrow(F.col(vec_col), planes).alias("bucket"),
+        F.explode(probes).alias("bucket"),
     )
     cand = sig_c.join(F.broadcast(sig_q), "bucket").filter(
         F.col("neighbor_id") != F.col("query_id")

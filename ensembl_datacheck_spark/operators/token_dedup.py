@@ -93,7 +93,7 @@ def token_minhash_candidates(
         token_minhash_signature(F.col(tokens_col), k, n_hashes, seed).alias("sig"),
     ).filter(F.col("sig").isNotNull())
     banded = sig.select(
-        "id", F.explode(lsh_band_keys(F.col("sig"), n_bands, rows_per_band)).alias("bk")
+        "id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("bk")
     )
     from ensembl_datacheck_spark.operators.dedup import bucket_candidate_pairs
 
