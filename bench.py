@@ -39,6 +39,7 @@ HEADLINE = [
     "simhash_near_duplicates",
     "ann_bruteforce_topk",
     "quality_features_by_lang",
+    "contamination_eval_vs_train",
 ]
 
 

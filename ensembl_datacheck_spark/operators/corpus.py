@@ -1,0 +1,127 @@
+"""Corpus-level training-data operators: deterministic dataset splits
+and train/eval contamination detection.
+
+Both are standard steps of a large-scale training-data pipeline (the
+reference's kin is its whole-table sweep checks, e.g. the
+duplicate/orphan scans in Checks/*; these extend the same plan shapes to
+corpus hygiene):
+
+* `hash_split` — assign every row to a named split by a deterministic
+  hash of its id: reproducible across runs, partitioning, and engines
+  (md5-derived, so a SQL oracle computes identical assignments).  No
+  shuffle at all — the split column is a projection.
+* `contamination_overlap` — for every eval document, how many of its
+  word n-gram shingles occur anywhere in the train corpus
+  (decontamination primitive).  Plan: explode both sides to distinct
+  (id, shingle) / distinct shingle sets, one shuffle keyed by shingle
+  for the membership semi-join, then a per-doc count aggregation —
+  never a doc×doc join, so cost is linear in total shingles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators.dedup import word_ngrams
+
+
+def split_bucket(id_col, buckets: int = 100):
+    """Deterministic, engine-portable bucket in [0, buckets): first 8 hex
+    chars of md5(id) as an integer, mod buckets.  (xxhash64 would be
+    cheaper but is Spark-specific; split assignment must be reproducible
+    by any engine auditing the split.)"""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    h = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    buckets: int = 100,
+) -> DataFrame:
+    """Attach a `split` column assigning each row to one named split with
+    the given fractions (must sum to ≤ 1; remainder rows get NULL).
+    Pure projection — zero shuffle, stable under re-partitioning and
+    re-runs, and rows never migrate between splits when fractions grow
+    (a split boundary only moves forward through the bucket space)."""
+    total = sum(fractions.values())
+    if total > 1.0 + 1e-9:
+        raise ValueError(f"fractions sum to {total} > 1")
+    b = split_bucket(id_col, buckets)
+    expr = F.lit(None).cast("string")
+    hi = 0.0
+    bounds = []
+    for name, frac in fractions.items():
+        lo, hi = hi, hi + frac
+        bounds.append((name, int(round(lo * buckets)), int(round(hi * buckets))))
+    cond = None
+    for name, lo_b, hi_b in bounds:
+        clause = (b >= lo_b) & (b < hi_b)
+        cond = F.when(clause, name) if cond is None else cond.when(clause, name)
+    expr = cond.otherwise(F.lit(None).cast("string"))
+    return df.withColumn("split", expr)
+
+
+def contamination_overlap(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+) -> DataFrame:
+    """(id, n_shingles, n_contaminated, contamination) per eval document:
+    how many of its distinct word `ngram`-shingles appear anywhere in
+    the train corpus.  The decontamination primitive — eval rows with
+    high overlap leaked into training data (or vice versa).
+
+    Scale shape: train collapses to its DISTINCT shingle set (map-side
+    combinable aggregation — the hot shingle that appears 10^9 times
+    becomes one row BEFORE the join), then one semi-join keyed by
+    shingle marks eval shingle hits; per-doc counts are a final small
+    aggregation.  Linear in total shingles; no doc×doc pairing."""
+    tr = (
+        train.select(F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"))
+        .distinct()
+    )
+    ev = eval_df.select(
+        F.col(id_col).alias("id"),
+        F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"),
+    ).distinct()
+    hits = ev.join(tr, "shingle", "left_semi").groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_contaminated")
+    )
+    totals = ev.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        totals.join(hits, "id", "left")
+        .select(
+            "id",
+            "n_shingles",
+            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
+            (
+                F.coalesce("n_contaminated", F.lit(0))
+                / F.col("n_shingles")
+            ).alias("contamination"),
+        )
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 8,
+    max_contamination: float = 0.0,
+) -> DataFrame:
+    """Drop train documents whose shingle overlap with the EVAL corpus
+    exceeds ``max_contamination`` (the mirrored direction: scrub the
+    training set against held-out benchmarks).  Returns the filtered
+    train DataFrame; join is a broadcast-friendly semi/anti on ids."""
+    overlap = contamination_overlap(eval_df, train, id_col, text_col, ngram)
+    bad = overlap.filter(F.col("contamination") > max_contamination).select(
+        F.col("id").alias(id_col)
+    )
+    return train.join(bad, id_col, "left_anti")

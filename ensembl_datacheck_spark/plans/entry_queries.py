@@ -1600,3 +1600,84 @@ def validation_summary(spark, sf_dir):
         .unionByName(one("has_data_documents", hd_v))
         .unionByName(one("one_line_orders", o2m_v))
     )
+
+
+# --- corpus hygiene: deterministic splits + decontamination ---------------
+
+@q(
+    "hash_split_documents",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                WHEN b < 100 THEN 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM documents
+    )
+    """,
+)
+def hash_split_documents(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by md5-bucket of the
+    id (operators/corpus.hash_split): zero-shuffle projection, identical
+    assignment in any engine."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    return corpus.hash_split(
+        t["documents"], "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1}
+    ).select("doc_id", "split")
+
+
+_CONTAM_GRAMS = """
+      SELECT doc_id, CASE WHEN len(ws) >= 3 THEN
+               list_transform(range(1, len(ws) - 1),
+                              i -> array_to_string(ws[i:i+2], ' '))
+             ELSE [array_to_string(ws, ' ')] END AS gs
+      FROM (SELECT doc_id,
+                   string_split_regex(lower(trim(text)), '\\s+') AS ws
+            FROM documents WHERE doc_id < 200)
+"""
+
+
+@q(
+    "contamination_eval_vs_train",
+    f"""
+    WITH grams AS (
+      {_CONTAM_GRAMS}
+    ),
+    tgrams AS (
+      SELECT DISTINCT unnest(gs) AS shingle FROM grams WHERE doc_id % 2 = 0
+    ),
+    egrams AS (
+      SELECT DISTINCT doc_id, unnest(gs) AS shingle
+      FROM grams WHERE doc_id % 2 = 1
+    ),
+    tot AS (SELECT doc_id, count(*) AS n FROM egrams GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, count(*) AS h FROM egrams
+      WHERE shingle IN (SELECT shingle FROM tgrams)
+      GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS id,
+           CAST(t.n AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated,
+           coalesce(h.h, 0) / t.n AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def contamination_eval_vs_train(spark, sf_dir):
+    """Decontamination primitive (operators/corpus.contamination_overlap):
+    per eval doc (odd ids), the fraction of its distinct 3-gram shingles
+    occurring anywhere in the train half (even ids).  Train collapses to
+    a distinct shingle set BEFORE the semi-join — linear in shingles,
+    no doc×doc pairing."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    train = d.filter(F.col("doc_id") % 2 == 0)
+    ev = d.filter(F.col("doc_id") % 2 == 1)
+    return corpus.contamination_overlap(train, ev, "doc_id", "text", ngram=3)

@@ -1,0 +1,82 @@
+"""Corpus hygiene operators: deterministic hash splits and train/eval
+contamination (operators/corpus.py)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators import corpus
+
+
+@pytest.fixture(scope="module")
+def ids(spark):
+    return spark.range(0, 5000).select(F.col("id").alias("doc_id")).cache()
+
+
+def test_hash_split_fractions_and_determinism(spark, ids):
+    out = corpus.hash_split(ids, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["count"] for r in out.groupBy("split").count().collect()}
+    assert set(counts) == {"train", "val", "test"}  # no NULL split at sum=1
+    assert abs(counts["train"] / 5000 - 0.8) < 0.03
+    assert abs(counts["val"] / 5000 - 0.1) < 0.02
+    # deterministic: identical assignment on re-run and re-partitioning
+    again = corpus.hash_split(ids.repartition(13), "doc_id",
+                              {"train": 0.8, "val": 0.1, "test": 0.1})
+    assert (out.join(again.withColumnRenamed("split", "s2"), "doc_id")
+            .filter(F.col("split") != F.col("s2")).count()) == 0
+
+
+def test_hash_split_grow_only_migration(spark, ids):
+    """Growing a leading split never moves rows OUT of it (boundary only
+    advances through bucket space)."""
+    a = corpus.hash_split(ids, "doc_id", {"train": 0.5})
+    b = corpus.hash_split(ids, "doc_id", {"train": 0.7})
+    lost = (a.filter(F.col("split") == "train").select("doc_id")
+            .join(b.filter(F.col("split") == "train").select("doc_id"),
+                  "doc_id", "left_anti"))
+    assert lost.count() == 0
+
+
+def test_hash_split_rejects_bad_fractions(spark, ids):
+    with pytest.raises(ValueError, match="fractions"):
+        corpus.hash_split(ids, "doc_id", {"a": 0.8, "b": 0.4})
+
+
+def test_contamination_overlap_and_decontaminate(spark):
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "training data pipelines need careful contamination checks")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, "the quick brown fox jumps over a sleeping cat"),   # partial overlap
+         (11, "completely novel evaluation text with no shared phrases"),
+         (12, "the quick brown fox jumps over the lazy dog")],    # fully leaked
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in corpus.contamination_overlap(
+        train, ev, "doc_id", "text", ngram=3).collect()}
+    assert got[12]["contamination"] == 1.0
+    assert got[11]["n_contaminated"] == 0
+    assert 0 < got[10]["n_contaminated"] < got[10]["n_shingles"]
+
+    # scrub train against the eval set: doc 1 is fully present in eval
+    clean = corpus.decontaminate(train, ev, "doc_id", "text", ngram=3,
+                                 max_contamination=0.5)
+    assert {r["doc_id"] for r in clean.collect()} == {2}
+
+
+def test_contamination_train_shingles_deduped_before_join(spark):
+    """A shingle repeated across the whole train corpus reaches the join
+    as ONE row (distinct-before-join), keeping the plan linear."""
+    train = spark.createDataFrame(
+        [(i, "alpha beta gamma delta") for i in range(1000)],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(1, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    out = corpus.contamination_overlap(train, ev, "doc_id", "text", ngram=3)
+    [r] = out.collect()
+    assert r["n_contaminated"] == 1 and r["n_shingles"] == 2
