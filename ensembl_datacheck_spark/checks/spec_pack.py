@@ -189,11 +189,26 @@ def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
             # one-SQL-per-check model)
             from ensembl_datacheck_spark.operators.fused import RowPredicate
 
-            def row_predicates(ctx, scan, spec=spec):
+            def row_predicates(ctx, scan, spec=spec, fact_table=fact_table):
+                runner_fact = getattr(ctx, "fact_table", fact_table)
+                if runner_fact != spec.table:
+                    # a Runner with a different fact table must not
+                    # evaluate this rule's SQL against the wrong scan
+                    from ensembl_datacheck_spark.plans.runner import SkipCheck
+
+                    raise SkipCheck(
+                        f"row rule targets '{spec.table}' but the fused "
+                        f"scan is '{runner_fact}'"
+                    )
+                cond = F.expr(spec.violation_sql)
+                # force analysis NOW (schema access, no job) so an
+                # unresolvable expression fails THIS check inside the
+                # factory's containment, not the whole fused aggregation
+                scan.select(cond.cast("boolean").alias("__rule_check")).schema
                 return [
                     RowPredicate(
                         f"{spec.name}_rule",
-                        F.expr(spec.violation_sql),
+                        cond,
                         tuple(spec.diag_cols),
                     )
                 ], scan

@@ -47,22 +47,30 @@ def hash_split(
     Pure projection — zero shuffle, stable under re-partitioning and
     re-runs, and rows never migrate between splits when fractions grow
     (a split boundary only moves forward through the bucket space)."""
+    if not fractions:
+        raise ValueError("fractions must name at least one split")
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
     b = split_bucket(id_col, buckets)
-    expr = F.lit(None).cast("string")
     hi = 0.0
     bounds = []
     for name, frac in fractions.items():
         lo, hi = hi, hi + frac
-        bounds.append((name, int(round(lo * buckets)), int(round(hi * buckets))))
+        lo_b, hi_b = int(round(lo * buckets)), int(round(hi * buckets))
+        if hi_b <= lo_b:
+            # a silent empty split is a data-loss trap — refuse instead
+            raise ValueError(
+                f"split {name!r} ({frac}) is below the bucket granularity "
+                f"1/{buckets}; raise `buckets` to at least "
+                f"{int(1 / min(fractions.values())) + 1}"
+            )
+        bounds.append((name, lo_b, hi_b))
     cond = None
     for name, lo_b, hi_b in bounds:
         clause = (b >= lo_b) & (b < hi_b)
         cond = F.when(clause, name) if cond is None else cond.when(clause, name)
-    expr = cond.otherwise(F.lit(None).cast("string"))
-    return df.withColumn("split", expr)
+    return df.withColumn("split", cond.otherwise(F.lit(None).cast("string")))
 
 
 def contamination_overlap(
@@ -85,26 +93,22 @@ def contamination_overlap(
     tr = (
         train.select(F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"))
         .distinct()
+        .withColumn("__hit", F.lit(1))
     )
     ev = eval_df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"),
     ).distinct()
-    hits = ev.join(tr, "shingle", "left_semi").groupBy("id").agg(
-        F.count(F.lit(1)).alias("n_contaminated")
-    )
-    totals = ev.groupBy("id").agg(F.count(F.lit(1)).alias("n_shingles"))
-    return (
-        totals.join(hits, "id", "left")
-        .select(
-            "id",
-            "n_shingles",
-            F.coalesce("n_contaminated", F.lit(0)).alias("n_contaminated"),
-            (
-                F.coalesce("n_contaminated", F.lit(0))
-                / F.col("n_shingles")
-            ).alias("contamination"),
-        )
+    # ONE pass over the eval shingles: left join against the distinct
+    # train set (no fan-out — tr is unique per shingle), then count all
+    # vs count(flag non-null) in a single aggregation.  A semi-join +
+    # separate totals aggregation would shuffle and shingle the eval
+    # side twice.
+    marked = ev.join(tr, "shingle", "left")
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_contaminated"),
+        (F.count("__hit") / F.count(F.lit(1))).alias("contamination"),
     )
 
 

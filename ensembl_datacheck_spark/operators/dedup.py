@@ -27,6 +27,31 @@ from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 
 # ---------------------------------------------------------------------------
+# bounded signature cache (one live cached signature table per operator)
+# ---------------------------------------------------------------------------
+
+#: LSH operators cache their small (id, signature) table because it is
+#: reused by the banding pass plus two join-backs.  A long-lived session
+#: calling an operator repeatedly must not accumulate pinned storage, so
+#: each operator keeps AT MOST ONE live cached table: the previous one is
+#: unpersisted (non-blocking; in-flight jobs just recompute) when a new
+#: call replaces it.
+_SIG_CACHE: dict[str, DataFrame] = {}
+
+
+def _cache_signatures(key: str, df: DataFrame) -> DataFrame:
+    old = _SIG_CACHE.get(key)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = df.cache()
+    _SIG_CACHE[key] = df
+    return df
+
+
+# ---------------------------------------------------------------------------
 # exact dedup
 # ---------------------------------------------------------------------------
 
@@ -388,10 +413,10 @@ def simhash_near_duplicates(
     # signatures are reused three times (banding + two join-backs);
     # cache the (id, simhash) table — 16 bytes/doc, the standard LSH
     # signature-store pattern — instead of recomputing the UDF per use
-    sh = df.select(
+    sh = _cache_signatures("simhash64", df.select(
         F.col(id_col).alias("id"),
         simhash64(words(F.col(text_col))).alias("simhash"),
-    ).cache()
+    ))
     banded = sh.select(
         "id",
         F.explode(
@@ -492,14 +517,6 @@ def portable_minhash_candidates(
 PORTABLE_SIMHASH_BITS = 60
 
 
-def portable_simhash(words_col: Column) -> Column:
-    """All-integer 60-bit SimHash, entirely JVM-side codegen (no UDF):
-    explode-free — computed per row over the word array via aggregate
-    expressions would need a HOF per bit; instead callers explode words
-    and use `portable_simhash_agg` (a groupBy aggregation)."""
-    raise NotImplementedError("use portable_simhash_agg on exploded words")
-
-
 def _portable_word_hash(col: Column) -> Column:
     return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
 
@@ -544,7 +561,9 @@ def portable_simhash_near_duplicates(
     mask = (1 << band_bits) - 1
     # cache: the 60-aggregate signature subplan would otherwise run
     # three times (banding + two join-backs)
-    sh = portable_simhash_signatures(df, id_col, text_col).cache()
+    sh = _cache_signatures(
+        "portable_simhash", portable_simhash_signatures(df, id_col, text_col)
+    )
     banded = sh.select(
         "id",
         F.explode(

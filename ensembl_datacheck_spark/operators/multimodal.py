@@ -168,12 +168,6 @@ def gen_media_fixture(spark, n_rows: int = 64, n_partitions: int = 4) -> DataFra
     return spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(n_partitions)
 
 
-PAYLOAD_FEATURES_SCHEMA = (
-    "media_id long, payload_bytes long, n_chars long, first_cp long, "
-    "payload_md5 string"
-)
-
-
 def payload_features(
     df: DataFrame, id_col: str = "media_id", payload_col: str = "payload"
 ) -> DataFrame:
@@ -183,29 +177,51 @@ def payload_features(
     mapInPandas plumbing (binary column → Arrow batch → feature rows) is
     exercised AND every output value is reproducible by a SQL engine when
     the payload is the UTF-8 encoding of a text column (strlen / length /
-    ascii / md5 in DuckDB)."""
+    ascii / md5 in DuckDB).
+
+    Robust to arbitrary media blobs: a NULL payload yields NULL features;
+    a payload that is not valid UTF-8 (e.g. gen_media_fixture's
+    hash-derived bytes) yields NULL n_chars/first_cp while byte length
+    and digest are still computed.  The id column keeps its input type
+    (the output schema is derived, not hardcoded)."""
+    idt = df.schema[id_col].dataType.simpleString()
+    out_schema = (
+        f"media_id {idt}, payload_bytes long, n_chars long, first_cp long, "
+        "payload_md5 string"
+    )
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nbytes, nchars, firsts, digests = [], [], [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
-                raw = bytes(payload)
-                s = raw.decode("utf-8")
                 ids.append(mid)
+                if payload is None:
+                    nbytes.append(None)
+                    nchars.append(None)
+                    firsts.append(None)
+                    digests.append(None)
+                    continue
+                raw = bytes(payload)
                 nbytes.append(len(raw))
-                nchars.append(len(s))
-                firsts.append(ord(s[0]) if s else -1)
                 digests.append(hashlib.md5(raw).hexdigest())
+                try:
+                    s = raw.decode("utf-8")
+                except UnicodeDecodeError:
+                    nchars.append(None)
+                    firsts.append(None)
+                else:
+                    nchars.append(len(s))
+                    firsts.append(ord(s[0]) if s else -1)
             yield pd.DataFrame(
                 {
                     "media_id": ids,
-                    "payload_bytes": nbytes,
-                    "n_chars": nchars,
-                    "first_cp": firsts,
+                    "payload_bytes": pd.array(nbytes, dtype="Int64"),
+                    "n_chars": pd.array(nchars, dtype="Int64"),
+                    "first_cp": pd.array(firsts, dtype="Int64"),
                     "payload_md5": digests,
                 }
             )
 
     return df.select(id_col, payload_col).mapInPandas(
-        extract, schema=PAYLOAD_FEATURES_SCHEMA
+        extract, schema=out_schema
     )

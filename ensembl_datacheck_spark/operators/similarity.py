@@ -313,11 +313,13 @@ def embedding_near_duplicates(
     planes = random_planes(dim, n_planes, seed)
     # cached: the Arrow signature UDF is reused by the banding pass and
     # two vector join-backs
-    sig = corpus.select(
+    from ensembl_datacheck_spark.operators.dedup import _cache_signatures
+
+    sig = _cache_signatures("embedding_lsh", corpus.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("vec"),
         hyperplane_signature_arrow(F.col(vec_col), planes).alias("bucket"),
-    ).cache()
+    ))
     banded = sig.filter(F.col("bucket").isNotNull()).select(
         "id", F.col("bucket").alias("bk")
     )

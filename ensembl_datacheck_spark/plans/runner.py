@@ -69,6 +69,7 @@ class CheckContext:
         check_name: str = "",
         bucket_key: str = "doc_id",
         n_buckets: int = 64,
+        fact_table: str = "sequences",
     ):
         self.spark = spark
         self.tables = tables
@@ -77,6 +78,9 @@ class CheckContext:
         self.violations: list[DataFrame] = []
         self.bucket_key = bucket_key
         self.n_buckets = n_buckets
+        #: name of the table a fused row scan iterates (spec-pack row
+        #: rules verify their target against this before fusing)
+        self.fact_table = fact_table
 
     def table(self, name: str) -> DataFrame:
         if name in self.tables:
@@ -411,6 +415,7 @@ class Runner:
         ctx = CheckContext(
             self.spark, {**self.tables, self.fact_table: scan}, self.config,
             bucket_key=self.bucket_key, n_buckets=self.n_buckets,
+            fact_table=self.fact_table,
         )
         preds: list[RowPredicate] = []
         pred_owner: dict[str, CheckSpec] = {}

@@ -134,7 +134,10 @@ def read_table(
                 )
         reader = spark.read.format("jdbc").option("url", path)
         if schema is not None:
-            reader = reader.schema(schema)
+            # the JDBC relation derives its schema from the database and
+            # REJECTS reader.schema(); type overrides go through the
+            # source's customSchema option instead
+            options.setdefault("customSchema", schema)
         return reader.options(**options).load()
     reader = spark.read
     if schema is not None:

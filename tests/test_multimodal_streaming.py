@@ -244,3 +244,36 @@ def test_streaming_windowed_subtotals_drift(spark, tmp_path):
         assert all(r["n"] == 0 for r in got if r["category"] == "b")
     finally:
         q.stop()
+
+
+def test_payload_features_robust_to_real_media_blobs(spark):
+    """payload_features must survive the module's own media world:
+    string ids, non-UTF-8 hash-derived payloads (NULL text features,
+    real byte features), and NULL payloads (all-NULL features)."""
+    from pyspark.sql import functions as F
+
+    from ensembl_datacheck_spark.operators import multimodal as MM
+
+    media = MM.gen_media_fixture(spark, n_rows=6, n_partitions=2)
+    media = media.unionByName(
+        spark.createDataFrame(
+            [("media_null", "image", None, None)], MM.MEDIA_SCHEMA
+        )
+    )
+    rows = {r["media_id"]: r
+            for r in MM.payload_features(media).collect()}
+    assert len(rows) == 7
+    some = rows["media_000000"]
+    assert some["payload_bytes"] > 0 and len(some["payload_md5"]) == 32
+    assert some["n_chars"] is None  # hash bytes are not valid UTF-8
+    null_row = rows["media_null"]
+    assert null_row["payload_bytes"] is None and null_row["payload_md5"] is None
+
+    # UTF-8 payloads still produce full text features
+    txt = spark.createDataFrame(
+        [("t1", bytearray("héllo".encode()))],
+        "media_id string, payload binary",
+    )
+    [r] = MM.payload_features(txt).collect()
+    assert r["n_chars"] == 5 and r["first_cp"] == ord("h")
+    assert r["payload_bytes"] == 6  # é is two bytes

@@ -553,6 +553,14 @@ def test_read_table_jdbc_dispatch(spark):
     assert calls["options"]["dbtable"] == "t"
     assert calls["options"]["numPartitions"] == "8"
 
+    # a schema flows through the source's customSchema option — the JDBC
+    # relation rejects reader.schema()
+    calls.clear()
+    read_table(_Spark(), "jdbc:mysql://h/db", fmt="jdbc", dbtable="t",
+               schema="id long, name string")
+    assert calls["options"]["customSchema"] == "id long, name string"
+    assert "schema" not in calls
+
 
 def test_lsh_multiprobe_improves_recall(spark):
     """Multiprobe (1-bit bucket flips on the broadcast query side) finds

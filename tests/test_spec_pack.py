@@ -134,3 +134,69 @@ def test_row_rule_spec(spark):
     [r] = runner.run(reg.default_suite()).results
     assert r.status == Status.FAIL and r.n_violations == 2
     assert any("-5.0" in d or "-5" in d for a in r.assertions for d in a.diag)
+
+
+def test_row_rule_bad_sql_contained_to_one_check(spark, meta_world):
+    """An unresolvable violation_sql must fail/skip ONLY its own check —
+    the fused run's other checks still produce verdicts (error
+    containment parity with run_check)."""
+    from ensembl_datacheck_spark.checks.spec_pack import RowRuleSpec, register_spec
+    from ensembl_datacheck_spark.registry import Registry
+    from ensembl_datacheck_spark.sources import synth
+
+    reg = Registry()
+    register_spec(
+        RowRuleSpec(
+            name="TypoRule",
+            description="references a nonexistent column",
+            table="sequences",
+            violation_sql="n_tokk < 1",
+            key_col="doc_id",
+        ),
+        registry=reg,
+    )
+    register_spec(
+        RowRuleSpec(
+            name="GoodRule",
+            description="valid rule",
+            table="sequences",
+            violation_sql="n_tok IS NOT NULL AND n_tok < 0",
+            key_col="doc_id",
+        ),
+        registry=reg,
+    )
+    seq = synth.gen_sequences(spark, 1000, n_partitions=4, median_tok=16,
+                              max_tok=64)
+    summary = Runner(spark, {"sequences": seq}, n_buckets=4).run(
+        reg.default_suite()
+    )
+    by_name = {r.check_name: r for r in summary.results}
+    assert by_name["TypoRule"].status == Status.FAIL
+    assert "n_tokk" in (by_name["TypoRule"].error or "")
+    assert by_name["GoodRule"].status == Status.OK
+
+
+def test_row_rule_wrong_fact_table_skips(spark):
+    """A fused rule registered for a different fact table skips with a
+    reason instead of evaluating against the wrong scan."""
+    from ensembl_datacheck_spark.checks.spec_pack import RowRuleSpec, register_spec
+    from ensembl_datacheck_spark.registry import Registry
+
+    reg = Registry()
+    register_spec(
+        RowRuleSpec(
+            name="EventsRule",
+            description="rule over the events fact table",
+            table="events",
+            violation_sql="amount < 0",
+            key_col="event_id",
+        ),
+        registry=reg,
+        fact_table="events",
+    )
+    df = spark.createDataFrame([("d1", 1)], "doc_id string, n_tok int")
+    summary = Runner(spark, {"sequences": df, "events": df}, n_buckets=4).run(
+        reg.default_suite()
+    )
+    [r] = summary.results
+    assert r.status == Status.SKIP and "events" in r.skip_reason
