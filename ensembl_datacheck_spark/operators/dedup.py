@@ -13,8 +13,12 @@ Five tiers, all expressed as DataFrame plans that scale by shuffle-on-key
 * embedding cosine — see operators/similarity.py (near-dup = cos > τ)
 
 Everything except simhash is pure `pyspark.sql.functions` (JVM,
-whole-stage codegen).  MinHash = one base hash per shingle (xxhash64, or
-md5 in the oracle-portable tier) + a shared affine permutation family —
+whole-stage codegen).  MinHash signatures: the production tier hashes
+each shingle once to a full 64-bit xxhash64 and derives every
+permutation as an independent seeded re-hash of that long
+(_min_sig_agg64 — see its docstring for why a 31-bit affine family
+fails at 10^6+ docs); the md5-portable oracle tier keeps the affine
+family over md5-derived coefficients (small corpora by design).  All
 deterministic across runs and executors.
 """
 
