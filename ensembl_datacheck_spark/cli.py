@@ -23,13 +23,17 @@ def build_parser() -> argparse.ArgumentParser:
                    "(required unless --list/--write-index)")
     p.add_argument("--sources", help="parquet path of the sources dimension")
     p.add_argument("--baseline", help="parquet path of baseline_stats")
+    p.add_argument("--meta", help="parquet path of the meta tag table "
+                   "(spec-pack meta checks skip when absent)")
     p.add_argument("--names", nargs="*", help="exact check names")
     p.add_argument("--patterns", nargs="*", help="regex patterns over names")
     p.add_argument("--groups", nargs="*", help="check groups")
     p.add_argument("--type", dest="severity", choices=["critical", "advisory"])
     p.add_argument("--format", dest="fmt", default="parquet",
-                   choices=["parquet", "orc", "json", "csv"],
-                   help="input table format (csv/json need --schema)")
+                   choices=["parquet", "orc", "json", "csv", "jdbc"],
+                   help="input table format; jdbc treats each table arg "
+                   "as a JDBC URL and needs --jdbc-table")
+    p.add_argument("--jdbc-table", help="dbtable for --format jdbc")
     p.add_argument("--schema", help="DDL schema string for csv/json inputs "
                    "(skips the inference scan)")
     p.add_argument("--warehouse", default="/tmp/dcheck_warehouse",
@@ -90,23 +94,38 @@ def main(argv: list[str] | None = None) -> int:
     from ensembl_datacheck_spark.sources.io import read_table
 
     spark = get_spark("dcheck-cli", cores=args.cores)
+    fmt_kw = {}
+    if args.fmt == "jdbc":
+        if not args.jdbc_table:
+            print("--format jdbc needs --jdbc-table", file=sys.stderr)
+            return 2
+        fmt_kw["dbtable"] = args.jdbc_table
     tables = {
-        "sequences": read_table(spark, args.sequences, args.fmt, args.schema)
+        "sequences": read_table(spark, args.sequences, args.fmt, args.schema,
+                                **fmt_kw)
     }
     if args.sources:
         # --schema describes the fact table only; the small dimension can
         # afford inference when csv/json
-        tables["sources"] = read_table(spark, args.sources, args.fmt)
+        tables["sources"] = read_table(spark, args.sources, args.fmt, **fmt_kw)
     if args.baseline:
-        tables["baseline_stats"] = read_table(spark, args.baseline, args.fmt)
+        tables["baseline_stats"] = read_table(spark, args.baseline, args.fmt,
+                                              **fmt_kw)
+    if args.meta:
+        tables["meta"] = read_table(spark, args.meta, args.fmt, **fmt_kw)
 
     catalog = Catalog(spark, args.warehouse)
     # the resume lineage must cover EVERY input a check reads: a changed
     # sources/baseline table invalidates referential/drift checkpoints
     # even when the fact table is untouched
-    lineage = "|".join(
-        _lineage_of(p) for p in [args.sequences, args.sources, args.baseline] if p
-    )
+    inputs = [args.sequences, args.sources, args.baseline, args.meta]
+    if args.fmt == "jdbc":
+        # no files to fingerprint: lineage = url+table identity only (a
+        # changed remote table is NOT detected — document-level caveat;
+        # use --force when revalidating live databases)
+        lineage = "|".join(f"jdbc:{p}:{args.jdbc_table}" for p in inputs if p)
+    else:
+        lineage = "|".join(_lineage_of(p) for p in inputs if p)
     runner = Runner(
         spark, tables, n_buckets=args.n_buckets,
         checkpoint_store=CheckpointStore(catalog),

@@ -133,3 +133,46 @@ def test_pyfiles_zip_importable(tmp_path):
     )
     assert probe.returncode == 0, probe.stderr
     assert int(probe.stdout.strip()) >= 10
+
+
+def test_cli_meta_table_runs_spec_pack(spark, tmp_path):
+    """--meta wires the tag table in so the spec-pack checks run (and
+    fail at their exact injected counts) instead of skipping."""
+    from ensembl_datacheck_spark.sources import synth
+
+    sources = synth.gen_sources(spark)
+    sources.write.mode("overwrite").parquet(str(tmp_path / "sources"))
+    synth.gen_meta(spark, sources).write.mode("overwrite").parquet(
+        str(tmp_path / "meta"))
+    synth.gen_sequences(spark, 1000, n_partitions=4, median_tok=16,
+                        max_tok=64).write.mode("overwrite").parquet(
+        str(tmp_path / "sequences"))
+    rc = main([
+        "--sequences", str(tmp_path / "sequences"),
+        "--sources", str(tmp_path / "sources"),
+        "--meta", str(tmp_path / "meta"),
+        "--groups", "meta",
+        "--warehouse", str(tmp_path / "wh"),
+        "--n-buckets", "8",
+        "--output-json", str(tmp_path / "res.json"),
+    ])
+    assert rc == 1
+    j = json.loads((tmp_path / "res.json").read_text())
+    assert j["failed"] == 4  # all four meta checks catch their defect
+    # without --meta the same selection skips cleanly
+    rc2 = main([
+        "--sequences", str(tmp_path / "sequences"),
+        "--groups", "meta",
+        "--warehouse", str(tmp_path / "wh2"),
+        "--n-buckets", "8",
+        "--output-json", str(tmp_path / "res2.json"),
+    ])
+    assert rc2 == 0
+    j2 = json.loads((tmp_path / "res2.json").read_text())
+    assert j2["skipped"] == 4 and j2["failed"] == 0
+
+
+def test_cli_jdbc_requires_table_option(spark, capsys):
+    rc = main(["--sequences", "jdbc:mysql://h/db", "--format", "jdbc"])
+    assert rc == 2
+    assert "--jdbc-table" in capsys.readouterr().err
