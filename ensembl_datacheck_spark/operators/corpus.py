@@ -129,3 +129,45 @@ def decontaminate(
         F.col("id").alias(id_col)
     )
     return train.join(bad, id_col, "left_anti")
+
+
+def deterministic_sample(
+    df: DataFrame,
+    id_col: str,
+    fraction: float,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Keep a deterministic ``fraction`` of rows by id-hash bucket —
+    unlike `DataFrame.sample`, the kept set is identical across runs,
+    partitionings, and engines (md5 buckets), and is a SUBSET of any
+    larger-fraction sample of the same table (nested samples for
+    scaling-law runs).  Pure projection+filter, no shuffle."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError(f"fraction {fraction} outside [0, 1]")
+    cut = int(round(fraction * buckets))
+    return df.filter(split_bucket(id_col, buckets) < cut)
+
+
+def stratified_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    fractions: dict[str, float],
+    default: float = 0.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Deterministic per-stratum sampling (e.g. language rebalancing in
+    a training mix): each stratum keeps its own fraction, decided by the
+    same engine-portable id-hash bucket.  Strata absent from
+    ``fractions`` keep ``default``.  No shuffle, reproducible, nested
+    across fraction increases — the properties `sampleBy` does not
+    guarantee."""
+    for k, v in {**fractions, "default": default}.items():
+        if not 0.0 <= v <= 1.0:
+            raise ValueError(f"fraction for {k!r} outside [0, 1]: {v}")
+    b = split_bucket(id_col, buckets)
+    cut = F.lit(int(round(default * buckets)))
+    for name, frac in fractions.items():
+        cut = F.when(F.col(strata_col) == name,
+                     int(round(frac * buckets))).otherwise(cut)
+    return df.filter(b < cut)

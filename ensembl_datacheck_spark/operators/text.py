@@ -158,3 +158,19 @@ def portable_rolling_fingerprint(col: Column) -> Column:
             acc * F.lit(_FP_BASE) + word_hash(w), F.lit(_FP_MOD)
         ),
     )
+
+
+def normalize_text(col):
+    """Canonical text normalization for dedup/fingerprint pipelines:
+    lowercase, trim, strip C0/DEL control characters, collapse runs of
+    whitespace to one space.  Pure JVM regexp (codegen); the same two
+    regexes run verbatim in DuckDB (with the 'g' flag) for oracle
+    parity.  Unicode NFC normalization is deliberately NOT included —
+    Spark has no built-in normalizer, and a Python UDF here would put
+    interpreted code in front of every downstream shingle/hash
+    operator; run ICU normalization upstream at ingest if required."""
+    from pyspark.sql import functions as F
+
+    c = F.col(col) if isinstance(col, str) else col
+    stripped = F.regexp_replace(F.lower(F.trim(c)), "[\\x00-\\x1f\\x7f]", "")
+    return F.regexp_replace(stripped, "\\s+", " ")

@@ -129,18 +129,22 @@ def token_minhash_candidates_jvm(
     n_hashes: int = 64,
     n_bands: int = 16,
 ) -> DataFrame:
-    """All-JVM token MinHash tier: shingle hashes from
-    token_shingle_hashes_jvm (zero Python anywhere — the input_hint's
+    """All-JVM token MinHash tier: k-token windows from
+    token_shingle_slices_jvm (zero Python anywhere — the input_hint's
     'no per-row Python' taken one step further than the Arrow tier),
-    folded through the SAME explode → codegen min-aggregate → banding →
-    capped hub-spoke pairing plan as text MinHash.  The shuffle carries
-    map-side-aggregated signature partials, never shingles.
+    hashed post-explode with native xxhash64 and folded through the SAME
+    codegen min-aggregate → banding → capped hub-spoke pairing plan as
+    text MinHash (64-bit seeded signature family, _min_sig_agg64).  The
+    shuffle carries map-side-aggregated signature partials, never
+    shingles.
 
-    Signatures differ numerically from token_minhash_candidates (that
-    tier uses a numpy polynomial hash; this one xxhash64) — both are
-    valid MinHash families; candidate QUALITY is equivalent, throughput
-    is not: the Arrow tier pays per-batch Python/Arrow transfer on the
-    widest column in the table."""
+    Signatures differ numerically from token_minhash_candidates (numpy
+    polynomial family vs seeded xxhash64) — both are valid MinHash
+    families with equivalent candidate quality; measured throughput at
+    64-token rows is comparable (BENCH/BASELINE.md token-dedup table).
+    Prefer this tier when Python workers are constrained (no Arrow
+    transfer of the widest column); prefer the Arrow tier when numpy
+    vectorization wins on very long sequences."""
     from ensembl_datacheck_spark.operators.dedup import (
         _min_sig_agg64,
         bucket_candidate_pairs,

@@ -1681,3 +1681,52 @@ def contamination_eval_vs_train(spark, sf_dir):
     train = d.filter(F.col("doc_id") % 2 == 0)
     ev = d.filter(F.col("doc_id") % 2 == 1)
     return corpus.contamination_overlap(train, ev, "doc_id", "text", ngram=3)
+
+
+@q(
+    "stratified_sample_documents",
+    """
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 10000 AS b
+      FROM documents
+    )
+    WHERE b < (CASE WHEN lang = 'en' THEN 2500
+                    WHEN lang = 'zh' THEN 7500
+                    ELSE 5000 END)
+    """,
+)
+def stratified_sample_documents(spark, sf_dir):
+    """Deterministic per-language rebalancing sample
+    (operators/corpus.stratified_sample): engine-portable md5 buckets,
+    no shuffle, nested across fraction increases."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    return corpus.stratified_sample(
+        t["documents"], "doc_id", "lang",
+        {"en": 0.25, "zh": 0.75}, default=0.5,
+    ).select("doc_id", "lang")
+
+
+@q(
+    "normalized_documents",
+    r"""
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           regexp_replace(
+             regexp_replace(lower(trim(text)), '[\x00-\x1f\x7f]', '', 'g'),
+             '\s+', ' ', 'g') AS norm_text
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def normalized_documents(spark, sf_dir):
+    """Text normalization (operators/text.normalize_text): lowercase,
+    trim, strip control characters, collapse whitespace — all JVM
+    regexp/codegen, byte-identical to the SQL oracle."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 100)
+    return d.select(
+        "doc_id", text.normalize_text(F.col("text")).alias("norm_text")
+    )

@@ -80,3 +80,27 @@ def test_contamination_train_shingles_deduped_before_join(spark):
     out = corpus.contamination_overlap(train, ev, "doc_id", "text", ngram=3)
     [r] = out.collect()
     assert r["n_contaminated"] == 1 and r["n_shingles"] == 2
+
+
+def test_deterministic_sample_nested_and_exact(spark, ids):
+    """Samples are reproducible, partitioning-independent, and NESTED:
+    the 10% sample is a subset of the 30% sample."""
+    s10 = corpus.deterministic_sample(ids, "doc_id", 0.10)
+    s30 = corpus.deterministic_sample(ids.repartition(7), "doc_id", 0.30)
+    n10, n30 = s10.count(), s30.count()
+    assert abs(n10 / 5000 - 0.10) < 0.02
+    assert abs(n30 / 5000 - 0.30) < 0.02
+    assert s10.join(s30, "doc_id", "left_anti").count() == 0  # nested
+    with pytest.raises(ValueError):
+        corpus.deterministic_sample(ids, "doc_id", 1.5)
+
+
+def test_stratified_sample_per_stratum_fractions(spark):
+    rows = [(i, "hot" if i % 2 == 0 else "cold") for i in range(10_000)]
+    df = spark.createDataFrame(rows, "doc_id long, strata string")
+    out = corpus.stratified_sample(df, "doc_id", "strata",
+                                   {"hot": 0.1}, default=0.9)
+    got = {r["strata"]: r["count"]
+           for r in out.groupBy("strata").count().collect()}
+    assert abs(got["hot"] / 5000 - 0.1) < 0.03
+    assert abs(got["cold"] / 5000 - 0.9) < 0.03
