@@ -1730,3 +1730,54 @@ def normalized_documents(spark, sf_dir):
     return d.select(
         "doc_id", text.normalize_text(F.col("text")).alias("norm_text")
     )
+
+
+@q(
+    "corpus_prep_pipeline",
+    r"""
+    WITH normed AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(lower(trim(text)), '[\x00-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g') AS norm_text
+      FROM documents
+    ),
+    deduped AS (
+      SELECT doc_id, norm_text FROM (
+        SELECT doc_id, norm_text,
+               row_number() OVER (PARTITION BY md5(norm_text)
+                                  ORDER BY doc_id) AS rn
+        FROM normed
+      ) WHERE rn = 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN b < 90 THEN 'train' ELSE 'holdout' END AS split,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+    FROM (
+      SELECT doc_id, norm_text,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM deduped
+    )
+    """,
+)
+def corpus_prep_pipeline(spark, sf_dir):
+    """End-to-end corpus preparation, the composition story: normalize
+    (text.normalize_text) → exact dedup on NORMALIZED content keeping
+    the lowest id (dedup.dedup_exact) → deterministic 90/10 split
+    (corpus.hash_split) — three operators, one lazily-composed plan
+    (one shuffle: the dedup window), every value oracle-reproducible."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    normed = t["documents"].select(
+        "doc_id", text.normalize_text(F.col("text")).alias("norm_text")
+    )
+    deduped = dedup.dedup_exact(normed, "norm_text", "doc_id")
+    split = corpus.hash_split(deduped, "doc_id",
+                              {"train": 0.9, "holdout": 0.1})
+    return split.select(
+        "doc_id",
+        "split",
+        F.length("norm_text").cast("long").alias("n_chars_norm"),
+    )

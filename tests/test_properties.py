@@ -181,3 +181,27 @@ def test_asof_join_matches_pandas_merge_asof(spark):
                 for r in m.itertuples()
             }
             assert got == want, (seed, strict)
+
+
+def test_minhash_exact_dup_inclusion_property(spark):
+    """Property: identical content ALWAYS collides (signature equality is
+    deterministic, so exact duplicates are never missed by any band) —
+    across several seeds and doc set shapes."""
+    from pyspark.sql import functions as F
+
+    from ensembl_datacheck_spark.operators.dedup import minhash_lsh_candidates
+
+    rnd = random.Random(99)
+    words = [f"w{i}" for i in range(500)]
+    for trial in range(3):
+        docs = []
+        for i in range(30):
+            docs.append((i, " ".join(rnd.choice(words) for _ in range(40))))
+        # plant exact dups of the first 5 docs
+        for i in range(5):
+            docs.append((100 + i, docs[i][1]))
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_candidates(
+            df, "doc_id", "text", ngram=3, n_hashes=16, n_bands=8).collect()}
+        for i in range(5):
+            assert (i, 100 + i) in pairs, f"trial {trial}: exact dup {i} missed"
