@@ -40,6 +40,9 @@ HEADLINE = [
     "ann_bruteforce_topk",
     "quality_features_by_lang",
     "contamination_eval_vs_train",
+    "incremental_dedup_documents",
+    "repetition_signals_documents",
+    "hot_keys_orders",
 ]
 
 

@@ -98,19 +98,25 @@ def words(col: Column) -> Column:
     return F.split(F.lower(F.trim(col)), r"\s+")
 
 
-def word_ngrams(col: Column, n: int) -> Column:
-    """Distinct word n-gram shingles, built JVM-side: transform over an
-    index sequence + slice + concat_ws."""
+def word_ngrams_multiset(col: Column, n: int) -> Column:
+    """ALL word n-grams in document order (occurrences preserved), built
+    JVM-side: transform over an index sequence + slice + concat_ws.
+    Consumers that need set semantics (MinHash/Jaccard shingles) use
+    `word_ngrams`; occurrence counters (repetition signals) use this."""
     ws = words(col)
-    return F.array_distinct(
-        F.when(
-            F.size(ws) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(ws) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
-            ),
-        ).otherwise(F.array(F.concat_ws(" ", ws)))
-    )
+    return F.when(
+        F.size(ws) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(ws) - (n - 1)),
+            lambda i: F.concat_ws(" ", F.slice(ws, i, n)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", ws)))
+
+
+def word_ngrams(col: Column, n: int) -> Column:
+    """Distinct word n-gram shingles (set semantics, the dedup-tier
+    contract)."""
+    return F.array_distinct(word_ngrams_multiset(col, n))
 
 
 # ---------------------------------------------------------------------------

@@ -1,0 +1,177 @@
+"""Incremental dedup: validate/deduplicate a NEW ingest batch against a
+persisted store built from the corpus already accepted — without ever
+rescanning the corpus.
+
+At 10^12-row scale the corpus is never re-deduplicated wholesale; each
+ingest batch (hours of crawl, one source drop) is checked against compact
+store tables maintained alongside the corpus:
+
+* an **exact store** of distinct content digests (one 32-char md5 per
+  distinct content — ~10^4× smaller than the corpus text), and
+* an **LSH band store** of (id, band-key) rows from the MinHash pass that
+  admitted each document (n_bands small integers per doc).
+
+The reference has the same shape in miniature: per-database checks rerun
+only against changed databases, gated by update-time lineage
+(DbCheck.pm:767-804 history file); here the "already validated" state is
+a first-class table instead of a timestamp.
+
+Scale shape of every join in this module: keyed by a uniform digest or
+band key (never text), map-side combinable aggregations before any
+shuffle, store side usable as a bucketed table (sources/io.write_bucketed)
+so repeated daily ingests co-locate without reshuffling the store.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators.dedup import (
+    content_hash,
+    lsh_band_keys,
+    minhash_signatures,
+)
+
+
+def exact_store(df: DataFrame, text_col: str) -> DataFrame:
+    """Distinct content digests of an accepted corpus: one `content_hash`
+    column.  Map-side partial dedup before the single shuffle; the result
+    is the compact table a pipeline persists (and appends to) between
+    ingests."""
+    return (
+        df.select(content_hash(F.col(text_col)).alias("content_hash")).distinct()
+    )
+
+
+def flag_incremental_duplicates(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Annotate a new batch against an exact store: adds
+
+    * ``dup_of_store`` — content already present in the accepted corpus;
+    * ``dup_in_batch`` — an earlier row (lower id) in THIS batch has the
+      same content (first occurrence stays False, so keeping
+      ``~dup_of_store & ~dup_in_batch`` admits exactly one copy).
+
+    Plan: digest projection on the batch; within-batch first-occurrence
+    via one window over the digest (no join back); store membership via a
+    left join on the digest — store rows are unique per digest, so the
+    join cannot fan out.  Both shuffles are keyed by the uniform digest;
+    with a digest-bucketed store table the store side ships zero bytes.
+    """
+    hashed = new_df.withColumn("__ch", content_hash(F.col(text_col)))
+    w = Window.partitionBy("__ch").orderBy(F.col(id_col))
+    marked = hashed.withColumn(
+        "dup_in_batch", F.row_number().over(w) > 1
+    )
+    st = store.select(
+        F.col("content_hash").alias("__ch"), F.lit(True).alias("__in_store")
+    ).distinct()
+    return (
+        marked.join(st, "__ch", "left")
+        .withColumn("dup_of_store", F.coalesce(F.col("__in_store"), F.lit(False)))
+        .drop("__ch", "__in_store")
+    )
+
+
+def incremental_dedup_exact(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    id_col: str,
+) -> DataFrame:
+    """The admit filter: rows of the new batch that survive exact dedup
+    against both the store and the batch itself (lowest id wins within
+    the batch).  The caller appends these rows to the corpus and their
+    digests to the store (`exact_store(admitted)` unioned in)."""
+    flagged = flag_incremental_duplicates(new_df, store, text_col, id_col)
+    return flagged.filter(
+        ~F.col("dup_of_store") & ~F.col("dup_in_batch")
+    ).drop("dup_of_store", "dup_in_batch")
+
+
+# ---------------------------------------------------------------------------
+# near-dup tier: LSH band store
+# ---------------------------------------------------------------------------
+
+
+def band_store(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+) -> DataFrame:
+    """(id, bk) LSH band membership of an accepted corpus — the near-dup
+    analogue of `exact_store`.  n_bands rows per doc, each a small
+    struct; persisted bucketed by `bk` so every future ingest probes it
+    with a co-located join."""
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signatures(df, id_col, text_col, ngram, n_hashes)
+    return sig.select(
+        "id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("bk")
+    )
+
+
+def incremental_lsh_candidates(
+    new_df: DataFrame,
+    store_bands: DataFrame,
+    id_col: str,
+    text_col: str,
+    ngram: int = 3,
+    n_hashes: int = 64,
+    n_bands: int = 16,
+    cap_per_bucket: int = 20,
+) -> DataFrame:
+    """Near-dup candidates of a new batch: (new_id, match_id, match_src)
+    where match_src is 'store' (collides with an accepted doc's band) or
+    'batch' (collides with an earlier doc of the same batch).
+
+    Scale shape — the part that matters at 10^12 stored docs:
+
+    * the batch is banded once (same signature plan as the full pass);
+    * store probing is ONE equi-join on `bk`.  The store side is first
+      capped to ``cap_per_bucket`` members per band key (deterministic
+      lowest-id rank) — a band bucket holding a million accepted
+      near-identical docs contributes 20 representatives, not 10^6 join
+      rows per colliding new doc.  One representative is enough to route
+      the new doc into the existing duplicate cluster, so the cap loses
+      no admit/reject information, only redundant pair multiplicity;
+    * within-batch pairs go through the same capped hub-spoke generator
+      as the full-corpus pass (bucket_candidate_pairs), emitted with the
+      smaller id as the match.
+
+    With `store_bands` written bucketed by bk, the probe join shuffles
+    only the (tiny) batch side.
+    """
+    from ensembl_datacheck_spark.operators.dedup import bucket_candidate_pairs
+
+    new_bands = band_store(new_df, id_col, text_col, ngram, n_hashes, n_bands)
+
+    wb = Window.partitionBy("bk").orderBy("id")
+    store_capped = (
+        store_bands.withColumn("__rn", F.row_number().over(wb))
+        .filter(F.col("__rn") <= cap_per_bucket)
+        .select(F.col("id").alias("match_id"), "bk")
+    )
+    vs_store = (
+        new_bands.join(store_capped, "bk")
+        .select(
+            F.col("id").alias("new_id"),
+            "match_id",
+            F.lit("store").alias("match_src"),
+        )
+        .distinct()
+    )
+
+    within = bucket_candidate_pairs(new_bands).select(
+        F.col("id_b").alias("new_id"),
+        F.col("id_a").alias("match_id"),
+        F.lit("batch").alias("match_src"),
+    )
+    return vs_store.unionByName(within)

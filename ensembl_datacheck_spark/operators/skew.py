@@ -54,3 +54,56 @@ def salted_join(
         F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)).cast("array<int>")),
     )
     return f.join(d, [on, "__salt"], how).drop("__salt")
+
+
+def hot_keys(
+    df: DataFrame, cols: list[str], top_k: int = 10
+) -> DataFrame:
+    """Skew profiler: (column, value, n, share) — the ``top_k`` most
+    frequent values of each named column and their share of all rows.
+    This is the measurement that decides WHERE salting / AQE skew
+    handling is needed before a big join or aggregation: a key with
+    share 0.3 at 10^12 rows means one reducer gets 3×10^11 rows unless
+    the plan salts it.
+
+    Plan: ONE scan of the fact table — each row explodes into
+    len(cols) (column, value) pairs (values canonicalized to string;
+    NULL kept as a value, since NULL-heavy keys are the most common
+    skew source) → two-stage count keyed by (column, value) — uniform
+    even when the profiled key itself is hot, because the hot key IS one
+    group — → per-column top-k window over the (small) distinct-value
+    counts.  Output is at most len(cols) × top_k rows.
+    """
+    from pyspark.sql import Window
+
+    missing = [c for c in cols if c not in df.columns]
+    if missing:
+        raise ValueError(f"hot_keys: columns not in DataFrame: {missing}")
+    pairs = df.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column"),
+                        F.col(c).cast("string").alias("value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    ).select("p.column", "p.value")
+    counts = pairs.groupBy("column", "value").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("column")
+    ranked = counts.withColumn(
+        "share", F.col("n") / F.sum("n").over(w)
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            w.orderBy(F.desc("n"), F.asc_nulls_first("value"))
+        ),
+    )
+    return ranked.filter(F.col("rank") <= top_k).select(
+        "column", "value", "n", "share", "rank"
+    )

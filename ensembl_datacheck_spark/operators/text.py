@@ -174,3 +174,88 @@ def normalize_text(col):
     c = F.col(col) if isinstance(col, str) else col
     stripped = F.regexp_replace(F.lower(F.trim(c)), "[\\x00-\\x1f\\x7f]", "")
     return F.regexp_replace(stripped, "\\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# repetition signals (Gopher-style quality filters)
+# ---------------------------------------------------------------------------
+
+
+def repetition_signals(
+    df: DataFrame, id_col: str, text_col: str, ngram: int = 2
+) -> DataFrame:
+    """Per-document repetition quality signals, the published repetition
+    filter family of large-scale corpus curation (duplicate-line and
+    top-/duplicated-n-gram fractions, cf. the Gopher/MassiveText rules):
+
+    * ``n_lines`` — non-empty lines;
+    * ``dup_line_frac`` — fraction of lines whose content occurs more
+      than once in the document;
+    * ``dup_line_char_frac`` — fraction of line characters inside those
+      duplicated lines;
+    * ``top_ngram_frac`` — fraction of word-``ngram`` characters covered
+      by the single most frequent n-gram (ties: lexicographically
+      largest, so the pick is deterministic);
+    * ``dup_ngram_frac`` — fraction of n-gram characters inside n-grams
+      occurring more than once.
+
+    Documents whose text yields no lines / no n-grams get 0 counts and
+    NULL fractions (0/0), preserved by the left joins so every input id
+    stays present.
+
+    Scale shape: two explode→count→combine pipelines (one per unit), each
+    a pair of hash aggregations with map-side partial combine, keyed by
+    (id, unit) then id — both uniform.  No self-joins, no window over the
+    whole corpus, no Python.  The reference's kin is its per-row sweep
+    checks; this is the corpus-hygiene extension of the same shape.
+    """
+    from ensembl_datacheck_spark.operators.dedup import word_ngrams_multiset
+
+    ident = F.col(id_col).alias("__id")
+
+    lines = df.select(
+        ident, F.explode(F.split(F.col(text_col), "\n")).alias("line")
+    ).filter(F.trim("line") != "")
+    lc = lines.groupBy("__id", "line").agg(F.count(F.lit(1)).alias("cnt"))
+    # try_divide: a document with zero qualifying units yields NULL
+    # fractions (0/0) instead of an ANSI-mode divide error
+    line_agg = lc.groupBy("__id").agg(
+        F.sum("cnt").cast("bigint").alias("n_lines"),
+        F.try_divide(
+            F.sum(F.when(F.col("cnt") > 1, F.col("cnt")).otherwise(0)),
+            F.sum("cnt"),
+        ).alias("dup_line_frac"),
+        F.try_divide(
+            F.sum(
+                F.when(
+                    F.col("cnt") > 1, F.col("cnt") * F.length("line")
+                ).otherwise(0)
+            ),
+            F.sum(F.col("cnt") * F.length("line")),
+        ).alias("dup_line_char_frac"),
+    )
+
+    grams = df.select(
+        ident, F.explode(word_ngrams_multiset(F.col(text_col), ngram)).alias("g")
+    ).filter(F.length("g") > 0)  # empty text yields one '' fallback gram
+    gc = grams.groupBy("__id", "g").agg(F.count(F.lit(1)).alias("cnt"))
+    gchars = F.col("cnt") * F.length("g")
+    gram_agg = gc.groupBy("__id").agg(
+        F.try_divide(
+            F.max(F.struct(F.col("cnt"), F.col("g"))).getField("cnt")
+            * F.length(F.max(F.struct(F.col("cnt"), F.col("g"))).getField("g")),
+            F.sum(gchars),
+        ).alias("top_ngram_frac"),
+        F.try_divide(
+            F.sum(F.when(F.col("cnt") > 1, gchars).otherwise(0)), F.sum(gchars)
+        ).alias("dup_ngram_frac"),
+    )
+
+    base = df.select(F.col(id_col), F.col(id_col).alias("__id"))
+    out = (
+        base.join(line_agg, "__id", "left")
+        .join(gram_agg, "__id", "left")
+        .drop("__id")
+        .withColumn("n_lines", F.coalesce(F.col("n_lines"), F.lit(0)))
+    )
+    return out

@@ -1781,3 +1781,144 @@ def corpus_prep_pipeline(spark, sf_dir):
         "split",
         F.length("norm_text").cast("long").alias("n_chars_norm"),
     )
+
+
+@q(
+    "incremental_dedup_documents",
+    """
+    WITH store AS (
+      SELECT DISTINCT md5(text) AS ch FROM documents WHERE doc_id < 250
+    ),
+    batch AS (
+      SELECT doc_id, md5(text) AS ch FROM documents WHERE doc_id >= 250
+    )
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           EXISTS(SELECT 1 FROM store s WHERE s.ch = b.ch) AS dup_of_store,
+           EXISTS(SELECT 1 FROM batch b2
+                  WHERE b2.ch = b.ch AND b2.doc_id < b.doc_id) AS dup_in_batch
+    FROM batch b
+    """,
+)
+def incremental_dedup_documents(spark, sf_dir):
+    """Incremental ingest-batch dedup against a persisted exact store
+    (operators/incremental.py): docs < 250 play the accepted corpus whose
+    digest store already exists; docs >= 250 are the new batch, flagged
+    per row as duplicating the store and/or an earlier batch row.  The
+    store join is keyed by the uniform md5 digest (oracle-reproducible),
+    never by text."""
+    from ensembl_datacheck_spark.operators import incremental
+
+    t = _t(spark, sf_dir)
+    d = t["documents"]
+    store = incremental.exact_store(d.filter(F.col("doc_id") < 250), "text")
+    batch = d.filter(F.col("doc_id") >= 250)
+    flagged = incremental.flag_incremental_duplicates(
+        batch, store, "text", "doc_id"
+    )
+    return flagged.select("doc_id", "dup_of_store", "dup_in_batch")
+
+
+@q(
+    "repetition_signals_documents",
+    r"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE doc_id < 120
+    ),
+    lines AS (
+      SELECT doc_id, l AS line
+      FROM docs, UNNEST(string_split(text, chr(10))) AS t(l)
+      WHERE trim(l) <> ''
+    ),
+    lc AS (SELECT doc_id, line, count(*) AS cnt FROM lines GROUP BY 1, 2),
+    la AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n_lines,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS DOUBLE)
+               / NULLIF(SUM(cnt), 0) AS dup_line_frac,
+             CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(line) ELSE 0 END)
+                  AS DOUBLE)
+               / NULLIF(SUM(cnt * length(line)), 0) AS dup_line_char_frac
+      FROM lc GROUP BY 1
+    ),
+    grams AS (
+      SELECT doc_id, g
+      FROM (
+        SELECT doc_id,
+               CASE WHEN len(ws) >= 2 THEN
+                 list_transform(range(1, len(ws)),
+                                i -> array_to_string(ws[i:i+1], ' '))
+               ELSE [array_to_string(ws, ' ')] END AS gs
+        FROM (SELECT doc_id,
+                     string_split_regex(lower(trim(text)), '\s+') AS ws
+              FROM docs)
+      ), UNNEST(gs) AS t(g)
+      WHERE length(g) > 0
+    ),
+    gc AS (SELECT doc_id, g, count(*) AS cnt FROM grams GROUP BY 1, 2),
+    ranked AS (
+      SELECT doc_id, g, cnt,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY cnt DESC, g DESC) AS rn,
+             SUM(cnt * length(g)) OVER (PARTITION BY doc_id) AS tot_chars,
+             SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END)
+               OVER (PARTITION BY doc_id) AS dup_chars
+      FROM gc
+    ),
+    ga AS (
+      SELECT doc_id,
+             CAST(cnt * length(g) AS DOUBLE) / NULLIF(tot_chars, 0)
+               AS top_ngram_frac,
+             CAST(dup_chars AS DOUBLE) / NULLIF(tot_chars, 0)
+               AS dup_ngram_frac
+      FROM ranked WHERE rn = 1
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           COALESCE(la.n_lines, 0) AS n_lines,
+           la.dup_line_frac, la.dup_line_char_frac,
+           ga.top_ngram_frac, ga.dup_ngram_frac
+    FROM docs d
+    LEFT JOIN la USING (doc_id)
+    LEFT JOIN ga USING (doc_id)
+    """,
+)
+def repetition_signals_documents(spark, sf_dir):
+    """Gopher-style repetition quality signals (text.repetition_signals):
+    duplicate-line fraction, duplicate-line char fraction, top/duplicated
+    2-gram char fractions — two explode→two-stage-count pipelines, all
+    exact integer counts + one final division, value-for-value against
+    the SQL oracle."""
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 120)
+    return text.repetition_signals(d, "doc_id", "text", ngram=2)
+
+
+@q(
+    "hot_keys_orders",
+    """
+    WITH pairs AS (
+      SELECT 'o_orderpriority' AS "column",
+             CAST(o_orderpriority AS VARCHAR) AS value FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', CAST(o_orderstatus AS VARCHAR) FROM orders
+    ),
+    counts AS (
+      SELECT "column", value, count(*) AS n FROM pairs GROUP BY 1, 2
+    )
+    SELECT "column", value, CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY "column") AS share,
+           CAST(row_number() OVER (PARTITION BY "column"
+                                   ORDER BY n DESC, value ASC NULLS FIRST)
+                AS INT) AS rank
+    FROM counts
+    QUALIFY rank <= 3
+    """,
+)
+def hot_keys_orders(spark, sf_dir):
+    """Skew profiler (operators/skew.hot_keys): top-3 hottest values and
+    row shares of the orders status/priority keys in ONE scan — the
+    measurement that decides where salting / AQE skew handling must be
+    applied before a large join."""
+    from ensembl_datacheck_spark.operators.skew import hot_keys
+
+    t = _t(spark, sf_dir)
+    return hot_keys(t["orders"], ["o_orderpriority", "o_orderstatus"], top_k=3)

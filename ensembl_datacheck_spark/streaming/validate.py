@@ -183,3 +183,36 @@ def windowed_subtotals_drift(
             < F.lit(min_proportion) * F.col("baseline_prop") * F.col("window_total")
         )
     )
+
+
+def dedup_stream_against_store(
+    stream: DataFrame,
+    store: DataFrame,
+    text_col: str,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Streaming incremental dedup: the stream-static composition of
+    operators/incremental.py — drop stream rows whose content digest is
+    already in the accepted-corpus `store` (a STATIC DataFrame with a
+    `content_hash` column, e.g. incremental.exact_store persisted
+    bucketed by digest), then drop repeats arriving within the watermark
+    horizon.
+
+    Scale shape: the stream-static join is re-planned per micro-batch
+    with only the batch on the streaming side — the store is never
+    shuffled into state; state is bounded to the watermark's worth of
+    within-stream digests.  This is the continuous-ingest form of the
+    batch admit filter (incremental_dedup_exact): what the batch job does
+    per ingest drop, this does per micro-batch.
+    """
+    from ensembl_datacheck_spark.operators.dedup import content_hash
+
+    hashed = stream.withColumn("__ch", content_hash(F.col(text_col)))
+    st = store.select(F.col("content_hash").alias("__ch")).distinct()
+    fresh = hashed.join(st, "__ch", "left_anti")
+    out = fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["__ch"] + (key_cols or [])
+    )
+    return out.drop("__ch")

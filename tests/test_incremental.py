@@ -1,0 +1,177 @@
+"""Incremental dedup against a persisted store (operators/incremental.py)
+plus the new repetition / hot-key profiling operators."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ensembl_datacheck_spark.operators import incremental
+from ensembl_datacheck_spark.operators.skew import hot_keys
+from ensembl_datacheck_spark.operators.text import repetition_signals
+
+
+@pytest.fixture(scope="module")
+def corpus_and_batch(spark):
+    accepted = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta"), (3, "eta theta iota")],
+        "doc_id long, text string",
+    )
+    # batch: 10 dups an accepted doc; 11/12 duplicate each other; 13 fresh
+    batch = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma"),
+            (11, "kappa lambda mu"),
+            (12, "kappa lambda mu"),
+            (13, "nu xi omicron"),
+        ],
+        "doc_id long, text string",
+    )
+    return accepted, batch
+
+
+def test_flag_incremental_duplicates(spark, corpus_and_batch):
+    accepted, batch = corpus_and_batch
+    store = incremental.exact_store(accepted, "text")
+    flagged = {
+        r["doc_id"]: (r["dup_of_store"], r["dup_in_batch"])
+        for r in incremental.flag_incremental_duplicates(
+            batch, store, "text", "doc_id"
+        ).collect()
+    }
+    assert flagged == {
+        10: (True, False),
+        11: (False, False),   # first occurrence in batch survives
+        12: (False, True),
+        13: (False, False),
+    }
+
+
+def test_incremental_dedup_exact_admits_one_copy(spark, corpus_and_batch):
+    accepted, batch = corpus_and_batch
+    store = incremental.exact_store(accepted, "text")
+    admitted = incremental.incremental_dedup_exact(batch, store, "text", "doc_id")
+    assert sorted(r["doc_id"] for r in admitted.collect()) == [11, 13]
+    # admitting then re-running against the grown store admits nothing new
+    grown = store.unionByName(incremental.exact_store(admitted, "text")).distinct()
+    again = incremental.incremental_dedup_exact(batch, grown, "text", "doc_id")
+    assert again.count() == 0
+
+
+def test_incremental_lsh_candidates_routes_to_store_and_batch(spark):
+    base = "the quick brown fox jumps over the lazy dog and runs far away"
+    accepted = spark.createDataFrame(
+        [(1, base), (2, "completely different accepted content about spark plans")],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, base + " indeed"),          # near-dup of accepted 1
+            (11, "fresh unrelated text with novel words entirely"),
+            (12, "fresh unrelated text with novel words entirely"),  # dup of 11
+        ],
+        "doc_id long, text string",
+    )
+    store = incremental.band_store(accepted, "doc_id", "text")
+    cands = incremental.incremental_lsh_candidates(
+        batch, store, "doc_id", "text"
+    ).collect()
+    got = {(r["new_id"], r["match_id"], r["match_src"]) for r in cands}
+    assert (10, 1, "store") in got
+    assert (12, 11, "batch") in got
+    # the fresh doc never matches the store
+    assert not any(n == 11 and s == "store" for (n, m, s) in got)
+
+
+def test_incremental_lsh_store_bucket_cap_is_linear(spark):
+    """A degenerate store bucket (500 identical accepted docs) must
+    contribute at most cap_per_bucket matches per colliding new doc."""
+    dup = "repeated content that lands every copy in the same bucket okay"
+    accepted = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"), F.lit(dup).alias("text")
+    )
+    batch = spark.createDataFrame([(9000, dup)], "doc_id long, text string")
+    store = incremental.band_store(accepted, "doc_id", "text")
+    n = incremental.incremental_lsh_candidates(
+        batch, store, "doc_id", "text", cap_per_bucket=20
+    ).count()
+    assert 1 <= n <= 20
+
+
+def test_repetition_signals(spark):
+    docs = spark.createDataFrame(
+        [
+            (1, "a b\na b\nc d"),            # line 'a b' duplicated
+            (2, "x y z w"),                   # no repetition
+            (3, ""),                          # empty: zero lines, NULL fracs
+            (4, "p q p q p q"),               # top 2-gram 'p q' dominates
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in repetition_signals(docs, "doc_id", "text").collect()}
+    assert out[1]["n_lines"] == 3
+    assert out[1]["dup_line_frac"] == pytest.approx(2 / 3)
+    assert out[1]["dup_line_char_frac"] == pytest.approx(6 / 9)
+    assert out[2]["dup_line_frac"] == 0.0
+    assert out[3]["n_lines"] == 0 and out[3]["dup_line_frac"] is None
+    # doc 4 2-grams: 'p q','q p','p q','q p','p q' → top 'p q' 3 of 5, all len 3
+    assert out[4]["top_ngram_frac"] == pytest.approx(3 / 5)
+    assert out[4]["dup_ngram_frac"] == 1.0
+    # every input id must stay present
+    assert set(out) == {1, 2, 3, 4}
+
+
+def test_hot_keys_profiler(spark):
+    df = spark.createDataFrame(
+        [("hot", 1)] * 8 + [("warm", 2)] * 3 + [(None, 3)] * 5,
+        "k string, v int",
+    )
+    out = hot_keys(df, ["k"], top_k=2).collect()
+    assert [(r["value"], r["n"]) for r in out] == [("hot", 8), (None, 5)]
+    assert out[0]["share"] == pytest.approx(8 / 16)
+    with pytest.raises(ValueError, match="not in DataFrame"):
+        hot_keys(df, ["missing"])
+
+
+def test_hot_keys_multi_column_single_scan(spark):
+    df = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "b")], "x int, y string"
+    )
+    out = hot_keys(df, ["x", "y"], top_k=1).collect()
+    got = {r["column"]: (r["value"], r["n"]) for r in out}
+    assert got == {"x": ("1", 2), "y": ("b", 2)}
+
+
+def test_stream_dedup_against_store(spark, tmp_path):
+    from ensembl_datacheck_spark.operators import incremental
+    from ensembl_datacheck_spark.streaming.validate import (
+        dedup_stream_against_store,
+    )
+
+    accepted = spark.createDataFrame(
+        [(1, "already accepted content")], "doc_id long, text string"
+    )
+    store = incremental.exact_store(accepted, "text")
+
+    src = tmp_path / "inc_src"
+    src.mkdir()
+    batch = spark.createDataFrame(
+        [
+            (10, "already accepted content", "2024-01-01 00:00:10"),
+            (11, "brand new content", "2024-01-01 00:00:20"),
+            (12, "brand new content", "2024-01-01 00:00:30"),  # stream dup
+            (13, "other fresh content", "2024-01-01 00:01:00"),
+        ],
+        "doc_id long, text string, ts_str string",
+    ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
+    batch.write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (
+        dedup_stream_against_store(stream, store, "text", watermark="5 minutes")
+        .writeStream.format("memory").queryName("inc_stream")
+        .outputMode("append").start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(r["doc_id"] for r in spark.sql("select * from inc_stream").collect())
+    assert got == [11, 13]  # store dup 10 and within-stream dup 12 dropped
