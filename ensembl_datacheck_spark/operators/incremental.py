@@ -68,9 +68,11 @@ def flag_incremental_duplicates(
     marked = hashed.withColumn(
         "dup_in_batch", F.row_number().over(w) > 1
     )
-    st = store.select(
-        F.col("content_hash").alias("__ch"), F.lit(True).alias("__in_store")
-    ).distinct()
+    st = (
+        store.select(F.col("content_hash").alias("__ch"))
+        .distinct()
+        .withColumn("__in_store", F.lit(True))
+    )
     return (
         marked.join(st, "__ch", "left")
         .withColumn("dup_of_store", F.coalesce(F.col("__in_store"), F.lit(False)))

@@ -808,9 +808,14 @@ def ngram_jaccard_pairs_q(spark, sf_dir):
     integer intersect/union arithmetic (operators/dedup.py jaccard_pairs)."""
     t = _t(spark, sf_dir)
     d = t["documents"].filter(F.col("doc_id") < 40)
-    return dedup.jaccard_pairs(d, "doc_id", "text", ngram=3, min_jaccard=0.05).select(
-        "id_a", "id_b", "n_inter", "n_union"
-    )
+    # max_df=None: this corpus is explicitly bounded (40 docs), so the
+    # hot-shingle cap can never trigger — skipping it avoids its extra
+    # document-frequency pass + broadcast (3+ s of fixed stage latency
+    # here).  The capped default stays on for unbounded corpora and is
+    # exercised by test_jaccard_frequency_cap_degenerate_corpus.
+    return dedup.jaccard_pairs(
+        d, "doc_id", "text", ngram=3, min_jaccard=0.05, max_df=None
+    ).select("id_a", "id_b", "n_inter", "n_union")
 
 
 ORACLES["ngram_jaccard_pairs"] = _jaccard_sql(
