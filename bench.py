@@ -43,6 +43,7 @@ HEADLINE = [
     "incremental_dedup_documents",
     "repetition_signals_documents",
     "hot_keys_orders",
+    "quantile_drift_halves",
 ]
 
 

@@ -402,6 +402,36 @@ def ntok_drift(ctx):
     )
 
 
+@register(
+    "NTokQuantileDrift",
+    "n_tok quantile profile vs the baseline snapshot's exact quantiles "
+    "within 5% relative tolerance — the sketch-tier drift check: current "
+    "quantiles come from the mergeable percentile_approx aggregate "
+    "(partials combine map-side; at 10^12 rows the exact percentile's "
+    "per-group sort is the bottleneck, the sketch is the scale path)",
+    groups=("sequences", "drift"),
+    tables=("sequences", "baseline_stats"),
+)
+def ntok_quantile_drift(ctx):
+    from ensembl_datacheck_spark.plans.runner import SkipCheck
+
+    seq, base = ctx.table("sequences"), ctx.table("baseline_stats")
+    base_prof = base.filter(F.col("stat_key") == "n_tok_quantile").select(
+        F.col("category").cast("double").alias("q"), F.col("value")
+    )
+    qs = tuple(sorted(r["q"] for r in base_prof.select("q").collect()))
+    if not qs:
+        raise SkipCheck("baseline snapshot carries no n_tok_quantile rows")
+    cur = D.quantile_profile(
+        seq.filter(F.col("n_tok").isNotNull()), "n_tok", qs,
+        approx=True, accuracy=ctx.config.get("quantile_accuracy", 10_000),
+    )
+    viol = D.quantile_drift_violations(
+        cur, base_prof, rel_tol=ctx.config.get("quantile_rel_tol", 0.05)
+    )
+    ctx.record(A.is_rows_zero(viol, "n_tok_quantile_drift"), key_col="q")
+
+
 # ---------------------------------------------------------------------------
 # existence probe (S24) — the 'table has data' gate most reference checks
 # start with (EmptyVariationTables.pm:38-51)

@@ -164,3 +164,74 @@ def category_drift_violations(
             (F.col("base_count") > 0) & ((ratio < lo) | (ratio > hi))
         )
     return j.filter(pred)
+
+
+def quantile_profile(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...] = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    group_col: str | None = None,
+    approx: bool = False,
+    accuracy: int = 10_000,
+) -> DataFrame:
+    """Distribution profile as quantiles: (group?, q, value) — the
+    snapshot a pipeline persists per run and diffs against later
+    (the continuous-column counterpart of the histogram baselines).
+
+    Two tiers sharing one output shape:
+
+    * exact (default): `percentile` with linear interpolation — one
+      aggregation, values reproducible by any engine with quantile_cont
+      (the oracle-verified tier);
+    * ``approx=True``: `percentile_approx` — a mergeable sketch whose
+      partials combine map-side, so the shuffle carries one sketch per
+      partition regardless of row count.  At 10^12 rows the exact tier's
+      per-group sort-based percentile is the bottleneck; the sketch tier
+      is the scale path (bounded rank error 1/accuracy, engine-specific
+      values — pytest-verified against the exact tier, no SQL oracle).
+    """
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    agg_fn = (
+        F.percentile_approx(value_col, q_arr, F.lit(accuracy))
+        if approx
+        else F.percentile(value_col, q_arr)
+    )
+    keys = [group_col] if group_col else []
+    prof = df.groupBy(*keys).agg(agg_fn.alias("__qv"))
+    return prof.select(
+        *keys, F.posexplode("__qv").alias("__pos", "value")
+    ).select(
+        *keys,
+        F.element_at(q_arr, F.col("__pos") + 1).alias("q"),
+        F.col("value").cast("double").alias("value"),
+    )
+
+
+def quantile_drift_violations(
+    current: DataFrame,
+    baseline: DataFrame,
+    abs_tol: float = 0.0,
+    rel_tol: float = 0.0,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Per-quantile tolerance breaches between two quantile_profile
+    outputs: |cur − base| > abs_tol + rel_tol·|base|.  Join keyed by
+    (group…, q) — both sides are profile-sized (groups × quantiles), so
+    this never touches row-scale data; a baseline group missing from
+    current surfaces as a NULL-current breach row rather than vanishing.
+    """
+    on = (group_cols or []) + ["q"]
+    cur = current.withColumnRenamed("value", "cur_value")
+    base = baseline.withColumnRenamed("value", "base_value")
+    j = base.join(cur, on, "left_outer")
+    breach = (
+        F.col("cur_value").isNull()
+        | (
+            F.abs(F.col("cur_value") - F.col("base_value"))
+            > F.lit(abs_tol) + F.lit(rel_tol) * F.abs(F.col("base_value"))
+        )
+    )
+    return j.filter(breach).select(
+        *on, "base_value", "cur_value",
+        (F.col("cur_value") - F.col("base_value")).alias("delta"),
+    )

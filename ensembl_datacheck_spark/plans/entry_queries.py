@@ -1927,3 +1927,66 @@ def hot_keys_orders(spark, sf_dir):
 
     t = _t(spark, sf_dir)
     return hot_keys(t["orders"], ["o_orderpriority", "o_orderstatus"], top_k=3)
+
+
+@q(
+    "quantile_drift_halves",
+    """
+    WITH li AS (
+      SELECT l_returnflag, l_quantity, l_orderkey % 2 = 0 AS is_base
+      FROM lineitem
+    ),
+    idx AS (SELECT unnest(range(1, 7)) AS i),
+    b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qv
+      FROM li WHERE is_base GROUP BY 1
+    ),
+    c AS (
+      SELECT l_returnflag,
+             quantile_cont(l_quantity, [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qv
+      FROM li WHERE NOT is_base GROUP BY 1
+    ),
+    bl AS (
+      SELECT l_returnflag,
+             CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99][i] AS DOUBLE) AS q,
+             CAST(qv[i] AS DOUBLE) AS base_value
+      FROM b CROSS JOIN idx
+    ),
+    cl AS (
+      SELECT l_returnflag,
+             CAST([0.1, 0.25, 0.5, 0.75, 0.9, 0.99][i] AS DOUBLE) AS q,
+             CAST(qv[i] AS DOUBLE) AS cur_value
+      FROM c CROSS JOIN idx
+    )
+    SELECT bl.l_returnflag, bl.q, bl.base_value, cl.cur_value,
+           cl.cur_value - bl.base_value AS delta
+    FROM bl LEFT JOIN cl ON bl.l_returnflag = cl.l_returnflag AND bl.q = cl.q
+    WHERE cl.cur_value IS NULL OR abs(cl.cur_value - bl.base_value) > 0
+    """,
+)
+def quantile_drift_halves(spark, sf_dir):
+    """Quantile-profile drift (operators/drift.quantile_profile +
+    quantile_drift_violations): exact linear-interpolated deciles of
+    l_quantity per returnflag, even-orderkey half as the persisted
+    baseline vs odd half as current, zero tolerance so every differing
+    quantile surfaces with its delta.  The approx=True sketch tier (
+    mergeable percentile_approx partials — the 10^12-row path) shares
+    this output shape and is pytest-verified against the exact tier."""
+    from ensembl_datacheck_spark.operators.drift import (
+        quantile_drift_violations,
+        quantile_profile,
+    )
+
+    t = _t(spark, sf_dir)
+    li = t["lineitem"]
+    qs = (0.1, 0.25, 0.5, 0.75, 0.9, 0.99)
+    base = quantile_profile(
+        li.filter(F.col("l_orderkey") % 2 == 0), "l_quantity", qs,
+        group_col="l_returnflag",
+    )
+    cur = quantile_profile(
+        li.filter(F.col("l_orderkey") % 2 != 0), "l_quantity", qs,
+        group_col="l_returnflag",
+    )
+    return quantile_drift_violations(cur, base, group_cols=["l_returnflag"])

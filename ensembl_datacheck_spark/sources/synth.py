@@ -238,7 +238,23 @@ def gen_baseline_stats(
         F.col("source").alias("category"),
         F.col("count").cast("double").alias("value"),
     )
-    return n_tok_hist.unionByName(src_counts)
+    # quantile snapshot rows (NTokQuantileDrift baseline): exact
+    # percentiles at snapshot time; shifted=True inflates them 1.25×, a
+    # clear breach of the check's default 5% relative tolerance
+    from ensembl_datacheck_spark.operators.drift import quantile_profile
+
+    q_prof = quantile_profile(
+        sequences.filter(F.col("n_tok").isNotNull()), "n_tok",
+        (0.1, 0.25, 0.5, 0.75, 0.9, 0.99),
+    )
+    if shifted:
+        q_prof = q_prof.withColumn("value", F.col("value") * 1.25)
+    n_tok_q = q_prof.select(
+        F.lit("n_tok_quantile").alias("stat_key"),
+        F.col("q").cast("string").alias("category"),
+        F.col("value"),
+    )
+    return n_tok_hist.unionByName(src_counts).unionByName(n_tok_q)
 
 
 # meta-table injected-violation constants (spec-pack checks): which

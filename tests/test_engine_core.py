@@ -92,6 +92,19 @@ def test_drift_fails_on_shifted_baseline(spark, seq_fixture):
     # (shrink-only) pass, but chi-square flags the distribution change
     a = {x.name: x for x in src.assertions}
     assert a["source_chi2"].status == Status.FAIL
+    # sketch-tier quantile check: baseline quantiles inflated 1.25x by
+    # the shifted snapshot breach the 5% relative tolerance
+    assert res["NTokQuantileDrift"].status == Status.FAIL
+
+
+def test_quantile_drift_passes_on_same_baseline(spark, seq_fixture):
+    runner = Runner(spark, _tables(seq_fixture, "baseline_same"), n_buckets=16)
+    summary = runner.run(registry.select(names=["NTokQuantileDrift"]),
+                         write_checkpoints=False)
+    res = _by_name(summary)
+    # approx sketch vs exact snapshot of the same distribution stays
+    # inside the 5% relative tolerance
+    assert res["NTokQuantileDrift"].status == Status.OK
 
 
 def test_clean_fixture_all_pass(spark, seq_fixture):

@@ -173,5 +173,13 @@ def test_stream_dedup_against_store(spark, tmp_path):
     )
     q.processAllAvailable()
     q.stop()
-    got = sorted(r["doc_id"] for r in spark.sql("select * from inc_stream").collect())
-    assert got == [11, 13]  # store dup 10 and within-stream dup 12 dropped
+    rows = spark.sql("select * from inc_stream").collect()
+    # store dup (doc 10) dropped; exactly ONE of the within-stream twins
+    # 11/12 survives (dropDuplicatesWithinWatermark keeps the first to
+    # arrive, and arrival order within a micro-batch is partition-order
+    # dependent); doc 13 passes through
+    assert sorted(r["text"] for r in rows) == [
+        "brand new content", "other fresh content"
+    ]
+    ids = {r["doc_id"] for r in rows}
+    assert 13 in ids and 10 not in ids and ids & {11, 12}

@@ -600,3 +600,47 @@ def test_lsh_multiprobe_improves_recall(spark):
     r0, r8 = recall(0), recall(8)
     assert r8 >= r0
     assert r8 >= 0.75, f"multiprobe recall@1 = {r8} (single-probe {r0})"
+
+
+def test_quantile_profile_exact_and_approx_tiers(spark):
+    from ensembl_datacheck_spark.operators.drift import quantile_profile
+
+    df = spark.range(0, 10_001).select((F.col("id") / 100.0).alias("v"))
+    exact = {r["q"]: r["value"]
+             for r in quantile_profile(df, "v", (0.25, 0.5, 0.9)).collect()}
+    assert exact[0.5] == pytest.approx(50.0)
+    assert exact[0.25] == pytest.approx(25.0)
+    # sketch tier: same shape, values within the documented rank error
+    approx = {r["q"]: r["value"]
+              for r in quantile_profile(df, "v", (0.25, 0.5, 0.9),
+                                        approx=True, accuracy=10_000).collect()}
+    for q in exact:
+        assert approx[q] == pytest.approx(exact[q], abs=0.2)
+
+
+def test_quantile_drift_violations_and_missing_group(spark):
+    from ensembl_datacheck_spark.operators.drift import (
+        quantile_drift_violations,
+        quantile_profile,
+    )
+
+    base_df = spark.createDataFrame(
+        [("a", float(v)) for v in range(101)] + [("b", 5.0)] * 10,
+        "g string, v double",
+    )
+    cur_df = spark.createDataFrame(
+        [("a", float(v) + 10.0) for v in range(101)],  # shifted by +10
+        "g string, v double",
+    )
+    base = quantile_profile(base_df, "v", (0.5,), group_col="g")
+    cur = quantile_profile(cur_df, "v", (0.5,), group_col="g")
+    # wide tolerance: shift of 10 on median 50 passes rel_tol 0.3
+    assert quantile_drift_violations(cur, base, rel_tol=0.3,
+                                     group_cols=["g"]).filter(
+        F.col("g") == "a").count() == 0
+    # tight tolerance: the shift breaches
+    tight = quantile_drift_violations(cur, base, abs_tol=1.0, group_cols=["g"])
+    got = {r["g"]: r for r in tight.collect()}
+    assert got["a"]["delta"] == pytest.approx(10.0)
+    # group 'b' missing from current surfaces as a NULL-current breach
+    assert got["b"]["cur_value"] is None
