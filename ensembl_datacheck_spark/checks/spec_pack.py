@@ -224,8 +224,24 @@ def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
                 t1 = t1.filter(F.col(col) == value)
             t2 = ctx.table(spec.table2)
             if spec.cast:
-                t1 = t1.withColumn(spec.val1, F.col(spec.val1).cast(spec.cast))
-                t2 = t2.withColumn(spec.val2, F.col(spec.val2).cast(spec.cast))
+                # try_cast + explicit castability assertion: a corrupted
+                # non-numeric value must surface as ITS OWN violation —
+                # a plain cast would either error the whole check (ANSI)
+                # or go NULL and silently drop out of the != comparison
+                bad = t1.filter(
+                    F.col(spec.val1).isNotNull()
+                    & F.col(spec.val1).try_cast(spec.cast).isNull()
+                ).select(spec.key1, spec.val1)
+                ctx.record(
+                    A.is_rows_zero(bad, f"{spec.name}_value_castable"),
+                    key_col=spec.key1,
+                )
+                t1 = t1.withColumn(
+                    spec.val1, F.col(spec.val1).try_cast(spec.cast)
+                )
+                t2 = t2.withColumn(
+                    spec.val2, F.col(spec.val2).try_cast(spec.cast)
+                )
             ctx.record(
                 A.denormalized(
                     t1, spec.key1, spec.val1, t2, spec.key2, spec.val2,

@@ -33,7 +33,13 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["parquet", "orc", "json", "csv", "jdbc"],
                    help="input table format; jdbc treats each table arg "
                    "as a JDBC URL and needs --jdbc-table")
-    p.add_argument("--jdbc-table", help="dbtable for --format jdbc")
+    p.add_argument("--jdbc-table", help="dbtable of the FACT relation "
+                   "for --format jdbc; dimension args default to their "
+                   "logical relation names (sources / baseline_stats / "
+                   "meta) unless overridden below")
+    p.add_argument("--jdbc-sources-table", default="sources")
+    p.add_argument("--jdbc-baseline-table", default="baseline_stats")
+    p.add_argument("--jdbc-meta-table", default="meta")
     p.add_argument("--schema", help="DDL schema string for csv/json inputs "
                    "(skips the inference scan)")
     p.add_argument("--warehouse", default="/tmp/dcheck_warehouse",
@@ -94,25 +100,33 @@ def main(argv: list[str] | None = None) -> int:
     from ensembl_datacheck_spark.sources.io import read_table
 
     spark = get_spark("dcheck-cli", cores=args.cores)
-    fmt_kw = {}
-    if args.fmt == "jdbc":
-        if not args.jdbc_table:
-            print("--format jdbc needs --jdbc-table", file=sys.stderr)
-            return 2
-        fmt_kw["dbtable"] = args.jdbc_table
+    if args.fmt == "jdbc" and not args.jdbc_table:
+        print("--format jdbc needs --jdbc-table", file=sys.stderr)
+        return 2
+
+    def fmt_kw(relation: str | None) -> dict:
+        # each table argument names ITS OWN relation: the fact table from
+        # --jdbc-table, dimensions from their (overridable) logical names
+        # — one shared dbtable would silently read the fact relation into
+        # every slot
+        return {"dbtable": relation} if args.fmt == "jdbc" else {}
+
     tables = {
         "sequences": read_table(spark, args.sequences, args.fmt, args.schema,
-                                **fmt_kw)
+                                **fmt_kw(args.jdbc_table))
     }
     if args.sources:
         # --schema describes the fact table only; the small dimension can
         # afford inference when csv/json
-        tables["sources"] = read_table(spark, args.sources, args.fmt, **fmt_kw)
+        tables["sources"] = read_table(spark, args.sources, args.fmt,
+                                       **fmt_kw(args.jdbc_sources_table))
     if args.baseline:
-        tables["baseline_stats"] = read_table(spark, args.baseline, args.fmt,
-                                              **fmt_kw)
+        tables["baseline_stats"] = read_table(
+            spark, args.baseline, args.fmt,
+            **fmt_kw(args.jdbc_baseline_table))
     if args.meta:
-        tables["meta"] = read_table(spark, args.meta, args.fmt, **fmt_kw)
+        tables["meta"] = read_table(spark, args.meta, args.fmt,
+                                    **fmt_kw(args.jdbc_meta_table))
 
     catalog = Catalog(spark, args.warehouse)
     # the resume lineage must cover EVERY input a check reads: a changed
@@ -123,7 +137,10 @@ def main(argv: list[str] | None = None) -> int:
         # no files to fingerprint: lineage = url+table identity only (a
         # changed remote table is NOT detected — document-level caveat;
         # use --force when revalidating live databases)
-        lineage = "|".join(f"jdbc:{p}:{args.jdbc_table}" for p in inputs if p)
+        rels = [args.jdbc_table, args.jdbc_sources_table,
+                args.jdbc_baseline_table, args.jdbc_meta_table]
+        lineage = "|".join(
+            f"jdbc:{p}:{r}" for p, r in zip(inputs, rels) if p)
     else:
         lineage = "|".join(_lineage_of(p) for p in inputs if p)
     runner = Runner(

@@ -259,7 +259,18 @@ def bucket_candidate_pairs(banded: DataFrame, cap: int = 100) -> DataFrame:
     instead of silently dropping members 101+ (which would leave them
     un-deduplicated with no trace).  The member ranking is a window, not
     collect_list-then-slice: a huge bucket never materializes as one
-    in-memory array."""
+    in-memory array.
+
+    Recall tradeoff (deliberate): in an overfull MIXED bucket (> cap
+    members that are NOT one duplicate cluster — e.g. too few LSH
+    planes/bands for the corpus size), two similar members both ranked
+    past ``cap`` are only reachable through hub pairs, and a downstream
+    similarity threshold can reject both hub pairs while the direct pair
+    would have passed.  That loss is the price of linear output; the
+    uncapped alternative is quadratic in the hottest bucket, which at
+    corpus scale is the job-killer.  If overfull buckets are frequent,
+    the fix is more selective banding (more planes / more bands →
+    smaller buckets), or a larger ``cap`` — not removing the cap."""
     wb = Window.partitionBy("bk")
     ranked = banded.withColumn("hub", F.min("id").over(wb)).withColumn(
         "rn", F.row_number().over(wb.orderBy("id"))

@@ -215,17 +215,20 @@ def quantile_drift_violations(
     group_cols: list[str] | None = None,
 ) -> DataFrame:
     """Per-quantile tolerance breaches between two quantile_profile
-    outputs: |cur − base| > abs_tol + rel_tol·|base|.  Join keyed by
-    (group…, q) — both sides are profile-sized (groups × quantiles), so
-    this never touches row-scale data; a baseline group missing from
-    current surfaces as a NULL-current breach row rather than vanishing.
+    outputs: |cur − base| > abs_tol + rel_tol·|base|.  Full-outer join
+    keyed by (group…, q) — both sides are profile-sized (groups ×
+    quantiles), so this never touches row-scale data; a baseline group
+    missing from current surfaces as a NULL-current breach row, and a
+    NEW group appearing only in current surfaces as a NULL-baseline
+    breach row (both directions are drift).
     """
     on = (group_cols or []) + ["q"]
     cur = current.withColumnRenamed("value", "cur_value")
     base = baseline.withColumnRenamed("value", "base_value")
-    j = base.join(cur, on, "left_outer")
+    j = base.join(cur, on, "full_outer")
     breach = (
         F.col("cur_value").isNull()
+        | F.col("base_value").isNull()
         | (
             F.abs(F.col("cur_value") - F.col("base_value"))
             > F.lit(abs_tol) + F.lit(rel_tol) * F.abs(F.col("base_value"))

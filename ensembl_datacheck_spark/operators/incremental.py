@@ -65,8 +65,15 @@ def flag_incremental_duplicates(
     """
     hashed = new_df.withColumn("__ch", content_hash(F.col(text_col)))
     w = Window.partitionBy("__ch").orderBy(F.col(id_col))
+    # NULL-text rows are never duplicates of anything (SQL semantics:
+    # NULL = NULL is not a match — the oracle's EXISTS/equi-join never
+    # matches them; without the guard the window would group all NULL
+    # digests together and flag every one after the first)
     marked = hashed.withColumn(
-        "dup_in_batch", F.row_number().over(w) > 1
+        "dup_in_batch",
+        F.when(F.col("__ch").isNull(), F.lit(False)).otherwise(
+            F.row_number().over(w) > 1
+        ),
     )
     st = (
         store.select(F.col("content_hash").alias("__ch"))

@@ -186,7 +186,7 @@ def payload_features(
     (the output schema is derived, not hardcoded)."""
     idt = df.schema[id_col].dataType.simpleString()
     out_schema = (
-        f"media_id {idt}, payload_bytes long, n_chars long, first_cp long, "
+        f"{id_col} {idt}, payload_bytes long, n_chars long, first_cp long, "
         "payload_md5 string"
     )
 
@@ -214,7 +214,7 @@ def payload_features(
                     firsts.append(ord(s[0]) if s else -1)
             yield pd.DataFrame(
                 {
-                    "media_id": ids,
+                    id_col: ids,
                     "payload_bytes": pd.array(nbytes, dtype="Int64"),
                     "n_chars": pd.array(nchars, dtype="Int64"),
                     "first_cp": pd.array(firsts, dtype="Int64"),

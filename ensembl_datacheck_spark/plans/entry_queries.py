@@ -1959,10 +1959,12 @@ def hot_keys_orders(spark, sf_dir):
              CAST(qv[i] AS DOUBLE) AS cur_value
       FROM c CROSS JOIN idx
     )
-    SELECT bl.l_returnflag, bl.q, bl.base_value, cl.cur_value,
+    SELECT COALESCE(bl.l_returnflag, cl.l_returnflag) AS l_returnflag,
+           COALESCE(bl.q, cl.q) AS q, bl.base_value, cl.cur_value,
            cl.cur_value - bl.base_value AS delta
-    FROM bl LEFT JOIN cl ON bl.l_returnflag = cl.l_returnflag AND bl.q = cl.q
-    WHERE cl.cur_value IS NULL OR abs(cl.cur_value - bl.base_value) > 0
+    FROM bl FULL JOIN cl ON bl.l_returnflag = cl.l_returnflag AND bl.q = cl.q
+    WHERE cl.cur_value IS NULL OR bl.base_value IS NULL
+       OR abs(cl.cur_value - bl.base_value) > 0
     """,
 )
 def quantile_drift_halves(spark, sf_dir):

@@ -389,7 +389,19 @@ class Runner:
         buckets and per-check verdicts only consider that check's pending
         set."""
         started = time.time()
-        fact = self.tables[self.fact_table]
+        fact = self.tables.get(self.fact_table)
+        if fact is None:
+            # no fact table in this run (e.g. a meta-only spec-pack
+            # suite): every fused check skips with a reason — the same
+            # per-check containment ctx.table gives body checks, not a
+            # KeyError that would abort the whole run
+            for s in specs:
+                res = CheckResult(check_name=s.name)
+                res.skip_reason = (
+                    f"required table '{self.fact_table}' not available"
+                )
+                summary.results.append(res.finish())
+            return
         pending_by_check: dict[str, list[int] | None] = {
             s.name: self._pending_buckets(s) for s in specs
         }

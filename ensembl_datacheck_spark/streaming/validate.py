@@ -209,10 +209,17 @@ def dedup_stream_against_store(
     """
     from ensembl_datacheck_spark.operators.dedup import content_hash
 
-    hashed = stream.withColumn("__ch", content_hash(F.col(text_col)))
+    hashed = stream.withColumn(
+        "__ch", content_hash(F.col(text_col))
+    ).withWatermark(ts_col, watermark)
     st = store.select(F.col("content_hash").alias("__ch")).distinct()
     fresh = hashed.join(st, "__ch", "left_anti")
-    out = fresh.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+    # NULL-text rows must pass through untouched (NULL never equals NULL,
+    # matching the batch operator and SQL semantics); the anti-join
+    # already never matches a NULL key, but the dedup state operator
+    # WOULD group NULL digests — so only non-NULL digests go through it
+    deduped = fresh.filter(F.col("__ch").isNotNull()).dropDuplicatesWithinWatermark(
         ["__ch"] + (key_cols or [])
     )
+    out = deduped.unionByName(fresh.filter(F.col("__ch").isNull()))
     return out.drop("__ch")

@@ -161,6 +161,7 @@ def test_stream_dedup_against_store(spark, tmp_path):
             (11, "brand new content", "2024-01-01 00:00:20"),
             (12, "brand new content", "2024-01-01 00:00:30"),  # stream dup
             (13, "other fresh content", "2024-01-01 00:01:00"),
+            (14, None, "2024-01-01 00:01:30"),  # NULL text: passes through
         ],
         "doc_id long, text string, ts_str string",
     ).withColumn("ts", F.col("ts_str").cast("timestamp")).drop("ts_str")
@@ -178,8 +179,65 @@ def test_stream_dedup_against_store(spark, tmp_path):
     # 11/12 survives (dropDuplicatesWithinWatermark keeps the first to
     # arrive, and arrival order within a micro-batch is partition-order
     # dependent); doc 13 passes through
-    assert sorted(r["text"] for r in rows) == [
+    assert sorted(r["text"] for r in rows if r["text"] is not None) == [
         "brand new content", "other fresh content"
     ]
     ids = {r["doc_id"] for r in rows}
-    assert 13 in ids and 10 not in ids and ids & {11, 12}
+    assert 13 in ids and 14 in ids and 10 not in ids and ids & {11, 12}
+
+
+def test_null_text_rows_are_never_duplicates(spark):
+    """SQL semantics: NULL never equals NULL — NULL-text rows pass
+    through both the batch flagger and the stream dedup un-flagged."""
+    store = incremental.exact_store(
+        spark.createDataFrame([(1, "x")], "doc_id long, text string"), "text"
+    )
+    batch = spark.createDataFrame(
+        [(10, None), (11, None), (12, "x")], "doc_id long, text string"
+    )
+    flagged = {
+        r["doc_id"]: (r["dup_of_store"], r["dup_in_batch"])
+        for r in incremental.flag_incremental_duplicates(
+            batch, store, "text", "doc_id"
+        ).collect()
+    }
+    assert flagged == {10: (False, False), 11: (False, False), 12: (True, False)}
+
+
+def test_runner_without_fact_table_skips_fused_checks(spark, seq_fixture):
+    import ensembl_datacheck_spark.checks  # noqa: F401
+    from ensembl_datacheck_spark.plans.runner import Runner
+    from ensembl_datacheck_spark.registry import registry
+    from ensembl_datacheck_spark.verdict import Status
+
+    from ensembl_datacheck_spark.sources import synth
+    meta = synth.gen_meta(spark, seq_fixture["sources"])
+    summary = Runner(
+        spark, {"meta": meta, "sources": seq_fixture["sources"]}, n_buckets=8
+    ).run(registry.default_suite(), write_checkpoints=False)
+    # every sequences-fused check skips with a reason; meta spec-pack
+    # checks still run (and fail on their injected defects) — no KeyError
+    by = {r.check_name: r for r in summary.results}
+    assert by["SequencesCompleteness"].status == Status.SKIP
+    assert by["TokenInvariants"].status == Status.SKIP
+    assert by["MetaKeyRequired"].status == Status.FAIL
+
+
+def test_quantile_drift_flags_current_only_group(spark):
+    from ensembl_datacheck_spark.operators.drift import (
+        quantile_drift_violations,
+        quantile_profile,
+    )
+
+    base = quantile_profile(
+        spark.createDataFrame([("a", 1.0)], "g string, v double"),
+        "v", (0.5,), group_col="g",
+    )
+    cur = quantile_profile(
+        spark.createDataFrame([("a", 1.0), ("NEW", 9.0)], "g string, v double"),
+        "v", (0.5,), group_col="g",
+    )
+    out = {r["g"]: r for r in quantile_drift_violations(
+        cur, base, group_cols=["g"]).collect()}
+    assert "NEW" in out and out["NEW"]["base_value"] is None
+    assert "a" not in out  # identical quantile: no breach
