@@ -404,11 +404,16 @@ def ntok_drift(ctx):
 
 @register(
     "NTokQuantileDrift",
-    "n_tok quantile profile vs the baseline snapshot's exact quantiles "
-    "within 5% relative tolerance — the sketch-tier drift check: current "
-    "quantiles come from the mergeable percentile_approx aggregate "
-    "(partials combine map-side; at 10^12 rows the exact percentile's "
-    "per-group sort is the bottleneck, the sketch is the scale path)",
+    "n_tok quantiles vs the baseline snapshot's exact quantiles within "
+    "5% relative tolerance.  n_tok has a BOUNDED integer domain "
+    "(NTokDomain enforces [1, 8192]), so exact quantiles come from a "
+    "value-frequency histogram — one codegen two-stage count "
+    "aggregation, fully map-side combinable, ~domain-size rows to the "
+    "driver — rather than a percentile sketch, whose single-reducer "
+    "merge of per-partition sketches is a SERIAL tail that grows with "
+    "accuracy and partition count (measurably hurts N→4N scaling).  "
+    "For unbounded/continuous columns use "
+    "drift.quantile_profile(approx=True), the mergeable-sketch tier.",
     groups=("sequences", "drift"),
     tables=("sequences", "baseline_stats"),
 )
@@ -416,20 +421,54 @@ def ntok_quantile_drift(ctx):
     from ensembl_datacheck_spark.plans.runner import SkipCheck
 
     seq, base = ctx.table("sequences"), ctx.table("baseline_stats")
-    base_prof = base.filter(F.col("stat_key") == "n_tok_quantile").select(
-        F.col("category").cast("double").alias("q"), F.col("value")
-    )
-    qs = tuple(sorted(r["q"] for r in base_prof.select("q").collect()))
-    if not qs:
+    base_q = {
+        float(r["category"]): float(r["value"])
+        for r in base.filter(F.col("stat_key") == "n_tok_quantile").collect()
+    }
+    if not base_q:
         raise SkipCheck("baseline snapshot carries no n_tok_quantile rows")
-    cur = D.quantile_profile(
-        seq.filter(F.col("n_tok").isNotNull()), "n_tok", qs,
-        approx=True, accuracy=ctx.config.get("quantile_accuracy", 10_000),
+    hist = sorted(
+        (r["n_tok"], r["cnt"])
+        for r in seq.filter(F.col("n_tok").isNotNull())
+        .groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
     )
-    viol = D.quantile_drift_violations(
-        cur, base_prof, rel_tol=ctx.config.get("quantile_rel_tol", 0.05)
+    rel_tol = ctx.config.get("quantile_rel_tol", 0.05)
+    if not hist:
+        raise SkipCheck("sequences has no non-null n_tok rows")
+    # exact linear-interpolated quantiles from (value, count) pairs —
+    # identical definition to F.percentile / quantile_cont: position
+    # h = (n-1)·q over the sorted values, interpolate neighbours
+    values = [v for v, _ in hist]
+    cums = []
+    total = 0
+    for _, c in hist:
+        total += c
+        cums.append(total)
+
+    def value_at(idx: int) -> float:
+        import bisect
+
+        return float(values[bisect.bisect_right(cums, idx)])
+
+    breaches = []
+    for q in sorted(base_q):
+        h = (total - 1) * q
+        lo, frac = int(h), h - int(h)
+        cur = value_at(lo)
+        if frac:
+            cur += frac * (value_at(lo + 1) - cur)
+        bv = base_q[q]
+        if abs(cur - bv) > rel_tol * abs(bv):
+            breaches.append(f"q={q}: baseline {bv} vs current {round(cur, 2)}")
+    ctx.result.assertions.append(
+        AssertionResult(
+            "n_tok_quantile_drift",
+            Status.OK if not breaches else Status.FAIL,
+            expected=f"within {rel_tol:.0%} of baseline",
+            got=len(breaches),
+            diag=breaches[:10],
+        )
     )
-    ctx.record(A.is_rows_zero(viol, "n_tok_quantile_drift"), key_col="q")
 
 
 # ---------------------------------------------------------------------------
