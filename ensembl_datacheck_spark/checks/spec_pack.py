@@ -318,6 +318,51 @@ DEFAULT_PACK = (
         diag_cols=("n_tok", "source"),
         groups=("sequences", "tokens"),
     ),
+    RowRuleSpec(
+        name="DocIdFormat",
+        description=(
+            "Non-blank doc_id matches the canonical 'doc_' + 12-digit "
+            "stable-id format — the stable-identifier format check "
+            "(GeneStableID.pm:66-75 regexp shape; blank/NULL ids belong "
+            "to the completeness check)"
+        ),
+        table="sequences",
+        violation_sql=(
+            "doc_id IS NOT NULL AND doc_id != '' "
+            "AND doc_id NOT RLIKE '^doc_[0-9]{12}$'"
+        ),
+        key_col="doc_id",
+        diag_cols=("source",),
+        groups=("sequences", "format"),
+    ),
+    RowRuleSpec(
+        name="MetaValueNotBlank",
+        description=(
+            "No NULL or whitespace-only meta_value (BlankNulls.pm:62-66 "
+            "applied to the tag table)"
+        ),
+        table="meta",
+        violation_sql="meta_value IS NULL OR trim(meta_value) = ''",
+        key_col="entity_id",
+        diag_cols=("meta_key",),
+        groups=("meta",),
+    ),
+    RowRuleSpec(
+        name="MetaActiveBooleanDomain",
+        description=(
+            "source.active meta values come from the boolean vocabulary "
+            "{'true','false'} — controlled-vocabulary tag check "
+            "(MetaKeyFormat.pm-style value-domain rules)"
+        ),
+        table="meta",
+        violation_sql=(
+            "meta_key = 'source.active' "
+            "AND meta_value NOT IN ('true', 'false')"
+        ),
+        key_col="entity_id",
+        diag_cols=("meta_value",),
+        groups=("meta",),
+    ),
     DenormalizedSpec(
         name="MetaWeightSync",
         description=(

@@ -158,7 +158,8 @@ def test_cli_meta_table_runs_spec_pack(spark, tmp_path):
     ])
     assert rc == 1
     j = json.loads((tmp_path / "res.json").read_text())
-    assert j["failed"] == 4  # all four meta checks catch their defect
+    assert j["failed"] == 4  # the four defect-targeted meta checks fail
+    assert j["passed"] == 2  # the meta guard rules (blank/vocabulary) pass
     # without --meta the same selection skips cleanly
     rc2 = main([
         "--sequences", str(tmp_path / "sequences"),
@@ -169,7 +170,7 @@ def test_cli_meta_table_runs_spec_pack(spark, tmp_path):
     ])
     assert rc2 == 0
     j2 = json.loads((tmp_path / "res2.json").read_text())
-    assert j2["skipped"] == 4 and j2["failed"] == 0
+    assert j2["skipped"] == 6 and j2["failed"] == 0
 
 
 def test_cli_jdbc_requires_table_option(spark, capsys):

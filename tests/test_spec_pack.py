@@ -200,3 +200,43 @@ def test_row_rule_wrong_fact_table_skips(spark):
     )
     [r] = summary.results
     assert r.status == Status.SKIP and "events" in r.skip_reason
+
+
+GUARD_NAMES = ["DocIdFormat", "MetaValueNotBlank", "MetaActiveBooleanDomain"]
+
+
+def test_guard_rules_registered_and_pass_on_fixtures(spark, meta_world):
+    """The format/vocabulary guard rules (stable-id format, blank tag
+    values, boolean tag domain) are regression tripwires: registered in
+    the default suite, OK on both the clean and the injected fixtures
+    (the injected defects target other checks)."""
+    names = {s.name for s in registry.default_suite()}
+    assert set(GUARD_NAMES) <= names
+    meta_res = {
+        r.check_name: r
+        for r in Runner(
+            spark,
+            {"sources": meta_world["sources"], "meta": meta_world["meta"]},
+            n_buckets=8,
+        ).run(registry.select(names=GUARD_NAMES[1:])).results
+    }
+    assert {n: r.status for n, r in meta_res.items()} == {
+        n: Status.OK for n in GUARD_NAMES[1:]
+    }
+
+
+def test_doc_id_format_rule_flags_malformed_ids(spark):
+    seq = spark.createDataFrame(
+        [("doc_000000000001", "src_00", [1, 2], 2),
+         ("DOC-BAD-FORMAT", "src_00", [1], 1),
+         ("", "src_00", [1], 1),          # blank: completeness, not format
+         (None, "src_00", [1], 1)],
+        "doc_id string, source string, tokens array<int>, n_tok int",
+    )
+    res = {
+        r.check_name: r
+        for r in Runner(spark, {"sequences": seq}, n_buckets=4)
+        .run(registry.select(names=["DocIdFormat"])).results
+    }
+    assert res["DocIdFormat"].status == Status.FAIL
+    assert res["DocIdFormat"].n_violations == 1
