@@ -177,12 +177,28 @@ def doc_id_unique(ctx):
     # ONE aggregation job yields per-bucket verdicts AND diagnostics:
     # all copies of a doc_id hash to the same bucket, so dup-row counts
     # per bucket derive from the dup-key list without joining back.
+    # Samples are rank-capped BEFORE collect_list (spillable window, not
+    # an unbounded agg buffer): a pathological corpus where millions of
+    # keys duplicate must not materialize them all in one bucket's
+    # aggregation buffer just to show 3 examples.
+    from pyspark.sql import Window
+
+    keys = keys.withColumn(
+        "partition_id", bucket_col("doc_id", ctx.n_buckets)
+    ).withColumn(
+        "__rn",
+        F.row_number().over(
+            Window.partitionBy("partition_id").orderBy("doc_id")
+        ),
+    )
     per_bucket = (
-        keys.groupBy(bucket_col("doc_id", ctx.n_buckets).alias("partition_id"))
+        keys.groupBy("partition_id")
         .agg(
             F.sum("count").alias("n_dup_rows"),
             F.count(F.lit(1)).alias("n_dup_keys"),
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 3).alias("samples"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rn") <= 3, F.col("doc_id")))
+            ).alias("samples"),
         )
         .collect()
     )

@@ -224,10 +224,13 @@ def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
                 t1 = t1.filter(F.col(col) == value)
             t2 = ctx.table(spec.table2)
             if spec.cast:
-                # try_cast + explicit castability assertion: a corrupted
-                # non-numeric value must surface as ITS OWN violation —
-                # a plain cast would either error the whole check (ANSI)
-                # or go NULL and silently drop out of the != comparison
+                # try_cast + explicit castability assertions ON BOTH
+                # SIDES: a corrupted non-numeric value must surface as
+                # ITS OWN violation — a plain cast would either error the
+                # whole check (ANSI) or go NULL and silently drop out of
+                # the != comparison.  The table2 side gets the same guard
+                # (A.denormalized's __v1 != __v2 filter skips NULLs, so
+                # an unasserted try_cast-NULL on val2 would vanish).
                 bad = t1.filter(
                     F.col(spec.val1).isNotNull()
                     & F.col(spec.val1).try_cast(spec.cast).isNull()
@@ -235,6 +238,14 @@ def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
                 ctx.record(
                     A.is_rows_zero(bad, f"{spec.name}_value_castable"),
                     key_col=spec.key1,
+                )
+                bad2 = t2.filter(
+                    F.col(spec.val2).isNotNull()
+                    & F.col(spec.val2).try_cast(spec.cast).isNull()
+                ).select(spec.key2, spec.val2)
+                ctx.record(
+                    A.is_rows_zero(bad2, f"{spec.name}_value2_castable"),
+                    key_col=spec.key2,
                 )
                 t1 = t1.withColumn(
                     spec.val1, F.col(spec.val1).try_cast(spec.cast)

@@ -17,7 +17,7 @@ rare) so each iteration shuffles only the affected nodes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -99,14 +99,29 @@ def dup_clusters(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
+    max_members: int = 20,
 ) -> DataFrame:
-    """(component, size, member_ids[:20]) for every multi-member cluster."""
+    """(component, size, member_ids[:max_members]) for every multi-member
+    cluster.  The member list is rank-capped BEFORE the aggregation
+    (window ``row_number() <= max_members`` over the component, lowest
+    node ids win) so a mega-cluster — the common degenerate case at
+    corpus scale — never materializes all its members in one
+    ``collect_list`` buffer; the spillable sort-based window takes that
+    load instead, and the groupBy reuses the window's hash partitioning
+    (one shuffle total).  Output identical to the uncapped-buffer
+    formulation."""
     labels = connected_components(pairs, id_a, id_b)
+    w = Window.partitionBy("component").orderBy("node")
     return (
-        labels.groupBy("component")
+        labels.withColumn("__rn", F.row_number().over(w))
+        .groupBy("component")
         .agg(
             F.count(F.lit(1)).alias("size"),
-            F.slice(F.sort_array(F.collect_list("node")), 1, 20).alias("members"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_members, F.col("node"))
+                )
+            ).alias("members"),
         )
         .filter(F.col("size") > 1)
     )

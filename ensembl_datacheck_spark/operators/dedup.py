@@ -65,14 +65,37 @@ def content_hash(col: Column) -> Column:
     return F.md5(col.cast("string"))
 
 
-def exact_duplicate_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """(content_hash, n_copies, doc_ids[:20]) for every duplicated text.
-    Two-stage hash agg on the digest; id list capped to bound row width."""
+def exact_duplicate_groups(
+    df: DataFrame, text_col: str, id_col: str, max_members: int = 20
+) -> DataFrame:
+    """(content_hash, n_copies, doc_ids[:max_members]) for every
+    duplicated text.
+
+    The id list is rank-capped BEFORE the aggregation: a window
+    ``row_number() <= max_members`` over the digest selects the lowest
+    ids, and ``collect_list`` only ever buffers those — the degenerate
+    corpus case (10^6 copies of one boilerplate doc) costs the spillable
+    sort-based window, never a 10^6-element in-memory aggregation
+    buffer.  (`slice` after `collect_list` bounds only the OUTPUT, not
+    the buffer.)  The window's partition key is the digest, so the
+    following groupBy reuses the same hash partitioning — one shuffle
+    total.  Output is identical to the uncapped-buffer formulation.
+    Reference kin: diagnostics capped at MAX_DIAG_ROWS=10
+    (Test/DataCheck.pm:47) for the same transfer-bound reason."""
+    keyed = df.select(
+        content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col)
+    )
+    w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
     return (
-        df.groupBy(content_hash(F.col(text_col)).alias("content_hash"))
+        keyed.withColumn("__rn", F.row_number().over(w))
+        .groupBy("content_hash")
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
-            F.slice(F.sort_array(F.collect_list(id_col)), 1, 20).alias("doc_ids"),
+            F.sort_array(
+                F.collect_list(
+                    F.when(F.col("__rn") <= max_members, F.col(id_col))
+                )
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_copies") > 1)
     )

@@ -226,9 +226,12 @@ def quantile_drift_violations(
     cur = current.withColumnRenamed("value", "cur_value")
     base = baseline.withColumnRenamed("value", "base_value")
     j = base.join(cur, on, "full_outer")
+    # NULL-ness must DIFFER to be a breach: a group whose value column is
+    # all-NULL in both snapshots yields NULL quantiles on both sides —
+    # the two snapshots agree, that is not drift.  (One-sided NULL — a
+    # group present in only one snapshot, or newly all-NULL — is.)
     breach = (
-        F.col("cur_value").isNull()
-        | F.col("base_value").isNull()
+        (F.col("cur_value").isNull() != F.col("base_value").isNull())
         | (
             F.abs(F.col("cur_value") - F.col("base_value"))
             > F.lit(abs_tol) + F.lit(rel_tol) * F.abs(F.col("base_value"))

@@ -115,16 +115,49 @@ def band_store(
     ngram: int = 3,
     n_hashes: int = 64,
     n_bands: int = 16,
+    cap_per_bucket: int | None = 20,
 ) -> DataFrame:
     """(id, bk) LSH band membership of an accepted corpus — the near-dup
     analogue of `exact_store`.  n_bands rows per doc, each a small
     struct; persisted bucketed by `bk` so every future ingest probes it
-    with a co-located join."""
+    with a co-located join.
+
+    The store is **capped at build time**: at most ``cap_per_bucket``
+    representatives (lowest ids) per band key.  The cap is paid ONCE
+    here — one spillable sort-window in the build — so the per-ingest
+    probe (`incremental_lsh_candidates`) is a plain equi-join that never
+    re-sorts the persisted store; at 10^12 stored docs a per-ingest
+    window over the store would be a full store shuffle per daily drop.
+    Representatives suffice to ROUTE a colliding new doc into the
+    existing duplicate cluster — lossless when an overfull bucket is one
+    duplicate cluster (the common degenerate case); for a MIXED overfull
+    bucket it is a deliberate recall tradeoff (a new doc's true near-dup
+    may rank past the cap and its retained representatives may all fail
+    downstream similarity verification) — the remedy is more selective
+    banding or a larger cap, same caveat as
+    dedup.bucket_candidate_pairs.
+
+    Append hygiene: each incremental append is capped per-batch, so a
+    bucket's accumulated representative set can exceed the cap across
+    many appends (union of per-batch caps, bounded by batches × cap,
+    NOT by corpus size).  Periodic compaction — re-aggregating the store
+    with the same cap — restores the per-bucket bound; it is a
+    maintenance job over the compact store table, never over the corpus.
+    ``cap_per_bucket=None`` keeps every member (bounded corpora only).
+    """
     rows_per_band = n_hashes // n_bands
     sig = minhash_signatures(df, id_col, text_col, ngram, n_hashes)
-    return sig.select(
+    bands = sig.select(
         "id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("bk")
     )
+    if cap_per_bucket is not None:
+        w = Window.partitionBy("bk").orderBy("id")
+        bands = (
+            bands.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap_per_bucket)
+            .drop("__rn")
+        )
+    return bands
 
 
 def incremental_lsh_candidates(
@@ -135,7 +168,6 @@ def incremental_lsh_candidates(
     ngram: int = 3,
     n_hashes: int = 64,
     n_bands: int = 16,
-    cap_per_bucket: int = 20,
 ) -> DataFrame:
     """Near-dup candidates of a new batch: (new_id, match_id, match_src)
     where match_src is 'store' (collides with an accepted doc's band) or
@@ -143,33 +175,35 @@ def incremental_lsh_candidates(
 
     Scale shape — the part that matters at 10^12 stored docs:
 
-    * the batch is banded once (same signature plan as the full pass);
-    * store probing is ONE equi-join on `bk`.  The store side is first
-      capped to ``cap_per_bucket`` members per band key (deterministic
-      lowest-id rank) — a band bucket holding a million accepted
-      near-identical docs contributes 20 representatives, not 10^6 join
-      rows per colliding new doc.  One representative is enough to route
-      the new doc into the existing duplicate cluster, so the cap loses
-      no admit/reject information, only redundant pair multiplicity;
+    * the batch is banded once (same signature plan as the full pass),
+      and — being a batch, not the corpus — is the side that pays the
+      band-cap window;
+    * store probing is ONE equi-join on `bk`.  The store arrives
+      **pre-capped** (the `band_store` contract caps representatives per
+      band key at build time), so the probe performs NO window, sort, or
+      re-aggregation over the persisted store — the earlier design that
+      ranked the store per ingest was a full store shuffle/sort per
+      daily drop, exactly the cost this module exists to avoid.  A
+      representative is enough to route the new doc into the existing
+      duplicate cluster (see `band_store` for the mixed-overfull-bucket
+      recall caveat);
     * within-batch pairs go through the same capped hub-spoke generator
       as the full-corpus pass (bucket_candidate_pairs), emitted with the
       smaller id as the match.
 
-    With `store_bands` written bucketed by bk, the probe join shuffles
-    only the (tiny) batch side.
+    With `store_bands` read from a table bucketed by bk
+    (sources/io.write_bucketed), the probe join shuffles only the
+    (tiny) batch side — the store contributes zero Exchange to the plan
+    (pinned by tests/test_incremental.py plan assertion).
     """
     from ensembl_datacheck_spark.operators.dedup import bucket_candidate_pairs
 
     new_bands = band_store(new_df, id_col, text_col, ngram, n_hashes, n_bands)
 
-    wb = Window.partitionBy("bk").orderBy("id")
-    store_capped = (
-        store_bands.withColumn("__rn", F.row_number().over(wb))
-        .filter(F.col("__rn") <= cap_per_bucket)
-        .select(F.col("id").alias("match_id"), "bk")
-    )
     vs_store = (
-        new_bands.join(store_capped, "bk")
+        new_bands.join(
+            store_bands.select(F.col("id").alias("match_id"), "bk"), "bk"
+        )
         .select(
             F.col("id").alias("new_id"),
             "match_id",

@@ -66,19 +66,29 @@ def hot_keys(
     share 0.3 at 10^12 rows means one reducer gets 3×10^11 rows unless
     the plan salts it.
 
-    Plan: ONE scan of the fact table — each row explodes into
+    Plan: ONE counting scan of the fact table — each row explodes into
     len(cols) (column, value) pairs (values canonicalized to string;
     NULL kept as a value, since NULL-heavy keys are the most common
     skew source) → two-stage count keyed by (column, value) — uniform
     even when the profiled key itself is hot, because the hot key IS one
-    group — → per-column top-k window over the (small) distinct-value
-    counts.  Output is at most len(cols) × top_k rows.
+    group — → per-column top-k rank window.  The share denominator is
+    NOT a ``sum().over(partitionBy(column))`` window: every row
+    contributes exactly one pair per column, so the per-column total is
+    simply ``df.count()`` (one cheap metadata-friendly job), whereas the
+    window would funnel ALL distinct (value, n) rows of a column — up to
+    row-count-many for a near-unique join key, exactly the kind of
+    column one profiles before salting — into a single task.  The rank
+    window that remains is eligible for Spark's WindowGroupLimit
+    push-down (per-partition top-k before the shuffle), so no task ever
+    holds a column's full distinct-value set.  Output is at most
+    len(cols) × top_k rows.
     """
     from pyspark.sql import Window
 
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"hot_keys: columns not in DataFrame: {missing}")
+    total = df.count()
     pairs = df.select(
         F.explode(
             F.array(
@@ -95,13 +105,16 @@ def hot_keys(
     counts = pairs.groupBy("column", "value").agg(
         F.count(F.lit(1)).alias("n")
     )
-    w = Window.partitionBy("column")
     ranked = counts.withColumn(
-        "share", F.col("n") / F.sum("n").over(w)
+        # total == 0 → counts is empty, the literal guard only keeps the
+        # expression well-defined under ANSI mode
+        "share", F.col("n") / F.lit(float(total) if total else 1.0)
     ).withColumn(
         "rank",
         F.row_number().over(
-            w.orderBy(F.desc("n"), F.asc_nulls_first("value"))
+            Window.partitionBy("column").orderBy(
+                F.desc("n"), F.asc_nulls_first("value")
+            )
         ),
     )
     return ranked.filter(F.col("rank") <= top_k).select(

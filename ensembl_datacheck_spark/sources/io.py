@@ -20,8 +20,13 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def _iceberg_available(spark: SparkSession) -> bool:
+    # Class.forName, NOT attribute access on spark._jvm: py4j resolves an
+    # unknown class path to a JavaPackage object without raising, so the
+    # attribute probe reports the runtime present even when it is not
     try:
-        spark._jvm.org.apache.iceberg.Table  # noqa: B018
+        spark._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.IcebergSource"
+        )
         return True
     except Exception:
         return False
@@ -30,11 +35,24 @@ def _iceberg_available(spark: SparkSession) -> bool:
 class Catalog:
     """Named tables rooted at a warehouse directory.
 
-    ``load(name)`` / ``write(df, name)`` / ``lineage(name)``.  When the
-    Iceberg runtime is on the classpath the same API targets an Iceberg
-    catalog (`spark.read.format("iceberg")`, snapshot-id lineage); in this
-    sandbox it degrades to Parquet directories with a manifest hash, with
-    identical checkpoint semantics.
+    ``load(name)`` / ``write(df, name)`` / ``lineage(name)``.  Two arms,
+    selected by ``use_iceberg`` (runtime-jar probe at construction):
+
+    * **Iceberg arm** (runtime on the classpath): path-based
+      ``format("iceberg")`` reads and writes against ``warehouse/name``,
+      so table evolution is snapshot-tracked.  Not exercised in this
+      sandbox — no Iceberg jars — the branch is covered by a test that
+      skips when the runtime is absent (tests/test_engine_core.py).
+    * **Parquet arm** (this sandbox): parquet directories with
+      identical checkpoint semantics.
+
+    ``lineage()`` is arm-INDEPENDENT: an Iceberg-layout directory
+    (``metadata/vN.metadata.json``) yields its current snapshot id read
+    straight from the metadata JSON — Iceberg table metadata is plain
+    files, so the snapshot-id freshness gate (the analogue of the
+    reference's information_schema.tables.update_time gate,
+    DbCheck.pm:806-820) works even without the Spark runtime; any other
+    directory yields an md5 manifest hash over its data files.
     """
 
     def __init__(self, spark: SparkSession, warehouse: str | Path):
@@ -52,7 +70,10 @@ class Catalog:
 
     def load(self, name: str, recursive: bool = False) -> DataFrame:
         """``recursive=True`` reads tables grown with append_atomic
-        (per-batch subdirectories)."""
+        (per-batch subdirectories; parquet arm only — Iceberg appends
+        are commits, not subdirectories)."""
+        if self.use_iceberg and not recursive:
+            return self.spark.read.format("iceberg").load(self.path(name))
         reader = self.spark.read
         if recursive:
             reader = reader.option("recursiveFileLookup", "true")
@@ -68,27 +89,81 @@ class Catalog:
         w = df.write.mode(mode)
         if partition_by:
             w = w.partitionBy(*partition_by)
-        w.parquet(self.path(name))
+        if self.use_iceberg:
+            w.format("iceberg").save(self.path(name))
+        else:
+            w.parquet(self.path(name))
 
     def append_atomic(self, df: DataFrame, name: str) -> None:
-        """Append by writing a fresh subdirectory: concurrent appends to
-        one parquet directory share the _temporary committer dir and can
-        destroy each other's staged files (two drivers on one warehouse).
-        Read back with ``load(name, recursive=True)``."""
+        """Append safely under concurrency.  Iceberg arm: a plain append
+        — Iceberg commits are ACID, concurrent writers retry on
+        conflict.  Parquet arm: write a fresh subdirectory, because
+        concurrent appends to one parquet directory share the
+        _temporary committer dir and can destroy each other's staged
+        files (two drivers on one warehouse); read back with
+        ``load(name, recursive=True)``."""
         import uuid
 
+        if self.use_iceberg:
+            self.write(df, name, mode="append")
+            return
         self.write(df, f"{name}/batch_{uuid.uuid4().hex}", mode="overwrite")
 
     def lineage(self, name: str) -> str:
-        """Stable fingerprint of the current table state: Iceberg snapshot
-        id when available, else md5 over sorted (relpath, size, mtime_ns)
-        of data files — the update_time analogue."""
+        """Stable fingerprint of the current table state: the Iceberg
+        current snapshot id when ``name`` is an Iceberg-layout table
+        (metadata JSON parsed directly — works with or without the
+        runtime jars), else md5 over sorted (relpath, size, mtime_ns) of
+        parquet data files — the update_time analogue."""
         root = Path(self.path(name))
+        snap = _iceberg_snapshot_id(root)
+        if snap is not None:
+            return f"iceberg-snapshot:{snap}"
         h = hashlib.md5()
         for p in sorted(root.rglob("*.parquet")):
             st = p.stat()
             h.update(f"{p.relative_to(root)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
         return h.hexdigest()
+
+
+def _iceberg_snapshot_id(table_root: Path) -> int | None:
+    """Current snapshot id of an Iceberg-layout table directory, or None
+    if ``table_root`` is not one.  Reads the table-format files directly
+    (version-hint.text → vN.metadata.json, falling back to the
+    highest-numbered metadata file) — the format is specified as plain
+    JSON on storage, so no Iceberg runtime is needed to answer "has this
+    table changed since the checkpoint?"."""
+    import json
+    import re as _re
+
+    meta_dir = table_root / "metadata"
+    if not meta_dir.is_dir():
+        return None
+    meta_file = None
+    hint = meta_dir / "version-hint.text"
+    if hint.is_file():
+        try:
+            v = int(hint.read_text().strip())
+            cand = meta_dir / f"v{v}.metadata.json"
+            if cand.is_file():
+                meta_file = cand
+        except ValueError:
+            pass
+    if meta_file is None:
+        versions = []
+        for p in meta_dir.glob("*.metadata.json"):
+            m = _re.match(r"v(\d+)\.metadata\.json$", p.name)
+            if m:
+                versions.append((int(m.group(1)), p))
+        if not versions:
+            return None
+        meta_file = max(versions)[1]
+    try:
+        meta = json.loads(meta_file.read_text())
+        snap = meta.get("current-snapshot-id")
+        return int(snap) if snap is not None and int(snap) != -1 else None
+    except (ValueError, OSError):
+        return None
 
 
 #: formats the IO layer accepts everywhere a table path is taken.
@@ -166,6 +241,19 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     }
 
 
+def _sql_ident(name: str, what: str) -> str:
+    """Backtick-quoted identifier, rejecting anything that could escape
+    the quoting (DDL here is assembled by f-string — a name carrying a
+    backtick or control character would inject SQL)."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
+        raise ValueError(
+            f"invalid {what} {name!r}: only [A-Za-z0-9_.-] allowed"
+        )
+    return f"`{name}`"
+
+
 def register_database(
     spark: SparkSession,
     db: str,
@@ -180,11 +268,18 @@ def register_database(
     name to its storage path, and any query or check addresses it as
     ``db.table`` — joins across namespaces plan exactly like same-table
     joins (Catalyst resolves both to scans; broadcast/pushdown apply
-    unchanged)."""
-    spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+    unchanged).  Identifiers and paths are validated/quoted — the DDL is
+    assembled textually and a quote in a path must not break or inject
+    it."""
+    if fmt not in READABLE_FORMATS:
+        raise ValueError(f"unsupported format {fmt!r}; one of {READABLE_FORMATS}")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {_sql_ident(db, 'database name')}")
     for name, path in tables.items():
+        if "'" in path or "\n" in path:
+            raise ValueError(f"invalid table location {path!r}")
         spark.sql(
-            f"CREATE TABLE IF NOT EXISTS {db}.{name} "
+            f"CREATE TABLE IF NOT EXISTS "
+            f"{_sql_ident(db, 'database name')}.{_sql_ident(name, 'table name')} "
             f"USING {fmt} LOCATION '{path}'"
         )
 

@@ -24,6 +24,26 @@ def test_connected_components_basic(spark):
     assert cl[6] == (4, [6, 7, 8, 9])
 
 
+def test_dup_clusters_mega_cluster_bounded_buffers(spark):
+    """A 20k-member cluster (hub-spoke pair list, the shape
+    bucket_candidate_pairs emits for a degenerate bucket): member lists
+    are rank-capped BEFORE collect_list — size stays exact, members show
+    the lowest max_members ids, and no agg buffer holds 20k ids."""
+    n = 20_000
+    pairs = spark.range(1, n).select(
+        F.lit(0).alias("id_a"), F.col("id").alias("id_b")
+    )
+    out = CL.dup_clusters(pairs).collect()
+    assert len(out) == 1
+    assert out[0]["size"] == n
+    assert out[0]["members"] == list(range(20))
+    plan = (
+        CL.dup_clusters(pairs)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "row_number()" in plan
+    assert "collect_list(CASE WHEN" in plan or "collect_list(if" in plan
+
+
 def test_dedup_keep_canonical(spark):
     df = spark.createDataFrame([(i, f"doc{i}") for i in range(10)],
                                "doc_id long, text string")

@@ -407,3 +407,69 @@ def test_cross_database_lookup_s25(spark, tmp_path):
     summary2 = Runner(spark, {}, n_buckets=4).run(reg.select(names=["MissingDb"]))
     [res2] = summary2.results
     assert res2.status.value == "skip" and "nosuchdb.t" in res2.skip_reason
+
+
+def test_register_database_rejects_injectable_names(spark, tmp_path):
+    """DDL assembled textually must validate/quote identifiers and
+    locations — a quote or backtick in any of them must raise, not break
+    or inject SQL (VERDICT r2 item 4)."""
+    import pytest as _pytest
+
+    from ensembl_datacheck_spark.sources.io import register_database
+
+    ok_path = str(tmp_path / "t_ok")
+    spark.range(3).write.parquet(ok_path)
+    with _pytest.raises(ValueError, match="invalid database name"):
+        register_database(spark, "bad`db", {"t": ok_path})
+    with _pytest.raises(ValueError, match="invalid table name"):
+        register_database(spark, "okdb", {"bad name": ok_path})
+    with _pytest.raises(ValueError, match="invalid table location"):
+        register_database(spark, "okdb", {"t": ok_path + "'--"})
+    with _pytest.raises(ValueError, match="unsupported format"):
+        register_database(spark, "okdb", {"t": ok_path}, fmt="parquet; DROP")
+    try:
+        register_database(spark, "okdb_quoted", {"t": ok_path})
+        assert spark.table("okdb_quoted.t").count() == 3
+    finally:
+        spark.sql("DROP TABLE IF EXISTS okdb_quoted.t")
+        spark.sql("DROP DATABASE IF EXISTS okdb_quoted")
+        spark.sql("DROP DATABASE IF EXISTS okdb")  # created before the raise
+
+
+def test_lineage_reads_iceberg_snapshot_id_without_runtime(spark, tmp_path):
+    """Iceberg table metadata is plain JSON on storage: lineage() returns
+    the current snapshot id straight from metadata/vN.metadata.json, so
+    the freshness gate (DbCheck.pm:806-820 analogue) maps to snapshot
+    ids even where the Iceberg Spark runtime is absent."""
+    import json
+
+    cat = Catalog(spark, tmp_path / "wh_ice")
+    t = tmp_path / "wh_ice" / "seq"
+    (t / "metadata").mkdir(parents=True)
+    (t / "metadata" / "v1.metadata.json").write_text(
+        json.dumps({"current-snapshot-id": 111})
+    )
+    (t / "metadata" / "v2.metadata.json").write_text(
+        json.dumps({"current-snapshot-id": 2222})
+    )
+    # no version hint: highest-numbered metadata file wins
+    assert cat.lineage("seq") == "iceberg-snapshot:2222"
+    (t / "metadata" / "version-hint.text").write_text("1")
+    assert cat.lineage("seq") == "iceberg-snapshot:111"
+    # a plain parquet dir still gets the manifest-hash lineage
+    cat.write(spark.range(4).toDF("id"), "plain")
+    assert not cat.lineage("plain").startswith("iceberg-snapshot:")
+
+
+def test_catalog_iceberg_arm_roundtrip(spark, tmp_path):
+    """format('iceberg') read/write arm — runs only where the runtime
+    jars are present (not this sandbox: the test documents the arm and
+    skips)."""
+    import pytest as _pytest
+
+    cat = Catalog(spark, tmp_path / "wh_ice2")
+    if not cat.use_iceberg:
+        _pytest.skip("Iceberg runtime not on the classpath")
+    cat.write(spark.range(5).toDF("id"), "t")
+    assert cat.load("t").count() == 5
+    assert cat.lineage("t").startswith("iceberg-snapshot:")

@@ -84,18 +84,97 @@ def test_incremental_lsh_candidates_routes_to_store_and_batch(spark):
 
 
 def test_incremental_lsh_store_bucket_cap_is_linear(spark):
-    """A degenerate store bucket (500 identical accepted docs) must
-    contribute at most cap_per_bucket matches per colliding new doc."""
+    """A degenerate store bucket (500 identical accepted docs) is capped
+    at band_store BUILD time: the probe sees at most cap_per_bucket
+    representatives per colliding new doc."""
     dup = "repeated content that lands every copy in the same bucket okay"
     accepted = spark.range(0, 500).select(
         F.col("id").alias("doc_id"), F.lit(dup).alias("text")
     )
     batch = spark.createDataFrame([(9000, dup)], "doc_id long, text string")
-    store = incremental.band_store(accepted, "doc_id", "text")
+    store = incremental.band_store(accepted, "doc_id", "text", cap_per_bucket=20)
+    # the cap is already paid: every band bucket holds <= 20 rows
+    worst = (
+        store.groupBy("bk").count().agg(F.max("count").alias("m")).collect()[0]["m"]
+    )
+    assert worst <= 20
     n = incremental.incremental_lsh_candidates(
-        batch, store, "doc_id", "text", cap_per_bucket=20
+        batch, store, "doc_id", "text"
     ).count()
     assert 1 <= n <= 20
+
+
+def _store_side_ancestors(plan: str, scan_needle: str) -> list[str]:
+    """Ancestor chain (tree lines) from the physical-plan node scanning
+    ``scan_needle`` up to (and including) its nearest Join — the
+    operators the STORE side flows through before joining the batch."""
+
+    def marker_pos(ln: str) -> int:
+        best = -1
+        for m in ("+- ", ":- "):
+            i = ln.find(m)
+            if i >= 0 and (best == -1 or i < best):
+                best = i
+        return best
+
+    lines = plan.split("\n")
+    scan_idx = next(
+        i for i, ln in enumerate(lines) if scan_needle in ln and "FileScan" in ln
+    )
+    depth = marker_pos(lines[scan_idx])
+    anc: list[str] = []
+    for j in range(scan_idx - 1, -1, -1):
+        d = marker_pos(lines[j])
+        if d == -1:
+            d = 0
+        if d < depth:
+            anc.append(lines[j])
+            depth = d
+            if "Join" in lines[j]:
+                break
+        if depth <= 0:
+            break
+    return anc
+
+
+def test_incremental_probe_never_reshuffles_store(spark, tmp_path):
+    """Plan pin (VERDICT r2 item 3): with the store pre-capped at build
+    time and persisted bucketed by bk, the probe's STORE side flows into
+    the join with NO Exchange and NO Window — the per-ingest job never
+    shuffles or re-ranks the persisted corpus store.  (A bucket-local
+    Sort for the sort-merge variant is allowed: it is shuffle-free and
+    AQE picks a broadcast of the batch side — no Sort at all — whenever
+    the batch fits.)"""
+    from ensembl_datacheck_spark.sources.io import write_bucketed
+
+    dup = "repeated content that lands every copy in the same bucket okay"
+    accepted = spark.range(0, 300).select(
+        F.col("id").alias("doc_id"), F.lit(dup).alias("text")
+    )
+    batch = spark.createDataFrame([(9000, dup)], "doc_id long, text string")
+    store = incremental.band_store(accepted, "doc_id", "text")
+    try:
+        write_bucketed(store, "bk_store_plan_tbl", "bk", 4, sort_by="bk")
+        st = spark.table("bk_store_plan_tbl")
+        probe = incremental.incremental_lsh_candidates(
+            batch, st, "doc_id", "text"
+        )
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        # force the worst case (shuffled join, no batch broadcast) — the
+        # store side must STILL reach the join without an Exchange
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = probe._jdf.queryExecution().executedPlan().toString()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        assert "Bucketed: true" in plan
+        anc = "\n".join(_store_side_ancestors(plan, "bk_store_plan_tbl"))
+        assert "Exchange" not in anc, anc
+        assert "Window" not in anc, anc
+        # candidates still flow: the plan is cheap, not broken
+        assert probe.count() >= 1
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bk_store_plan_tbl")
 
 
 def test_repetition_signals(spark):
@@ -241,3 +320,26 @@ def test_quantile_drift_flags_current_only_group(spark):
         cur, base, group_cols=["g"]).collect()}
     assert "NEW" in out and out["NEW"]["base_value"] is None
     assert "a" not in out  # identical quantile: no breach
+
+
+def test_quantile_drift_agree_null_is_not_drift(spark):
+    """A group whose quantile is NULL in BOTH snapshots (e.g. its value
+    column is all-NULL in both) AGREES — not drift; NULL on exactly one
+    side still breaches (ADVICE r2)."""
+    from ensembl_datacheck_spark.operators.drift import (
+        quantile_drift_violations,
+    )
+
+    base = spark.createDataFrame(
+        [("both_null", 0.5, None), ("one_null", 0.5, 1.0), ("ok", 0.5, 2.0)],
+        "g string, q double, value double",
+    )
+    cur = spark.createDataFrame(
+        [("both_null", 0.5, None), ("one_null", 0.5, None), ("ok", 0.5, 2.0)],
+        "g string, q double, value double",
+    )
+    out = {
+        r["g"]
+        for r in quantile_drift_violations(cur, base, group_cols=["g"]).collect()
+    }
+    assert out == {"one_null"}

@@ -34,6 +34,30 @@ def test_exact_dedup(docs):
     assert 4 not in {r["doc_id"] for r in kept.collect()}
 
 
+def test_exact_dedup_degenerate_corpus_bounded_buffers(spark):
+    """10^5 copies of ONE content (the common corpus degenerate: empty /
+    boilerplate docs) — the diag id list must be rank-capped BEFORE the
+    aggregation so no collect_list buffer ever holds 10^5 ids (VERDICT
+    r2 item 1).  The window that takes the load is sort-based and
+    spillable; the plan must show it feeding the aggregate."""
+    n = 100_000
+    deg = spark.range(0, n).select(
+        F.col("id").alias("doc_id"), F.lit("boilerplate same text").alias("text")
+    )
+    out = dedup.exact_duplicate_groups(deg, "text", "doc_id").collect()
+    assert len(out) == 1
+    assert out[0]["n_copies"] == n
+    assert out[0]["doc_ids"] == list(range(20))  # lowest 20 ids, sorted
+    plan = (
+        dedup.exact_duplicate_groups(deg, "text", "doc_id")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # the rank-cap window is in the plan, and collect_list aggregates
+    # the capped conditional — not the raw id column
+    assert "row_number()" in plan
+    assert "collect_list(CASE WHEN" in plan or "collect_list(if" in plan
+
+
 def test_jaccard_pairs(docs):
     pairs = {
         (r["id_a"], r["id_b"]): r

@@ -240,3 +240,43 @@ def test_doc_id_format_rule_flags_malformed_ids(spark):
     }
     assert res["DocIdFormat"].status == Status.FAIL
     assert res["DocIdFormat"].n_violations == 1
+
+
+def test_denormalized_val2_castability_guard(spark):
+    """A corrupted non-numeric value on the TABLE2 side surfaces as its
+    own castability violation instead of silently vanishing from the
+    NULL-skipping sync comparison (ADVICE r2: the guard was previously
+    asymmetric — table1-only)."""
+    from ensembl_datacheck_spark.checks.spec_pack import (
+        DenormalizedSpec,
+        register_spec,
+    )
+    from ensembl_datacheck_spark.registry import Registry
+
+    t1 = spark.createDataFrame(
+        [("a", "1.5"), ("b", "2.5")], "k1 string, v1 string"
+    )
+    t2 = spark.createDataFrame(
+        [("a", "1.5"), ("b", "not-a-number")], "k2 string, v2 string"
+    )
+    reg = Registry()
+    register_spec(
+        DenormalizedSpec(
+            name="SyncGuard",
+            description="sync with a val2-side corruption",
+            table1="t1", key1="k1", val1="v1",
+            table2="t2", key2="k2", val2="v2",
+            cast="double",
+        ),
+        registry=reg,
+    )
+    [r] = Runner(spark, {"t1": t1, "t2": t2}, n_buckets=4).run(
+        reg.default_suite()
+    ).results
+    assert r.status == Status.FAIL
+    by = {a.name: a for a in r.assertions}
+    assert by["SyncGuard_value2_castable"].status == Status.FAIL
+    assert by["SyncGuard_value_castable"].status == Status.OK
+    # the sync comparison itself skipped the NULLed pair (documented),
+    # which is exactly why the explicit castability assertion must exist
+    assert by["SyncGuard_sync"].status == Status.OK
