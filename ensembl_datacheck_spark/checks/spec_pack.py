@@ -98,6 +98,46 @@ class RowRuleSpec:
 
 
 @dataclass(frozen=True)
+class PrefixSpec:
+    """Per-key value-format conformance: for each (key value, regex)
+    pair, every row whose ``match_col`` equals the key must have
+    ``value_col`` matching the regex — the XrefPrefixes shape
+    (XrefPrefixes.pm:60-107: a {source_name: pattern} map, one
+    is_rows_zero per source).  Each pair becomes one assertion."""
+
+    name: str
+    description: str
+    table: str
+    match_col: str
+    value_col: str
+    prefixes: tuple[tuple[str, str], ...]  # (match value, regex)
+    groups: tuple[str, ...] = ("format",)
+    severity: str = "critical"
+
+
+@dataclass(frozen=True)
+class KeySetSpec:
+    """Two key sets are identical — the CompareMetaKeys shape
+    (CompareMetaKeys.pm:99-144: the distinct meta-key sets of two
+    databases diffed both ways).  The comparison side is either another
+    table's column or a static expected vocabulary; the diff is
+    assertions.array_diff (distinct → two broadcast anti-joins), so each
+    side is collapsed to its distinct keys before any join."""
+
+    name: str
+    description: str
+    table1: str
+    col1: str
+    table2: str | None = None
+    col2: str | None = None
+    expected: tuple[str, ...] = ()  # static vocabulary when table2 is None
+    label1: str = "current"
+    label2: str = "expected"
+    groups: tuple[str, ...] = ("meta",)
+    severity: str = "critical"
+
+
+@dataclass(frozen=True)
 class DenormalizedSpec:
     """A value duplicated across two tables stays in sync
     (Test/DataCheck.pm:442-470)."""
@@ -215,6 +255,42 @@ def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
 
             extra_kw["row_predicates"] = row_predicates
             extra_kw["per_partition"] = True
+    elif isinstance(spec, PrefixSpec):
+
+        def body(ctx, spec=spec):
+            t = ctx.table(spec.table)
+            for match_value, pattern in spec.prefixes:
+                viol = t.filter(
+                    (F.col(spec.match_col) == match_value)
+                    & ~F.col(spec.value_col).rlike(pattern)
+                ).select(spec.match_col, spec.value_col)
+                ctx.record(
+                    A.is_rows_zero(viol, f"{spec.name}_{match_value}"),
+                    key_col=spec.match_col,
+                )
+
+        tables = (spec.table,)
+    elif isinstance(spec, KeySetSpec):
+
+        def body(ctx, spec=spec):
+            t1 = ctx.table(spec.table1)
+            if spec.table2 is not None:
+                t2 = ctx.table(spec.table2).select(
+                    F.col(spec.col2).alias(spec.col1)
+                )
+            else:
+                t2 = ctx.spark.createDataFrame(
+                    [(v,) for v in spec.expected], f"{spec.col1} string"
+                )
+            viol = A.array_diff(t1, t2, spec.col1, spec.label1, spec.label2)
+            ctx.record(
+                A.is_rows_zero(viol, f"{spec.name}_key_set"), key_col="value"
+            )
+
+        tables = (
+            (spec.table1,) if spec.table2 is None
+            else (spec.table1, spec.table2)
+        )
     elif isinstance(spec, DenormalizedSpec):
 
         def body(ctx, spec=spec):
@@ -373,6 +449,167 @@ DEFAULT_PACK = (
         key_col="entity_id",
         diag_cols=("meta_value",),
         groups=("meta",),
+    ),
+    # --- dimension-table NOT-NULL / domain rules (the reference's
+    # per-column sweeps applied to the tables that had no checks at all:
+    # sources and baseline_stats — VERDICT r2 item 5) ---
+    RowRuleSpec(
+        name="SourceNameNotBlank",
+        description=(
+            "sources.source (the dimension PK) is never NULL or blank "
+            "(BlankNulls.pm:62-66 applied to the dimension table)"
+        ),
+        table="sources",
+        violation_sql="source IS NULL OR trim(source) = ''",
+        key_col="source",
+        diag_cols=("weight_expected",),
+        groups=("sources", "completeness"),
+    ),
+    RowRuleSpec(
+        name="SourceWeightDomain",
+        description=(
+            "sources.weight_expected is a valid share in [0, 1] "
+            "(value-domain rule; the dimension-side analogue of "
+            "MetaWeightRange, cmp_tag Test/Compara.pm:109-146)"
+        ),
+        table="sources",
+        violation_sql=(
+            "weight_expected IS NULL "
+            "OR weight_expected < 0 OR weight_expected > 1"
+        ),
+        key_col="source",
+        diag_cols=("weight_expected",),
+        groups=("sources",),
+    ),
+    RowRuleSpec(
+        name="SourceActiveNotNull",
+        description=(
+            "sources.active is never NULL — a three-valued active flag "
+            "would silently drop rows from both the active and inactive "
+            "referential checks (BlankNulls.pm kin on a boolean column)"
+        ),
+        table="sources",
+        violation_sql="active IS NULL",
+        key_col="source",
+        groups=("sources", "completeness"),
+    ),
+    RowRuleSpec(
+        name="SourcePrefixFormat",
+        description=(
+            "sources.source carries the canonical 'src_' prefix "
+            "(XrefPrefixes.pm:60-107 prefix-conformance shape on the "
+            "dimension PK)"
+        ),
+        table="sources",
+        violation_sql="source IS NOT NULL AND source NOT RLIKE '^src_'",
+        key_col="source",
+        groups=("sources", "format"),
+    ),
+    RowRuleSpec(
+        name="BaselineStatKeyVocabulary",
+        description=(
+            "baseline_stats.stat_key comes from the known stat "
+            "vocabulary — an unknown key means the snapshot writer and "
+            "the drift checks disagree about the schema "
+            "(controlled-vocabulary rule, MetaKeyFormat.pm kin)"
+        ),
+        table="baseline_stats",
+        violation_sql=(
+            "stat_key IS NULL OR stat_key NOT IN "
+            "('source_count', 'n_tok_hist', 'n_tok_quantile')"
+        ),
+        key_col="stat_key",
+        diag_cols=("category",),
+        groups=("baseline", "drift"),
+    ),
+    RowRuleSpec(
+        name="BaselineValueDomain",
+        description=(
+            "baseline_stats.value is present and non-negative — counts, "
+            "histogram bins and n_tok quantiles are all >= 0; a negative "
+            "or NULL value poisons every drift comparison downstream"
+        ),
+        table="baseline_stats",
+        violation_sql="value IS NULL OR value < 0",
+        key_col="stat_key",
+        diag_cols=("category", "value"),
+        groups=("baseline", "drift"),
+    ),
+    RowRuleSpec(
+        name="BaselineCategoryNotBlank",
+        description=(
+            "baseline_stats.category is never NULL or blank — a blank "
+            "category silently merges with nothing during the drift "
+            "joins (BlankNulls.pm:62-66 on the snapshot table)"
+        ),
+        table="baseline_stats",
+        violation_sql="category IS NULL OR trim(category) = ''",
+        key_col="stat_key",
+        diag_cols=("value",),
+        groups=("baseline", "completeness"),
+    ),
+    # --- key-set diffs (CompareMetaKeys shape) ---
+    KeySetSpec(
+        name="MetaKeyVocabulary",
+        description=(
+            "The distinct meta_key set equals the declared key "
+            "vocabulary, both directions — a vanished key and an unknown "
+            "key both fail (CompareMetaKeys.pm:99-144 key-set diff "
+            "against a static expected set)"
+        ),
+        table1="meta",
+        col1="meta_key",
+        expected=(*META_REQUIRED_KEYS, "source.alias"),
+        label2="vocabulary",
+    ),
+    KeySetSpec(
+        name="MetaEntitySetSync",
+        description=(
+            "Every sources.source has meta rows and every meta entity "
+            "is a known source — symmetric entity-set diff between the "
+            "tag table and the dimension (CompareMetaKeys.pm:99-144 "
+            "shape across tables; array_diff Utils.pm:217-246)"
+        ),
+        table1="meta",
+        col1="entity_id",
+        table2="sources",
+        col2="source",
+        label1="meta",
+        label2="sources",
+    ),
+    # --- per-key value-format conformance (XrefPrefixes shape) ---
+    PrefixSpec(
+        name="MetaValuePrefixes",
+        description=(
+            "Tag values carry their per-key canonical prefixes: "
+            "source.name values look like 'src_…', source.alias values "
+            "like 'alias_a_…'/'alias_b_…' (XrefPrefixes.pm:60-107: a "
+            "{key: pattern} map, one assertion per key)"
+        ),
+        table="meta",
+        match_col="meta_key",
+        value_col="meta_value",
+        prefixes=(
+            ("source.name", "^src_"),
+            ("source.alias", "^alias_[ab]_src_"),
+        ),
+        groups=("meta", "format"),
+    ),
+    DenormalizedSpec(
+        name="MetaNameSync",
+        description=(
+            "source.name meta value equals the sources-dimension PK it "
+            "annotates — second instantiation of the duplicated-column "
+            "sync shape (Test/DataCheck.pm:442-470), string-typed (no "
+            "cast arm)"
+        ),
+        table1="meta",
+        key1="entity_id",
+        val1="meta_value",
+        table2="sources",
+        key2="source",
+        val2="source",
+        table1_filter=("meta_key", "source.name"),
     ),
     DenormalizedSpec(
         name="MetaWeightSync",
