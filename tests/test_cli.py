@@ -158,8 +158,14 @@ def test_cli_meta_table_runs_spec_pack(spark, tmp_path):
     ])
     assert rc == 1
     j = json.loads((tmp_path / "res.json").read_text())
-    assert j["failed"] == 4  # the four defect-targeted meta checks fail
-    assert j["passed"] == 2  # the meta guard rules (blank/vocabulary) pass
+    # exactly the four defect-targeted meta checks fail (name-based so the
+    # assertion survives the meta group gaining further passing guards)
+    assert sorted(d["check_name"] for d in j["datachecks"]) == [
+        "MetaKeyCardinality", "MetaKeyRequired",
+        "MetaWeightRange", "MetaWeightSync",
+    ]
+    assert j["failed"] == 4
+    assert j["passed"] >= 2  # guard rules (blank/vocabulary/key-set...) pass
     # without --meta the same selection skips cleanly
     rc2 = main([
         "--sequences", str(tmp_path / "sequences"),
@@ -170,7 +176,8 @@ def test_cli_meta_table_runs_spec_pack(spark, tmp_path):
     ])
     assert rc2 == 0
     j2 = json.loads((tmp_path / "res2.json").read_text())
-    assert j2["skipped"] == 6 and j2["failed"] == 0
+    # every check the --meta run executed now skips (same selection)
+    assert j2["skipped"] == j["passed"] + j["failed"] and j2["failed"] == 0
 
 
 def test_cli_jdbc_requires_table_option(spark, capsys):
