@@ -157,6 +157,63 @@ class DenormalizedSpec:
     severity: str = "critical"
 
 
+@dataclass(frozen=True)
+class DuplicateRowsSpec:
+    """No composite-key group appears more than once — the grouped
+    ``HAVING COUNT(*) > 1`` duplicate shape (DuplicateXref.pm:40-53;
+    DuplicateTranscriptNames.pm kin).  The violation set is the
+    duplicated key tuples with their multiplicities, never the member
+    rows — the aggregation buffer is a counter, not a list, so a
+    degenerate table with 10^6 copies of one tuple costs O(1) state."""
+
+    name: str
+    description: str
+    table: str
+    cols: tuple[str, ...]
+    groups: tuple[str, ...] = ()
+    severity: str = "critical"
+
+
+@dataclass(frozen=True)
+class AggregateRuleSpec:
+    """A table-level aggregate invariant: ``agg_sql`` evaluated over the
+    (optionally filtered) table must land in ``[min_value, max_value]``
+    — the tolerance-interval shape of CheckTableSizes.pm:95-110
+    (current size within [95%, 110%] of the previous release).  The
+    plan is one partial-aggregatable scan producing a single row; the
+    assertion compares driver-side contract-small output."""
+
+    name: str
+    description: str
+    table: str
+    agg_sql: str  # SQL aggregate expression, e.g. "sum(weight_expected)"
+    min_value: float
+    max_value: float
+    filter_sql: str | None = None
+    groups: tuple[str, ...] = ()
+    severity: str = "critical"
+
+
+@dataclass(frozen=True)
+class JsonValueSpec:
+    """String values holding JSON documents parse, and carry required
+    fields (CheckJSONObjects.pm:44-69: per-row decode_json, bad ids
+    diagnosed).  Where the reference iterates rows through Perl's
+    decode_json, the plan stays JVM-side: `get_json_object` returns
+    NULL for unparseable documents AND for missing fields, so validity
+    and field presence are both single codegen'd predicates — no UDF."""
+
+    name: str
+    description: str
+    table: str
+    value_col: str
+    key_filter: tuple[str, str] | None  # (col, value) row pre-filter
+    required_fields: tuple[str, ...]
+    key_col: str = "entity_id"
+    groups: tuple[str, ...] = ("meta",)
+    severity: str = "critical"
+
+
 def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
     """Compile a declarative spec into a registered check.  RowRuleSpec
     entries targeting ``fact_table`` additionally declare fused row
@@ -338,6 +395,78 @@ def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
             )
 
         tables = (spec.table1, spec.table2)
+    elif isinstance(spec, DuplicateRowsSpec):
+
+        def body(ctx, spec=spec):
+            t = ctx.table(spec.table)
+            viol = (
+                t.groupBy(*spec.cols)
+                .agg(F.count(F.lit(1)).alias("n"))
+                .filter(F.col("n") > 1)
+            )
+            ctx.record(
+                A.is_rows_zero(viol, f"{spec.name}_no_duplicates"),
+                key_col=spec.cols[0],
+            )
+
+        tables = (spec.table,)
+    elif isinstance(spec, AggregateRuleSpec):
+
+        def body(ctx, spec=spec):
+            t = ctx.table(spec.table)
+            if spec.filter_sql:
+                t = t.filter(F.expr(spec.filter_sql))
+            agg = t.agg(F.expr(spec.agg_sql).cast("double").alias("value"))
+            breach = agg.filter(
+                F.col("value").isNull()
+                | (F.col("value") < spec.min_value)
+                | (F.col("value") > spec.max_value)
+            ).select(
+                F.lit(spec.agg_sql).alias("aggregate"),
+                "value",
+                F.lit(float(spec.min_value)).alias("min_allowed"),
+                F.lit(float(spec.max_value)).alias("max_allowed"),
+            )
+            ctx.record(
+                A.is_rows_zero(
+                    breach,
+                    f"{spec.name}_in_[{spec.min_value}, {spec.max_value}]",
+                ),
+                key_col="aggregate",
+            )
+
+        tables = (spec.table,)
+    elif isinstance(spec, JsonValueSpec):
+
+        def body(ctx, spec=spec):
+            t = ctx.table(spec.table)
+            if spec.key_filter is not None:
+                col, value = spec.key_filter
+                t = t.filter(F.col(col) == value)
+            v = F.col(spec.value_col)
+            # parseability: get_json_object(value, '$') echoes the
+            # document when it parses, NULL when it does not — a pure
+            # codegen predicate (the reference's per-row decode_json
+            # loop, CheckJSONObjects.pm:59-66, without leaving the JVM)
+            bad = t.filter(
+                v.isNotNull() & F.get_json_object(v, "$").isNull()
+            ).select(spec.key_col, spec.value_col)
+            ctx.record(
+                A.is_rows_zero(bad, f"{spec.name}_parses"),
+                key_col=spec.key_col,
+            )
+            for field in spec.required_fields:
+                missing = t.filter(
+                    v.isNotNull()
+                    & F.get_json_object(v, "$").isNotNull()
+                    & F.get_json_object(v, f"$.{field}").isNull()
+                ).select(spec.key_col, spec.value_col)
+                ctx.record(
+                    A.is_rows_zero(missing, f"{spec.name}_has_{field}"),
+                    key_col=spec.key_col,
+                )
+
+        tables = (spec.table,)
     else:  # pragma: no cover - authoring error
         raise TypeError(f"unknown spec type {type(spec).__name__}")
 
@@ -559,7 +688,7 @@ DEFAULT_PACK = (
         ),
         table1="meta",
         col1="meta_key",
-        expected=(*META_REQUIRED_KEYS, "source.alias"),
+        expected=(*META_REQUIRED_KEYS, "source.alias", "source.props"),
         label2="vocabulary",
     ),
     KeySetSpec(
@@ -625,6 +754,110 @@ DEFAULT_PACK = (
         val2="weight_expected",
         table1_filter=("meta_key", "source.weight"),
         cast="double",
+    ),
+    # --- round-3 widening: whitespace, case, duplicate-rows, aggregate
+    # tolerance, JSON validity (VERDICT r2 item 5 continuation) ---
+    RowRuleSpec(
+        name="SequencesWhitespace",
+        description=(
+            "doc_id and source carry no control characters or "
+            "leading/trailing whitespace (WhitespaceCritical.pm:63-67: "
+            "REGEXP '\\r' over every text column; fused into the row "
+            "scan here)"
+        ),
+        table="sequences",
+        violation_sql=(
+            "(doc_id IS NOT NULL AND (doc_id RLIKE '[\\t\\r\\n]' "
+            "OR doc_id != trim(doc_id))) "
+            "OR (source IS NOT NULL AND (source RLIKE '[\\t\\r\\n]' "
+            "OR source != trim(source)))"
+        ),
+        key_col="doc_id",
+        diag_cols=("source",),
+        groups=("sequences", "format"),
+    ),
+    RowRuleSpec(
+        name="SequencesSourceCase",
+        description=(
+            "sequences.source is lower-case — case-conformance rule on "
+            "the fact FK so joins against the dimension never miss on "
+            "case (AssemblySeqregion.pm:60-64 'BINARY name <> "
+            "lower(name)' shape)"
+        ),
+        table="sequences",
+        violation_sql="source IS NOT NULL AND source != lower(source)",
+        key_col="doc_id",
+        diag_cols=("source",),
+        groups=("sequences", "format"),
+    ),
+    RowRuleSpec(
+        name="SourceCaseConformance",
+        description=(
+            "sources.source (the dimension PK) is lower-case "
+            "(AssemblySeqregion.pm:60-64 case-conformance shape)"
+        ),
+        table="sources",
+        violation_sql="source IS NOT NULL AND source != lower(source)",
+        key_col="source",
+        groups=("sources", "format"),
+    ),
+    DuplicateRowsSpec(
+        name="MetaNoDuplicateRows",
+        description=(
+            "No (entity_id, meta_key, meta_value) triple appears twice "
+            "— exact-duplicate tag rows are double-counted by every "
+            "aggregate over the tag table (DuplicateXref.pm:40-53 "
+            "grouped HAVING COUNT(*) > 1 shape)"
+        ),
+        table="meta",
+        cols=("entity_id", "meta_key", "meta_value"),
+        groups=("meta", "uniqueness"),
+    ),
+    AggregateRuleSpec(
+        name="SourceWeightShareSum",
+        description=(
+            "sources.weight_expected sums to 1 within a 2% tolerance — "
+            "the expected-share column is a probability vector, and a "
+            "drifted sum poisons every share-based drift comparison "
+            "(CheckTableSizes.pm:95-110 tolerance-interval shape)"
+        ),
+        table="sources",
+        agg_sql="sum(weight_expected)",
+        min_value=0.98,
+        max_value=1.02,
+        groups=("sources", "drift"),
+    ),
+    JsonValueSpec(
+        name="MetaPropsJson",
+        description=(
+            "source.props tag values are valid JSON documents carrying "
+            "the name and active fields (CheckJSONObjects.pm:44-69: "
+            "per-row decode_json validity with bad-id diagnostics)"
+        ),
+        table="meta",
+        value_col="meta_value",
+        key_filter=("meta_key", "source.props"),
+        required_fields=("name", "active"),
+        groups=("meta", "format"),
+    ),
+    RowRuleSpec(
+        name="BaselineHistBinDomain",
+        description=(
+            "n_tok_hist baseline categories are non-negative integer "
+            "bin labels — a non-numeric or negative bin silently "
+            "mis-joins in the histogram drift comparison "
+            "(value-domain rule on the snapshot table; "
+            "MetaKeyFormat.pm-style controlled format)"
+        ),
+        table="baseline_stats",
+        violation_sql=(
+            "stat_key = 'n_tok_hist' AND ("
+            "try_cast(category AS INT) IS NULL "
+            "OR try_cast(category AS INT) < 0)"
+        ),
+        key_col="stat_key",
+        diag_cols=("category",),
+        groups=("baseline", "format"),
     ),
 )
 

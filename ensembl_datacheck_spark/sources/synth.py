@@ -323,6 +323,20 @@ def gen_meta(
                 F.concat(F.lit("alias_b_"), F.col("entity_id")).alias("meta_value"),
             )
         )
+        # JSON-document tag value (CheckJSONObjects.pm:44-69 analogue):
+        # a structured per-entity blob the JsonValueSpec check validates
+        .unionByName(
+            m.select(
+                "entity_id",
+                F.lit("source.props").alias("meta_key"),
+                F.to_json(
+                    F.struct(
+                        F.col("entity_id").alias("name"),
+                        F.col("active").alias("active"),
+                    )
+                ).alias("meta_value"),
+            )
+        )
     )
     if not inject_violations:
         return rows

@@ -280,3 +280,196 @@ def test_denormalized_val2_castability_guard(spark):
     # the sync comparison itself skipped the NULLed pair (documented),
     # which is exactly why the explicit castability assertion must exist
     assert by["SyncGuard_sync"].status == Status.OK
+
+
+NEW_PACK_NAMES = [
+    "SequencesWhitespace", "SequencesSourceCase", "SourceCaseConformance",
+    "MetaNoDuplicateRows", "SourceWeightShareSum", "MetaPropsJson",
+    "BaselineHistBinDomain",
+]
+
+
+def test_round3_pack_registered_and_green_on_synth(spark, meta_world):
+    """The round-3 widening declarations are all in the default suite and
+    pass on the synthetic world (none of them targets an injected
+    defect; the injected meta defects live in other checks)."""
+    assert set(NEW_PACK_NAMES) <= {s.name for s in registry.default_suite()}
+    seq = synth.gen_sequences(spark, 2000, n_partitions=4, median_tok=16,
+                              max_tok=64)
+    clean = synth.gen_sequences(spark, 2000, n_partitions=4, median_tok=16,
+                                max_tok=64, inject_violations=False)
+    tables = {
+        "sequences": seq,
+        "sources": meta_world["sources"],
+        "meta": meta_world["meta"],
+        "baseline_stats": synth.gen_baseline_stats(spark, clean),
+    }
+    res = {r.check_name: r for r in
+           Runner(spark, tables, n_buckets=4).run(
+               registry.select(names=NEW_PACK_NAMES)).results}
+    assert {n: r.status for n, r in res.items()} == {
+        n: Status.OK for n in NEW_PACK_NAMES
+    }
+
+
+def test_duplicate_rows_spec(spark):
+    """DuplicateRowsSpec: grouped HAVING COUNT(*)>1 (DuplicateXref.pm
+    shape) — violations are the duplicated TUPLES with multiplicity,
+    not member rows."""
+    from ensembl_datacheck_spark.checks.spec_pack import (
+        DuplicateRowsSpec,
+        register_spec,
+    )
+    from ensembl_datacheck_spark.registry import Registry
+
+    reg = Registry()
+    register_spec(
+        DuplicateRowsSpec(
+            name="NoDupPairs",
+            description="(k, v) pairs unique",
+            table="t",
+            cols=("k", "v"),
+        ),
+        registry=reg,
+    )
+    dup = spark.createDataFrame(
+        [("a", 1), ("a", 1), ("a", 1), ("b", 2), ("c", 3)],
+        "k string, v int",
+    )
+    [r] = Runner(spark, {"t": dup}, n_buckets=4).run(
+        reg.default_suite()
+    ).results
+    # one duplicated tuple ('a', 1) regardless of its multiplicity (3)
+    assert r.status == Status.FAIL and r.n_violations == 1
+    diags = [d for a in r.assertions for d in a.diag]
+    assert any("a" in d and "3" in d for d in diags)
+
+    clean = spark.createDataFrame([("a", 1), ("a", 2)], "k string, v int")
+    [r2] = Runner(spark, {"t": clean}, n_buckets=4).run(
+        reg.default_suite()
+    ).results
+    assert r2.status == Status.OK
+
+
+def test_aggregate_rule_spec(spark):
+    """AggregateRuleSpec: tolerance-interval invariant
+    (CheckTableSizes.pm:95-110 shape) — in-range passes, out-of-range
+    fails with the bounds in the diagnostic, NULL aggregate (empty
+    filter result) is a breach, filter_sql applies."""
+    from ensembl_datacheck_spark.checks.spec_pack import (
+        AggregateRuleSpec,
+        register_spec,
+    )
+    from ensembl_datacheck_spark.registry import Registry
+
+    df = spark.createDataFrame(
+        [("x", 0.5, True), ("y", 0.6, True), ("z", 9.0, False)],
+        "k string, w double, active boolean",
+    )
+
+    def run_one(spec):
+        reg = Registry()
+        register_spec(spec, registry=reg)
+        [r] = Runner(spark, {"t": df}, n_buckets=4).run(
+            reg.default_suite()
+        ).results
+        return r
+
+    ok = run_one(AggregateRuleSpec(
+        name="ActiveWeightSum", description="active weights sum ~1",
+        table="t", agg_sql="sum(w)", min_value=1.0, max_value=1.2,
+        filter_sql="active",
+    ))
+    assert ok.status == Status.OK
+
+    bad = run_one(AggregateRuleSpec(
+        name="AllWeightSum", description="all weights sum ~1",
+        table="t", agg_sql="sum(w)", min_value=1.0, max_value=1.2,
+    ))
+    assert bad.status == Status.FAIL and bad.n_violations == 1
+    diags = [d for a in bad.assertions for d in a.diag]
+    assert any("10.1" in d for d in diags)
+
+    null_agg = run_one(AggregateRuleSpec(
+        name="NoRowsSum", description="sum over empty filter is a breach",
+        table="t", agg_sql="sum(w)", min_value=0.0, max_value=1.0,
+        filter_sql="k = 'missing'",
+    ))
+    assert null_agg.status == Status.FAIL
+
+
+def test_json_value_spec(spark):
+    """JsonValueSpec: per-row JSON validity + required fields
+    (CheckJSONObjects.pm:44-69) — unparseable documents and missing
+    fields fail their own assertions; NULL values are the completeness
+    check's business, not this one's."""
+    from ensembl_datacheck_spark.checks.spec_pack import (
+        JsonValueSpec,
+        register_spec,
+    )
+    from ensembl_datacheck_spark.registry import Registry
+
+    reg = Registry()
+    register_spec(
+        JsonValueSpec(
+            name="PropsJson",
+            description="props parse and carry name/active",
+            table="m",
+            value_col="meta_value",
+            key_filter=("meta_key", "props"),
+            required_fields=("name", "active"),
+        ),
+        registry=reg,
+    )
+    m = spark.createDataFrame(
+        [
+            ("e1", "props", '{"name": "e1", "active": true}'),   # valid
+            ("e2", "props", '{"name": "e2"'),                    # truncated
+            ("e3", "props", '{"name": "e3"}'),                   # no active
+            ("e4", "props", None),                               # NULL: skip
+            ("e5", "other", "not json at all"),                  # filtered out
+        ],
+        "entity_id string, meta_key string, meta_value string",
+    )
+    [r] = Runner(spark, {"m": m}, n_buckets=4).run(
+        reg.default_suite()
+    ).results
+    assert r.status == Status.FAIL
+    by = {a.name: a for a in r.assertions}
+    assert set(by) == {"PropsJson_parses", "PropsJson_has_name",
+                       "PropsJson_has_active"}
+    assert by["PropsJson_parses"].status == Status.FAIL
+    assert any("e2" in d for d in by["PropsJson_parses"].diag)
+    assert by["PropsJson_has_active"].status == Status.FAIL
+    assert any("e3" in d for d in by["PropsJson_has_active"].diag)
+    # e2 (unparseable) fails ONLY the parse assertion — field assertions
+    # guard on parseability so one bad document yields one diagnosis,
+    # not one per required field
+    assert by["PropsJson_has_name"].status == Status.OK
+
+    clean = m.filter("entity_id in ('e1', 'e4', 'e5')")
+    [r2] = Runner(spark, {"m": clean}, n_buckets=4).run(
+        reg.default_suite()
+    ).results
+    assert r2.status == Status.OK
+
+
+def test_whitespace_rule_catches_planted(spark):
+    """SequencesWhitespace flags control characters and edge whitespace
+    in doc_id/source (WhitespaceCritical.pm:63-67 kin)."""
+    seq = synth.gen_sequences(spark, 500, n_partitions=2, median_tok=16,
+                              max_tok=64, inject_violations=False)
+    planted = seq.unionByName(
+        spark.createDataFrame(
+            [
+                ("doc_bad\r", [1, 2], 2, "src_00"),
+                ("doc_ok", [1, 2], 2, " src_00"),
+            ],
+            "doc_id string, tokens array<int>, n_tok int, source string",
+        )
+    )
+    res = Runner(spark, {"sequences": planted}, n_buckets=4).run(
+        registry.select(names=["SequencesWhitespace"])
+    ).results
+    [r] = res
+    assert r.status == Status.FAIL and r.n_violations == 2
