@@ -725,6 +725,88 @@ def json_props_events(spark, sf_dir):
     )
 
 
+@q(
+    "duplicate_rows_part",
+    """
+    SELECT p_brand, p_type, CAST(count(*) AS BIGINT) AS n
+    FROM part GROUP BY p_brand, p_type HAVING count(*) > 1
+    """,
+)
+def duplicate_rows_part(spark, sf_dir):
+    """DuplicateRowsSpec shape (spec_pack.py; DuplicateXref.pm:40-53):
+    grouped HAVING COUNT(*) > 1 — the violation set is duplicated key
+    TUPLES with multiplicity, so aggregation state is one counter per
+    group, never a member list."""
+    t = _t(spark, sf_dir)
+    return (
+        t["part"]
+        .groupBy("p_brand", "p_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") > 1)
+    )
+
+
+@q(
+    "aggregate_tolerance_part_retail",
+    """
+    SELECT 'avg(p_retailprice)' AS aggregate,
+           CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE) AS value,
+           CAST(900 AS DOUBLE) AS min_allowed,
+           CAST(1000 AS DOUBLE) AS max_allowed,
+           (CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE)
+             / CAST(COUNT(*) AS DOUBLE)) NOT BETWEEN 900 AND 1000 AS breach
+    FROM part
+    """,
+)
+def aggregate_tolerance_part_retail(spark, sf_dir):
+    """AggregateRuleSpec shape (spec_pack.py; CheckTableSizes.pm:95-110
+    tolerance interval): a one-row partial-aggregatable scan whose value
+    must land in [min, max].  AVG, not SUM, so the invariant is
+    scale-factor-invariant; decimal-exact sum then one division keeps
+    the double bit-identical across engines."""
+    t = _t(spark, sf_dir)
+    value = (
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)")).cast("double")
+        / F.count(F.lit(1)).cast("double")
+    )
+    return t["part"].agg(
+        F.lit("avg(p_retailprice)").alias("aggregate"),
+        value.alias("value"),
+        F.lit(900.0).alias("min_allowed"),
+        F.lit(1000.0).alias("max_allowed"),
+        (~value.between(900.0, 1000.0)).alias("breach"),
+    )
+
+
+@q(
+    "json_field_presence_events",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN props IS NOT NULL AND json_valid(props)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_parsed,
+           CAST(SUM(CASE WHEN json_valid(props)
+                          AND json_extract(props, '$.k') IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_has_k
+    FROM events
+    """,
+)
+def json_field_presence_events(spark, sf_dir):
+    """JsonValueSpec shape (spec_pack.py; CheckJSONObjects.pm:44-69):
+    JSON parseability + required-field presence as pure codegen
+    predicates (get_json_object returns NULL for malformed docs AND for
+    missing fields — no UDF, no Python row loop)."""
+    t = _t(spark, sf_dir)
+    props = F.col("props")
+    parsed = props.isNotNull() & F.get_json_object(props, "$").isNotNull()
+    has_k = parsed & F.get_json_object(props, "$.k").isNotNull()
+    return t["events"].agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(parsed.cast("long")).alias("n_parsed"),
+        F.sum(has_k.cast("long")).alias("n_has_k"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # training-data ops: dedup / text analysis (oracle-backed)
 # ---------------------------------------------------------------------------
