@@ -22,6 +22,7 @@ Execution model:
 
 from __future__ import annotations
 
+import threading
 import time
 import traceback
 from typing import Callable
@@ -186,6 +187,7 @@ class Runner:
         self.config = config or {}
         self.run_id = new_run_id()
         self._rows_per_bucket: dict[int, int] | None = None
+        self._rpb_lock = threading.Lock()
         self._completed_cache: dict[str, set[int]] | None = None
 
     # --- helpers ---
@@ -196,19 +198,24 @@ class Runner:
     def rows_per_bucket(self) -> dict[int, int]:
         """One groupBy-count per run, shared by all checkpoint rows.
         Runs without the fact table (e.g. a meta-only spec-pack suite)
-        report no per-bucket row counts rather than failing."""
-        if self._rows_per_bucket is None:
-            if self.fact_table not in self.tables:
-                self._rows_per_bucket = {}
-                return self._rows_per_bucket
-            rows = (
-                self.tables[self.fact_table]
-                .groupBy(self._bucket().alias("b"))
-                .count()
-                .collect()
-            )
-            self._rows_per_bucket = {r["b"]: r["count"] for r in rows}
-        return self._rows_per_bucket
+        report no per-bucket row counts rather than failing.  Lock-guarded
+        compute-once: with ``parallelism`` > 1 the fused scan and the
+        pooled checks race to be first caller, and exactly one count job
+        must run (the fused counts set it for free when they cover the
+        whole table — see _run_fused)."""
+        with self._rpb_lock:
+            if self._rows_per_bucket is None:
+                if self.fact_table not in self.tables:
+                    self._rows_per_bucket = {}
+                    return self._rows_per_bucket
+                rows = (
+                    self.tables[self.fact_table]
+                    .groupBy(self._bucket().alias("b"))
+                    .count()
+                    .collect()
+                )
+                self._rows_per_bucket = {r["b"]: r["count"] for r in rows}
+            return self._rows_per_bucket
 
     def _pending_buckets(self, spec: CheckSpec) -> list[int] | None:
         """None = all pending.  Empty list = nothing to do (skip)."""
@@ -307,7 +314,16 @@ class Runner:
         fused = [s for s in specs if fuse_row_checks and s.row_predicates is not None]
         rest = [s for s in specs if s not in fused]
 
-        if fused:
+        # with a thread pool, the fused fact scan runs AS a pool task so
+        # the many contract-small checks (dimension/meta/baseline rules,
+        # one-row aggregates) overlap it instead of queueing behind it —
+        # measured at 20M rows/8 cores this serialization was the single
+        # largest scaling drag (the small checks' walls are fixed cost at
+        # any core count, so paying them serially caps suite speedup; see
+        # BENCH/BASELINE.md round-3 attribution).  FAIR-pool scheduling
+        # interleaves their tiny jobs with the scan's stages.
+        fused_in_pool = bool(fused) and parallelism > 1 and len(rest) > 1
+        if fused and not fused_in_pool:
             self._run_fused(fused, summary, all_violations, checkpoint_rows)
 
         def exec_one(spec: CheckSpec):
@@ -343,8 +359,6 @@ class Runner:
         if parallelism > 1 and len(rest) > 1:
             from concurrent.futures import ThreadPoolExecutor
 
-            self.rows_per_bucket()  # materialize once before fan-out
-
             def pooled(spec):
                 self.spark.sparkContext.setLocalProperty(
                     "spark.scheduler.pool", f"dcheck_{spec.name}"
@@ -356,8 +370,34 @@ class Runner:
                         "spark.scheduler.pool", None
                     )
 
-            with ThreadPoolExecutor(max_workers=parallelism) as pool:
+            def fused_pooled():
+                self.spark.sparkContext.setLocalProperty(
+                    "spark.scheduler.pool", "dcheck_fused_scan"
+                )
+                try:
+                    # appends into summary/all_violations/checkpoint_rows
+                    # directly; safe because pooled() tasks only RETURN
+                    # their results — the shared lists are written by this
+                    # thread during the pool phase and by the main thread
+                    # strictly after pool shutdown
+                    self._run_fused(
+                        fused, summary, all_violations, checkpoint_rows
+                    )
+                finally:
+                    self.spark.sparkContext.setLocalProperty(
+                        "spark.scheduler.pool", None
+                    )
+
+            # the fused scan gets a dedicated slot so check fan-out never
+            # starves it (parallelism counts small checks, as before)
+            workers = parallelism + (1 if fused_in_pool else 0)
+            with ThreadPoolExecutor(max_workers=workers) as pool:
+                fused_fut = (
+                    pool.submit(fused_pooled) if fused_in_pool else None
+                )
                 outs = list(pool.map(pooled, rest))
+                if fused_fut is not None:
+                    fused_fut.result()
         else:
             outs = [exec_one(spec) for spec in rest]
 
@@ -479,12 +519,15 @@ class Runner:
         bucket = self._bucket()
         counts = fused_violation_counts(scan2, preds, bucket).collect()
         viol_rows = fused_violation_rows(scan2, preds, bucket, self.bucket_key)
-        if union_pending is None and self._rows_per_bucket is None:
+        if union_pending is None:
             # the fused counts already carry rows-per-bucket for the whole
-            # table — no separate counting scan needed
-            self._rows_per_bucket = {
-                r["partition_id"]: r["n_rows"] for r in counts
-            }
+            # table — no separate counting scan needed (unless a pooled
+            # sibling already computed one while this scan ran)
+            with self._rpb_lock:
+                if self._rows_per_bucket is None:
+                    self._rows_per_bucket = {
+                        r["partition_id"]: r["n_rows"] for r in counts
+                    }
 
         # per-check verdicts from the fused counts
         for s in todo:

@@ -37,3 +37,45 @@ def test_fleet_runs_per_db_and_resumes(spark, seq_fixture, tmp_path):
     assert all(r.status == Status.SKIP for r in clean2.results)
     dirty2 = fleet2.by_db["db_dirty"]
     assert any(r.status == Status.FAIL for r in dirty2.results)
+
+
+def test_pooled_fused_scan_matches_serial(spark, seq_fixture, tmp_path):
+    """With ``parallelism`` > 1 the fused fact scan runs AS a pool task
+    overlapping the small checks (the round-3 scaling fix).  Verdicts,
+    violation counts, skip reasons AND checkpoint rows must be identical
+    to the serial execution."""
+    from ensembl_datacheck_spark.plans.checkpoint import CheckpointStore
+    from ensembl_datacheck_spark.plans.runner import Runner
+    from ensembl_datacheck_spark.sources import synth
+    from ensembl_datacheck_spark.sources.io import Catalog
+
+    sources = seq_fixture["sources"]
+    tables = {
+        "sequences": seq_fixture["sequences"],
+        "sources": sources,
+        "meta": synth.gen_meta(spark, sources),
+        "baseline_stats": seq_fixture["baseline_same"],
+    }
+    specs = registry.default_suite()
+
+    def run_with(par, wh):
+        store = CheckpointStore(Catalog(spark, tmp_path / wh))
+        s = Runner(spark, tables, n_buckets=8, checkpoint_store=store,
+                   lineage="v1").run(specs, parallelism=par)
+        cps = store.load()
+        cp_rows = sorted(
+            (r["check_name"], r["partition_id"], r["status"],
+             r["n_violations"])
+            for r in cps.collect()
+        )
+        verdicts = {
+            r.check_name: (r.status, r.n_violations, r.skip_reason)
+            for r in s.results
+        }
+        return verdicts, cp_rows
+
+    v1, cp1 = run_with(1, "wh_serial")
+    v4, cp4 = run_with(4, "wh_pooled")
+    assert v1 == v4
+    assert cp1 == cp4
+    assert any(s == Status.FAIL for s, _, _ in v1.values())
