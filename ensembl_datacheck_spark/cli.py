@@ -46,6 +46,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="checkpoint/violations table root")
     p.add_argument("--n-buckets", type=int, default=64)
     p.add_argument("--cores", type=int, default=None)
+    p.add_argument("--parallelism", type=int, default=4,
+                   help="checks in flight concurrently (FAIR-pool jobs; "
+                   "the fused fact scan overlaps them) — the analogue of "
+                   "the reference's analysis_capacity throttle "
+                   "(DbDataChecks_conf.pm:214-295); 1 = serial")
     p.add_argument("--force", action="store_true",
                    help="ignore checkpoints, re-run everything")
     p.add_argument("--no-failures-fatal", action="store_true")
@@ -151,6 +156,7 @@ def main(argv: list[str] | None = None) -> int:
     summary = runner.run(
         specs,
         violations_sink=lambda df: catalog.append_atomic(df, "violations"),
+        parallelism=max(args.parallelism, 1),
     )
 
     if args.output_json:
