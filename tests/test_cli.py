@@ -184,3 +184,15 @@ def test_cli_jdbc_requires_table_option(spark, capsys):
     rc = main(["--sequences", "jdbc:mysql://h/db", "--format", "jdbc"])
     assert rc == 2
     assert "--jdbc-table" in capsys.readouterr().err
+
+
+def test_parallelism_flag_parses():
+    """--parallelism (analysis_capacity analogue) parses and defaults
+    to 4; no Spark needed."""
+    from ensembl_datacheck_spark.cli import build_parser
+
+    p = build_parser()
+    assert p.parse_args(["--sequences", "x"]).parallelism == 4
+    assert p.parse_args(
+        ["--sequences", "x", "--parallelism", "1"]
+    ).parallelism == 1
