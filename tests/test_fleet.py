@@ -58,8 +58,12 @@ def test_pooled_fused_scan_matches_serial(spark, seq_fixture, tmp_path):
     }
     specs = registry.default_suite()
 
+    stores = {}
+
     def run_with(par, wh):
-        store = CheckpointStore(Catalog(spark, tmp_path / wh))
+        store = stores.setdefault(
+            wh, CheckpointStore(Catalog(spark, tmp_path / wh))
+        )
         s = Runner(spark, tables, n_buckets=8, checkpoint_store=store,
                    lineage="v1").run(specs, parallelism=par)
         cps = store.load()
@@ -79,3 +83,20 @@ def test_pooled_fused_scan_matches_serial(spark, seq_fixture, tmp_path):
     assert v1 == v4
     assert cp1 == cp4
     assert any(s == Status.FAIL for s, _, _ in v1.values())
+
+    # resume under the pool: second run against the same checkpoints —
+    # ok checks skip, failed checks re-run only their failed buckets,
+    # identically in serial and pooled mode (north-rule resume semantics
+    # must survive the concurrent fused scan)
+    r1, _ = run_with(1, "wh_serial")
+    r4, _ = run_with(4, "wh_pooled")
+    assert r1 == r4
+    skipped = {n for n, (s, _, _) in r4.items() if s == Status.SKIP}
+    assert any(
+        reason == "All tests passed in a previous run"
+        for _, _, reason in r4.values()
+    )
+    assert {n for n, (s, _, _) in v4.items() if s == Status.OK} <= skipped
+    assert {n for n, (s, _, _) in r4.items() if s == Status.FAIL} == {
+        n for n, (s, _, _) in v4.items() if s == Status.FAIL
+    }
