@@ -223,15 +223,29 @@ def quantile_drift_violations(
     breach row (both directions are drift).
     """
     on = (group_cols or []) + ["q"]
-    cur = current.withColumnRenamed("value", "cur_value")
-    base = baseline.withColumnRenamed("value", "base_value")
+    # presence markers BEFORE the full_outer join: a NULL quantile value
+    # (all-NULL group) is indistinguishable from an absent group after
+    # the join — a baseline group with a NULL quantile that then vanishes
+    # entirely from current must still breach (presence mismatch), which
+    # value-NULL-ness alone cannot see (both sides NULL either way).
+    cur = current.withColumnRenamed("value", "cur_value").withColumn(
+        "__cur_present", F.lit(True)
+    )
+    base = baseline.withColumnRenamed("value", "base_value").withColumn(
+        "__base_present", F.lit(True)
+    )
     j = base.join(cur, on, "full_outer")
-    # NULL-ness must DIFFER to be a breach: a group whose value column is
-    # all-NULL in both snapshots yields NULL quantiles on both sides —
-    # the two snapshots agree, that is not drift.  (One-sided NULL — a
-    # group present in only one snapshot, or newly all-NULL — is.)
+    present_mismatch = (
+        F.coalesce(F.col("__cur_present"), F.lit(False))
+        != F.coalesce(F.col("__base_present"), F.lit(False))
+    )
+    # among rows present on both sides, NULL-ness must DIFFER to be a
+    # breach: a group whose value column is all-NULL in both snapshots
+    # yields NULL quantiles on both sides — the snapshots agree, that is
+    # not drift.  (Newly all-NULL, or NULL→value, is.)
     breach = (
-        (F.col("cur_value").isNull() != F.col("base_value").isNull())
+        present_mismatch
+        | (F.col("cur_value").isNull() != F.col("base_value").isNull())
         | (
             F.abs(F.col("cur_value") - F.col("base_value"))
             > F.lit(abs_tol) + F.lit(rel_tol) * F.abs(F.col("base_value"))

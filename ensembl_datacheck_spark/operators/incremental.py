@@ -160,6 +160,26 @@ def band_store(
     return bands
 
 
+def overfull_store_buckets(
+    store_bands: DataFrame, cap_per_bucket: int = 20
+) -> DataFrame:
+    """Maintenance probe for the `band_store` pre-capped contract: the
+    band keys whose representative count exceeds ``cap_per_bucket``, as
+    (bk, n_members).  Nothing in `incremental_lsh_candidates` enforces
+    the cap at probe time (a per-ingest window over the store is exactly
+    the full-store shuffle this module avoids) — so a store built with
+    ``cap_per_bucket=None``, by pre-cap code, or grown past the bound via
+    many appends reintroduces the join blow-up silently.  Run this as the
+    compaction trigger: non-empty result → re-aggregate the store with
+    `band_store`'s cap (one maintenance job over the COMPACT store table,
+    never over the corpus)."""
+    return (
+        store_bands.groupBy("bk")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .filter(F.col("n_members") > cap_per_bucket)
+    )
+
+
 def incremental_lsh_candidates(
     new_df: DataFrame,
     store_bands: DataFrame,
@@ -168,6 +188,7 @@ def incremental_lsh_candidates(
     ngram: int = 3,
     n_hashes: int = 64,
     n_bands: int = 16,
+    store_probe_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates of a new batch: (new_id, match_id, match_src)
     where match_src is 'store' (collides with an accepted doc's band) or
@@ -175,9 +196,14 @@ def incremental_lsh_candidates(
 
     Scale shape — the part that matters at 10^12 stored docs:
 
-    * the batch is banded once (same signature plan as the full pass),
-      and — being a batch, not the corpus — is the side that pays the
-      band-cap window;
+    * the batch is banded once (same signature plan as the full pass)
+      and — being a batch, not the corpus — is banded UNCAPPED: every
+      new doc probes the store on every band it lands in.  Capping the
+      batch side would silently drop store probing for any new doc
+      ranked past the cap in an overfull batch bucket (its true store
+      near-dup would never surface); the cap exists to bound the
+      PERSISTED store, and the batch is small by contract so the
+      uncapped window costs one batch-sized sort;
     * store probing is ONE equi-join on `bk`.  The store arrives
       **pre-capped** (the `band_store` contract caps representatives per
       band key at build time), so the probe performs NO window, sort, or
@@ -186,7 +212,10 @@ def incremental_lsh_candidates(
       daily drop, exactly the cost this module exists to avoid.  A
       representative is enough to route the new doc into the existing
       duplicate cluster (see `band_store` for the mixed-overfull-bucket
-      recall caveat);
+      recall caveat).  The contract is NOT verified per probe: for a
+      legacy/uncompacted store pass ``store_probe_cap`` (opt-in window on
+      the store side, paying the full-store sort once) or run
+      `overfull_store_buckets` as the compaction trigger;
     * within-batch pairs go through the same capped hub-spoke generator
       as the full-corpus pass (bucket_candidate_pairs), emitted with the
       smaller id as the match.
@@ -198,12 +227,21 @@ def incremental_lsh_candidates(
     """
     from ensembl_datacheck_spark.operators.dedup import bucket_candidate_pairs
 
-    new_bands = band_store(new_df, id_col, text_col, ngram, n_hashes, n_bands)
+    new_bands = band_store(
+        new_df, id_col, text_col, ngram, n_hashes, n_bands, cap_per_bucket=None
+    )
+
+    probe_side = store_bands.select(F.col("id").alias("match_id"), "bk")
+    if store_probe_cap is not None:
+        w = Window.partitionBy("bk").orderBy("match_id")
+        probe_side = (
+            probe_side.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= store_probe_cap)
+            .drop("__rn")
+        )
 
     vs_store = (
-        new_bands.join(
-            store_bands.select(F.col("id").alias("match_id"), "bk"), "bk"
-        )
+        new_bands.join(probe_side, "bk")
         .select(
             F.col("id").alias("new_id"),
             "match_id",

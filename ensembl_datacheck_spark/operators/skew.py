@@ -66,29 +66,36 @@ def hot_keys(
     share 0.3 at 10^12 rows means one reducer gets 3×10^11 rows unless
     the plan salts it.
 
-    Plan: ONE counting scan of the fact table — each row explodes into
-    len(cols) (column, value) pairs (values canonicalized to string;
-    NULL kept as a value, since NULL-heavy keys are the most common
-    skew source) → two-stage count keyed by (column, value) — uniform
-    even when the profiled key itself is hot, because the hot key IS one
-    group — → per-column top-k rank window.  The share denominator is
-    NOT a ``sum().over(partitionBy(column))`` window: every row
-    contributes exactly one pair per column, so the per-column total is
-    simply ``df.count()`` (one cheap metadata-friendly job), whereas the
-    window would funnel ALL distinct (value, n) rows of a column — up to
-    row-count-many for a near-unique join key, exactly the kind of
-    column one profiles before salting — into a single task.  The rank
-    window that remains is eligible for Spark's WindowGroupLimit
-    push-down (per-partition top-k before the shuffle), so no task ever
-    holds a column's full distinct-value set.  Output is at most
-    len(cols) × top_k rows.
+    Plan: ONE lazy plan, ONE counting scan of the fact table — each row
+    explodes into len(cols) (column, value) pairs (values canonicalized
+    to string; NULL kept as a value, since NULL-heavy keys are the most
+    common skew source) → two-stage count keyed by (column, value) —
+    uniform even when the profiled key itself is hot, because the hot
+    key IS one group — → per-column top-k rank window → broadcast-join
+    of per-column totals for the share.
+
+    The share denominator is NOT a ``sum().over(partitionBy(column))``
+    window over the counts (that would funnel ALL distinct (value, n)
+    rows of a column — up to row-count-many for a near-unique join key,
+    exactly the kind of column one profiles before salting — into a
+    single task), and NOT an eager ``df.count()`` either (an action at
+    plan-build time = a second full scan of a 10^12-row fact table, and
+    a surprise job inside what callers assume is lazy plan
+    construction).  Instead: every row contributes exactly one pair per
+    column, so the per-column total is ``sum(n)`` over the SAME counts
+    aggregate — a len(cols)-row side aggregate whose subtree is the
+    shuffle Spark already materialized for the rank window
+    (ReuseExchange dedupes the scan), broadcast-joined back onto the
+    ≤ len(cols) × top_k ranked rows.  The rank window is eligible for
+    Spark's WindowGroupLimit push-down (per-partition top-k before the
+    shuffle), so no task ever holds a column's full distinct-value set.
+    Output is at most len(cols) × top_k rows.
     """
     from pyspark.sql import Window
 
     missing = [c for c in cols if c not in df.columns]
     if missing:
         raise ValueError(f"hot_keys: columns not in DataFrame: {missing}")
-    total = df.count()
     pairs = df.select(
         F.explode(
             F.array(
@@ -105,18 +112,22 @@ def hot_keys(
     counts = pairs.groupBy("column", "value").agg(
         F.count(F.lit(1)).alias("n")
     )
+    totals = counts.groupBy("column").agg(F.sum("n").alias("__total"))
     ranked = counts.withColumn(
-        # total == 0 → counts is empty, the literal guard only keeps the
-        # expression well-defined under ANSI mode
-        "share", F.col("n") / F.lit(float(total) if total else 1.0)
-    ).withColumn(
         "rank",
         F.row_number().over(
             Window.partitionBy("column").orderBy(
                 F.desc("n"), F.asc_nulls_first("value")
             )
         ),
-    )
-    return ranked.filter(F.col("rank") <= top_k).select(
-        "column", "value", "n", "share", "rank"
+    ).filter(F.col("rank") <= top_k)
+    # __total >= n >= 1 for every surviving row (a (column, value) group
+    # exists only if at least one row produced it), so the ANSI divide is
+    # always well-defined
+    return ranked.join(F.broadcast(totals), "column").select(
+        "column",
+        "value",
+        "n",
+        (F.col("n") / F.col("__total").cast("double")).alias("share"),
+        "rank",
     )

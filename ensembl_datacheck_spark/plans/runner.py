@@ -188,6 +188,7 @@ class Runner:
         self.run_id = new_run_id()
         self._rows_per_bucket: dict[int, int] | None = None
         self._rpb_lock = threading.Lock()
+        self._cc_lock = threading.Lock()
         self._completed_cache: dict[str, set[int]] | None = None
 
     # --- helpers ---
@@ -221,11 +222,15 @@ class Runner:
         """None = all pending.  Empty list = nothing to do (skip)."""
         if self.store is None or spec.force:
             return None
-        if self._completed_cache is None:
-            # one checkpoint-table load + aggregation serves every check
-            # in this run (and is invalidated by run() after appending)
-            self._completed_cache = self.store.completed_map(self.lineage)
-        done = self._completed_cache.get(spec.name, set())
+        # lock-guarded compute-once (same discipline as rows_per_bucket):
+        # with fused_in_pool plus pooled checks several threads race to be
+        # first caller, and exactly one checkpoint-table load must run
+        with self._cc_lock:
+            if self._completed_cache is None:
+                # one checkpoint-table load + aggregation serves every
+                # check in this run (invalidated by run() after appending)
+                self._completed_cache = self.store.completed_map(self.lineage)
+            done = self._completed_cache.get(spec.name, set())
         if not done:
             return None
         all_b = set(range(self.n_buckets)) if spec.per_partition else {-1}

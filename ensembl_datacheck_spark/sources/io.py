@@ -242,14 +242,19 @@ def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
 
 
 def _sql_ident(name: str, what: str) -> str:
-    """Backtick-quoted identifier, rejecting anything that could escape
-    the quoting (DDL here is assembled by f-string — a name carrying a
-    backtick or control character would inject SQL)."""
+    """Backtick-quoted SINGLE identifier segment, rejecting anything that
+    could escape the quoting (DDL here is assembled by f-string — a name
+    carrying a backtick or control character would inject SQL).  Dots are
+    rejected too: this quotes ONE segment, and `a.b` would otherwise
+    become a backtick-quoted database literally named "a.b" — addressable
+    only as `a.b`.t, which is never what a caller passing a multi-part
+    name intends."""
     import re as _re
 
-    if not _re.fullmatch(r"[A-Za-z0-9_.\-]+", name):
+    if not _re.fullmatch(r"[A-Za-z0-9_\-]+", name):
         raise ValueError(
-            f"invalid {what} {name!r}: only [A-Za-z0-9_.-] allowed"
+            f"invalid {what} {name!r}: only [A-Za-z0-9_-] allowed "
+            "(one identifier segment — no dots)"
         )
     return f"`{name}`"
 

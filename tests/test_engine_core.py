@@ -425,6 +425,11 @@ def test_register_database_rejects_injectable_names(spark, tmp_path):
         register_database(spark, "okdb", {"bad name": ok_path})
     with _pytest.raises(ValueError, match="invalid table location"):
         register_database(spark, "okdb", {"t": ok_path + "'--"})
+    # '.' rejected: _sql_ident quotes ONE segment — 'a.b' would register a
+    # database literally named "a.b", addressable only as `a.b`.t
+    # (ADVICE r3)
+    with _pytest.raises(ValueError, match="no dots"):
+        register_database(spark, "a.b", {"t": ok_path})
     with _pytest.raises(ValueError, match="unsupported format"):
         register_database(spark, "okdb", {"t": ok_path}, fmt="parquet; DROP")
     try:

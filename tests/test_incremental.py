@@ -343,3 +343,103 @@ def test_quantile_drift_agree_null_is_not_drift(spark):
         for r in quantile_drift_violations(cur, base, group_cols=["g"]).collect()
     }
     assert out == {"one_null"}
+
+
+def test_batch_banded_uncapped_every_new_doc_probes_store(spark):
+    """A new doc ranked past the (former) batch-side band cap must still
+    find its store near-dup: 30 identical batch docs all collide in the
+    same band buckets, and the HIGHEST-id one (rank 30 > cap 20 under the
+    old capped banding) still gets a 'store' match (ADVICE r3 medium)."""
+    dup = "shared content every copy lands in the very same band bucket"
+    accepted = spark.createDataFrame([(1, dup)], "doc_id long, text string")
+    batch = spark.range(100, 130).select(
+        F.col("id").alias("doc_id"), F.lit(dup).alias("text")
+    )
+    store = incremental.band_store(accepted, "doc_id", "text")
+    cands = incremental.incremental_lsh_candidates(
+        batch, store, "doc_id", "text"
+    )
+    store_hits = {
+        r["new_id"]
+        for r in cands.filter(F.col("match_src") == "store").collect()
+    }
+    assert store_hits == set(range(100, 130))  # every batch doc, not 20
+
+
+def test_overfull_store_buckets_guard(spark):
+    """The pre-capped-store contract probe: an uncapped store shows its
+    overfull band keys; a properly built store shows none; and the
+    opt-in probe-side cap bounds a legacy store's join fan-out."""
+    dup = "repeated content that lands every copy in the same bucket okay"
+    accepted = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit(dup).alias("text")
+    )
+    uncapped = incremental.band_store(
+        accepted, "doc_id", "text", cap_per_bucket=None
+    )
+    assert incremental.overfull_store_buckets(uncapped, 20).count() > 0
+    capped = incremental.band_store(accepted, "doc_id", "text", cap_per_bucket=20)
+    assert incremental.overfull_store_buckets(capped, 20).count() == 0
+
+    batch = spark.createDataFrame([(9000, dup)], "doc_id long, text string")
+    n = (
+        incremental.incremental_lsh_candidates(
+            batch, uncapped, "doc_id", "text", store_probe_cap=5
+        )
+        .filter(F.col("match_src") == "store")
+        .count()
+    )
+    assert 1 <= n <= 5
+
+
+def test_quantile_drift_vanished_null_group_breaches(spark):
+    """A baseline group whose quantile is NULL and that then VANISHES
+    from current must breach (presence mismatch) — value-NULL-ness alone
+    cannot distinguish it from the agree-NULL case (ADVICE r3)."""
+    from ensembl_datacheck_spark.operators.drift import (
+        quantile_drift_violations,
+    )
+
+    base = spark.createDataFrame(
+        [("gone_null", 0.5, None), ("stays_null", 0.5, None)],
+        "g string, q double, value double",
+    )
+    cur = spark.createDataFrame(
+        [("stays_null", 0.5, None)], "g string, q double, value double"
+    )
+    out = {
+        r["g"]
+        for r in quantile_drift_violations(cur, base, group_cols=["g"]).collect()
+    }
+    assert out == {"gone_null"}
+
+
+def test_hot_keys_builds_lazily_single_scan(spark, tmp_path):
+    """Plan construction must trigger ZERO Spark jobs (VERDICT r3: the
+    old eager df.count() was a full second scan of the fact table before
+    the profiling job even started), and the executed plan must scan the
+    input ONCE — the per-column share totals ride the counts shuffle via
+    AQE exchange reuse, not a second scan."""
+    path = str(tmp_path / "hk_fact")
+    spark.createDataFrame(
+        [("hot", 1)] * 8 + [("warm", 2)] * 3, "k string, v int"
+    ).write.parquet(path)
+    df = spark.read.parquet(path)
+    sc = spark.sparkContext
+    group = "hot-keys-lazy-build-probe"
+    sc.setJobGroup(group, "hot_keys plan construction must be lazy")
+    try:
+        plan = hot_keys(df, ["k", "v"], top_k=2)
+    finally:
+        sc.setJobGroup(None, None)
+    jobs = sc.statusTracker().getJobIdsForGroup(group)
+    assert list(jobs) == [], f"plan construction ran Spark jobs: {jobs}"
+    out = {(r["column"], r["rank"]): r for r in plan.collect()}
+    assert out[("k", 1)]["value"] == "hot" and out[("k", 1)]["n"] == 8
+    assert out[("k", 1)]["share"] == pytest.approx(8 / 11)
+    # pin: one FileScan + a ReusedExchange in the final adaptive plan
+    # (toString carries the Initial Plan section too — cut it off)
+    phys = plan._jdf.queryExecution().executedPlan().toString()
+    final = phys.split("== Initial Plan ==")[0]
+    assert final.count("FileScan") == 1, final
+    assert "ReusedExchange" in final, final
