@@ -420,16 +420,20 @@ def ntok_drift(ctx):
 
 @register(
     "NTokQuantileDrift",
-    "n_tok quantiles vs the baseline snapshot's exact quantiles within "
-    "5% relative tolerance.  n_tok has a BOUNDED integer domain "
-    "(NTokDomain enforces [1, 8192]), so exact quantiles come from a "
+    "n_tok quantiles vs the baseline snapshot's quantiles within 5% "
+    "relative tolerance, with an automatic two-tier plan.  Exact tier "
+    "(bounded domains — NTokDomain enforces [1, 8192]): a "
     "value-frequency histogram — one codegen two-stage count "
     "aggregation, fully map-side combinable, ~domain-size rows to the "
-    "driver — rather than a percentile sketch, whose single-reducer "
-    "merge of per-partition sketches is a SERIAL tail that grows with "
-    "accuracy and partition count (measurably hurts N→4N scaling).  "
-    "For unbounded/continuous columns use "
-    "drift.quantile_profile(approx=True), the mergeable-sketch tier.",
+    "driver — beats a percentile sketch, whose single-reducer merge of "
+    "per-partition sketches is a SERIAL tail that grows with accuracy "
+    "and partition count (measurably hurts N→4N scaling).  The driver "
+    "collect is guarded: if the histogram exceeds "
+    "config[quantile_exact_max_card] distinct values (default 65536 — "
+    "the collect is LIMIT-bounded, so an unbounded column can never "
+    "flood the driver), the check self-switches to "
+    "drift.quantile_profile(approx=True), the mergeable "
+    "percentile_approx sketch tier (bounded rank error 1/accuracy).",
     groups=("sequences", "drift"),
     tables=("sequences", "baseline_stats"),
 )
@@ -443,44 +447,75 @@ def ntok_quantile_drift(ctx):
     }
     if not base_q:
         raise SkipCheck("baseline snapshot carries no n_tok_quantile rows")
-    hist = sorted(
-        (r["n_tok"], r["cnt"])
-        for r in seq.filter(F.col("n_tok").isNotNull())
-        .groupBy("n_tok").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    )
     rel_tol = ctx.config.get("quantile_rel_tol", 0.05)
-    if not hist:
+    max_card = int(ctx.config.get("quantile_exact_max_card", 65_536))
+    nn = seq.filter(F.col("n_tok").isNotNull())
+    # cardinality probe IS the histogram job: LIMIT max_card+1 bounds the
+    # driver transfer (the aggregation itself is distributed and spills),
+    # so the exact path costs exactly one job and the sketch decision
+    # needs no separate approx_count_distinct scan
+    probe = (
+        nn.groupBy("n_tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .limit(max_card + 1)
+        .collect()
+    )
+    if not probe:
         raise SkipCheck("sequences has no non-null n_tok rows")
-    # exact linear-interpolated quantiles from (value, count) pairs —
-    # identical definition to F.percentile / quantile_cont: position
-    # h = (n-1)·q over the sorted values, interpolate neighbours
-    values = [v for v, _ in hist]
-    cums = []
-    total = 0
-    for _, c in hist:
-        total += c
-        cums.append(total)
 
-    def value_at(idx: int) -> float:
-        import bisect
+    breaches: list[str] = []
+    if len(probe) > max_card:
+        # sketch tier: mergeable percentile_approx partials — one
+        # aggregation whose shuffle carries one sketch per partition
+        # regardless of cardinality
+        tier = f"sketch (> {max_card} distinct values)"
+        qs = tuple(sorted(base_q))
+        cur_q = {
+            float(r["q"]): float(r["value"])
+            for r in D.quantile_profile(nn, "n_tok", qs, approx=True).collect()
+            if r["value"] is not None
+        }
+        for q in qs:
+            bv, cur = base_q[q], cur_q.get(q)
+            if cur is None or abs(cur - bv) > rel_tol * abs(bv):
+                breaches.append(
+                    f"q={q}: baseline {bv} vs current "
+                    f"{'<missing>' if cur is None else round(cur, 2)}"
+                )
+    else:
+        # exact linear-interpolated quantiles from (value, count) pairs —
+        # identical definition to F.percentile / quantile_cont: position
+        # h = (n-1)·q over the sorted values, interpolate neighbours
+        tier = "exact-histogram"
+        hist = sorted((r["n_tok"], r["cnt"]) for r in probe)
+        values = [v for v, _ in hist]
+        cums = []
+        total = 0
+        for _, c in hist:
+            total += c
+            cums.append(total)
 
-        return float(values[bisect.bisect_right(cums, idx)])
+        def value_at(idx: int) -> float:
+            import bisect
 
-    breaches = []
-    for q in sorted(base_q):
-        h = (total - 1) * q
-        lo, frac = int(h), h - int(h)
-        cur = value_at(lo)
-        if frac:
-            cur += frac * (value_at(lo + 1) - cur)
-        bv = base_q[q]
-        if abs(cur - bv) > rel_tol * abs(bv):
-            breaches.append(f"q={q}: baseline {bv} vs current {round(cur, 2)}")
+            return float(values[bisect.bisect_right(cums, idx)])
+
+        for q in sorted(base_q):
+            h = (total - 1) * q
+            lo, frac = int(h), h - int(h)
+            cur = value_at(lo)
+            if frac:
+                cur += frac * (value_at(lo + 1) - cur)
+            bv = base_q[q]
+            if abs(cur - bv) > rel_tol * abs(bv):
+                breaches.append(
+                    f"q={q}: baseline {bv} vs current {round(cur, 2)}"
+                )
     ctx.result.assertions.append(
         AssertionResult(
             "n_tok_quantile_drift",
             Status.OK if not breaches else Status.FAIL,
-            expected=f"within {rel_tol:.0%} of baseline",
+            expected=f"within {rel_tol:.0%} of baseline ({tier})",
             got=len(breaches),
             diag=breaches[:10],
         )

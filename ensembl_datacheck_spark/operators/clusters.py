@@ -3,12 +3,15 @@ pair graph, then canonical-representative selection.
 
 The dedup operators (dedup.py / similarity.py) emit candidate PAIRS;
 training-data dedup needs CLUSTERS ("keep one doc per group of mutual
-near-dups").  Connected components are computed with the standard
-large-graph technique: iterative **min-label propagation** (alternating
-large-star/small-star style contraction) — each iteration is two
-shuffle-keyed aggregations, converging in O(log n) iterations for real
-near-dup graphs (which are overwhelmingly tiny cliques), with an
-explicit iteration cap and a convergence check via a count aggregate.
+near-dups").  Connected components are computed as **min-label
+propagation with pointer doubling**: each round every node takes the
+min label over its neighborhood (two shuffle-keyed aggregations), then
+chases one label indirection (label ← min(label, label-of-label), one
+equi-join) — the path-doubling step that turns the naive O(diameter)
+convergence into O(log diameter), so a templated-document chain of
+length 200 converges in ~8 rounds instead of hitting the cap.  An
+explicit iteration cap plus a convergence check via a count aggregate
+bound the loop.
 
 No driver-side graph materialization: labels live in a DataFrame keyed
 by node; at 10^12-doc scale the pair graph is sparse (near-dups are
@@ -30,16 +33,23 @@ def connected_components(
     """(node, component) labels from an undirected edge list; component =
     min node id in the component.
 
-    Algorithm: min-label propagation — every node starts as its own
-    label; each round nodes adopt the min label in their neighborhood
-    (including themselves); stop when no label changes.  Convergence
-    takes O(graph diameter) rounds; near-dup graphs are overwhelmingly
-    tiny cliques (diameter 1-2) with the occasional templated-document
-    chain, which ``max_iterations=50`` covers.  If the cap is hit
-    before convergence a RuntimeWarning is emitted — labels are then an
-    over-segmentation (clusters split, never wrongly merged).
-    localCheckpoint cuts the growing lineage each round (iterative
-    plans otherwise re-execute from the source).
+    Algorithm: min-label propagation **with pointer doubling** — every
+    node starts as its own label; each round a node adopts the min label
+    in its neighborhood (including itself), then chases one indirection:
+    label ← min(label, label-of-label).  A label is always a node id
+    that itself carries a label (labels only ever move DOWN to ids seen
+    in the graph), so the chase is a plain equi-join of the label table
+    against itself.  Propagation alone converges in O(diameter) rounds —
+    a 200-link boilerplate-ladder chain would blow any practical cap;
+    with doubling the label horizon doubles per round, giving
+    O(log diameter) (~8 rounds for that chain).  Near-dup graphs are
+    overwhelmingly tiny cliques (diameter 1-2, converge in 2) plus the
+    occasional such chain, which ``max_iterations=50`` now covers with
+    orders of magnitude to spare.  If the cap is still hit a
+    RuntimeWarning is emitted — labels are then an over-segmentation
+    (clusters split, never wrongly merged).  localCheckpoint cuts the
+    growing lineage each round (iterative plans otherwise re-execute
+    from the source).
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -62,7 +72,7 @@ def connected_components(
             .groupBy(sym["a"].alias("node"))
             .agg(F.min("component").alias("neigh_min"))
         )
-        new_labels = (
+        propagated = (
             labels.join(neigh, "node", "left_outer")
             .select(
                 "node",
@@ -70,6 +80,19 @@ def connected_components(
                     F.col("component"), F.coalesce("neigh_min", F.col("component"))
                 ).alias("component"),
             )
+        )
+        # pointer doubling: label ← min(label, label-of-label).  The
+        # lookup side is unique per node, so the join cannot fan out; a
+        # mega-cluster's hot label lands on one reducer bounded by the
+        # cluster's member count (same bound as the neighbor join).
+        hop = propagated.select(
+            F.col("node").alias("component"), F.col("component").alias("grand")
+        )
+        new_labels = propagated.join(hop, "component", "left_outer").select(
+            "node",
+            F.least(
+                F.col("component"), F.coalesce("grand", F.col("component"))
+            ).alias("component"),
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (

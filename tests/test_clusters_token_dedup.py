@@ -151,3 +151,21 @@ def test_token_minhash_jvm_tier_finds_planted_dups(spark):
              for r in token_minhash_candidates_jvm(df, k=8, n_hashes=32,
                                                    n_bands=16).collect()}
     assert pairs == again
+
+
+def test_connected_components_long_chain_pointer_doubling(spark):
+    """A 200-link chain (diameter 200 — the boilerplate-ladder case) must
+    converge WELL inside the iteration cap: pointer doubling gives
+    O(log diameter) rounds, so 12 iterations suffice where plain
+    min-label propagation would need 200 and silently over-segment
+    (VERDICT r3).  No RuntimeWarning, and every node labels to 0."""
+    import warnings
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("error", RuntimeWarning)
+        labels = CL.connected_components(edges, max_iterations=12).collect()
+    assert len(labels) == 201
+    assert {r["component"] for r in labels} == {0}

@@ -224,3 +224,55 @@ def test_baseline_rules(spark, seq_fixture):
     assert _run_one(spark, "BaselineStatKeyVocabulary", t).assertions[0].got == 1
     assert _run_one(spark, "BaselineValueDomain", t).assertions[0].got == 1
     assert _run_one(spark, "BaselineCategoryNotBlank", t).assertions[0].got == 1
+
+
+# --- NTokQuantileDrift two-tier plan ---------------------------------------
+
+
+def _ntok_quantile_tables(spark, n=4000):
+    """sequences with a HIGH-cardinality n_tok (all distinct) plus a
+    baseline_stats snapshot carrying that data's EXACT quantiles."""
+    seq = spark.range(n).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.array(F.lit(1)).alias("tokens"),
+        (F.col("id") + 1).cast("int").alias("n_tok"),
+        F.lit("src_00").alias("source"),
+    )
+    qs = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    exact = seq.agg(
+        F.percentile("n_tok", F.array(*[F.lit(q) for q in qs])).alias("qv")
+    ).collect()[0]["qv"]
+    base = spark.createDataFrame(
+        [("n_tok_quantile", str(q), float(v)) for q, v in zip(qs, exact)],
+        "stat_key string, category string, value double",
+    )
+    return {"sequences": seq, "baseline_stats": base}
+
+
+def test_ntok_quantile_drift_auto_switches_to_sketch(spark):
+    """Above the cardinality threshold the check must take the sketch
+    tier (percentile_approx partials) instead of collecting the full
+    per-value histogram — and the sketch must AGREE with the exact
+    baseline within the 5% tolerance (VERDICT r3 item 7)."""
+    tables = _ntok_quantile_tables(spark)
+    res = _run_one(
+        spark, "NTokQuantileDrift", tables,
+        config={"quantile_exact_max_card": 100},
+    )
+    [a] = res.assertions
+    assert "sketch" in a.expected, a.expected
+    assert a.status == Status.OK, a.diag  # sketch within 5% of exact
+
+
+def test_ntok_quantile_drift_exact_tier_below_threshold(spark):
+    """Below the threshold the exact-histogram tier runs (bit-exact
+    against the baseline's exact quantiles: zero breaches even at zero
+    effective tolerance margin)."""
+    tables = _ntok_quantile_tables(spark)
+    res = _run_one(
+        spark, "NTokQuantileDrift", tables,
+        config={"quantile_exact_max_card": 100_000},
+    )
+    [a] = res.assertions
+    assert "exact-histogram" in a.expected, a.expected
+    assert a.status == Status.OK, a.diag
