@@ -556,6 +556,14 @@ def portable_minhash_candidates(
         "id", F.conv(F.substring(F.md5("g"), 1, 8), 16, 10).cast("long").alias("h")
     )
     sig = _min_sig_agg(sh, len(MH_COEFFS))
+    return _portable_band_pairs(sig, n_bands, rows)
+
+
+def _portable_band_pairs(sig: DataFrame, n_bands: int, rows: int) -> DataFrame:
+    """(id_a, id_b) pairs sharing any band of a portable (id, sig)
+    signature table — band key = '_'-joined decimal signature entries
+    (exactly what the DuckDB oracle rebuilds with array_to_string).
+    Shared by the text and token portable MinHash tiers."""
     bands = sig.select(
         "id",
         F.explode(

@@ -221,7 +221,20 @@ def deterministic_centroids(
         .collect()
     )
     m = np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
-    X = _normalize_rows(m)
+    return kmeans_fit_spherical(m, n_lists, n_iter=n_iter, seed=seed)
+
+
+def kmeans_fit_spherical(
+    sample: np.ndarray, n_lists: int, n_iter: int = 8, seed: int = 42
+) -> np.ndarray:
+    """Pure-numpy spherical k-means on an in-memory sample matrix:
+    seeded k-means++ init + Lloyd iterations on the row-normalized
+    sample.  Factored out of `deterministic_centroids` so an oracle
+    generator can train BIT-IDENTICAL centroids from the same sample
+    rows read outside Spark (entry_queries._ann_ivf_oracle_sql reads the
+    parquet with pyarrow and embeds the result as SQL literals).
+    Deterministic for a given (sample, n_lists, seed)."""
+    X = _normalize_rows(sample)
     k = min(n_lists, len(X))
     rng = np.random.default_rng(seed)
     # k-means++ seeding on the sample (cosine distance = 1 - dot on the
@@ -251,6 +264,30 @@ def deterministic_centroids(
     return centroids
 
 
+def lowid_sample_matrix(
+    corpus: DataFrame,
+    n_samp: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """The ``n_samp`` lowest-id non-null vectors as a float64 matrix —
+    the oracle-reproducible sample (an engine reading the same parquet
+    sorts by the same ids and gets the same rows, which
+    xxhash64-ordering cannot offer an outside reader).  Executed as a
+    TakeOrderedAndProject, so driver cost is bounded by the sample size
+    at any corpus scale.  Used by the oracle-backed IVF entry query;
+    production uses `deterministic_centroids` (hash-ordered sample,
+    independent of id layout)."""
+    rows = (
+        corpus.select(id_col, vec_col)
+        .filter(F.col(vec_col).isNotNull())
+        .orderBy(F.col(id_col))
+        .limit(n_samp)
+        .collect()
+    )
+    return np.array([list(r[vec_col]) for r in rows], dtype=np.float64)
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -259,10 +296,18 @@ def ivf_topk(
     k: int = 10,
     n_lists: int = 16,
     nprobe: int = 4,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN: search only the nprobe lists whose centroids are closest
-    to each query.  Exact rerank within probed lists."""
-    cents = deterministic_centroids(corpus, n_lists, id_col, vec_col)
+    to each query.  Exact rerank within probed lists.  ``centroids``
+    overrides the trained codebook (pre-trained index reuse, or the
+    oracle-backed entry query sharing bit-identical centroids with its
+    SQL oracle); default trains via `deterministic_centroids`."""
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_lists, id_col, vec_col)
+    )
     assigned = ivf_assign(corpus, cents, id_col, vec_col)
 
     # driver-side probe-list computation for the (small) query set

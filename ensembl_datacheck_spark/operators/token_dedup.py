@@ -165,6 +165,55 @@ def token_minhash_candidates_jvm(
     return bucket_candidate_pairs(banded)
 
 
+def portable_token_minhash_candidates(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Oracle-verifiable token-sequence MinHash: candidate pairs over
+    integer token arrays where EVERY value is reproducible by a SQL
+    engine — the token analogue of dedup.portable_minhash_candidates.
+
+    k-token shingles are built JVM-side (token_shingle_slices_jvm, zero
+    Python), serialized as '_'-joined decimal strings, hashed portably
+    (first 8 hex chars of md5 → bigint — DuckDB:
+    CAST('0x'||substring(md5(g),1,8) AS BIGINT)), folded through the
+    shared MH_COEFFS affine-minima aggregation and banded exactly like
+    the text tier.  Same plan shape as token_minhash_candidates_jvm:
+    explode shingles → one codegen min-aggregate groupBy(id) (map-side
+    partials, the shuffle carries signatures, never shingles) → band
+    self-join.  Null/empty token rows are dropped (no signature)."""
+    from ensembl_datacheck_spark.operators.dedup import (
+        MH_COEFFS,
+        _min_sig_agg,
+        _portable_band_pairs,
+    )
+
+    rows = len(MH_COEFFS) // n_bands
+    t = df.select(
+        F.col(id_col).alias("id"), F.col(tokens_col).alias("toks")
+    ).filter(F.col("toks").isNotNull() & (F.size("toks") > 0))
+    sh = (
+        t.select("id", F.explode(token_shingle_slices_jvm("toks", k)).alias("g"))
+        .select(
+            "id",
+            F.concat_ws(
+                "_", F.transform("g", lambda x: x.cast("string"))
+            ).alias("gs"),
+        )
+        .select(
+            "id",
+            F.conv(F.substring(F.md5("gs"), 1, 8), 16, 10)
+            .cast("long")
+            .alias("h"),
+        )
+    )
+    sig = _min_sig_agg(sh, len(MH_COEFFS))
+    return _portable_band_pairs(sig, n_bands, rows)
+
+
 def token_exact_jaccard(
     df: DataFrame,
     candidates: DataFrame,

@@ -1329,6 +1329,115 @@ def embedding_near_duplicates_q(spark, sf_dir):
 ORACLES["embedding_near_duplicates"] = _embedding_neardup_oracle_sql(64, 6, 0.35)
 
 
+_IVF_SAMPLE_N, _IVF_LISTS, _IVF_NPROBE, _IVF_K = 320, 16, 4, 5
+
+
+def _ann_ivf_oracle_sql(sf_dir: str) -> str:
+    """IVF oracle with the TRAINED k-means centroids embedded as double
+    literals: the sample is the lowest-id non-null vectors (the one
+    deterministic sample an engine outside Spark can reproduce), read
+    here with pyarrow — no Spark — and fitted with the SAME pure-numpy
+    `kmeans_fit_spherical` the entry query uses, so both sides carry
+    bit-identical centroids.  Corpus list assignment (argmax centroid
+    dot, ties to the lowest list — numpy argmax convention), query
+    probe-list selection (top nprobe lists) and the cosine rerank are
+    recomputed entirely in SQL; integer ranks compared (see
+    ann_bruteforce_topk on why ranks, not cosines)."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pydict()
+    pairs = sorted(
+        (i, v)
+        for i, v in zip(tbl["vec_id"], tbl["embedding"])
+        if v is not None
+    )
+    sample = np.array(
+        [list(v) for _, v in pairs[:_IVF_SAMPLE_N]], dtype=np.float64
+    )
+    cents = similarity.kmeans_fit_spherical(sample, _IVF_LISTS)
+    cent_rows = ",\n      ".join(
+        f"({j}, [" + ", ".join(repr(float(x)) for x in cents[j]) + "])"
+        for j in range(len(cents))
+    )
+    return f"""
+    WITH {_ANN_COSINE_CTE},
+    cents(list_id, c) AS (VALUES
+      {cent_rows}
+    ),
+    assigned AS (
+      SELECT neighbor_id, v, list_id FROM (
+        SELECT cv.neighbor_id, cv.v, cents.list_id,
+               row_number() OVER (PARTITION BY cv.neighbor_id
+                                  ORDER BY list_dot_product(cv.v, cents.c)
+                                           DESC, cents.list_id) AS rn
+        FROM cv CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    probes AS (
+      SELECT query_id, v, list_id FROM (
+        SELECT qv.query_id, qv.v, cents.list_id,
+               row_number() OVER (PARTITION BY qv.query_id
+                                  ORDER BY list_dot_product(qv.v, cents.c)
+                                           DESC, cents.list_id) AS rn
+        FROM qv CROSS JOIN cents
+      ) WHERE rn <= {_IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, a.neighbor_id,
+             list_dot_product(p.v, a.v)
+               / (sqrt(list_dot_product(p.v, p.v))
+                  * sqrt(list_dot_product(a.v, a.v))) AS cosine
+      FROM probes p JOIN assigned a ON p.list_id = a.list_id
+      WHERE a.neighbor_id <> p.query_id
+    )
+    SELECT query_id, neighbor_id, rank FROM (
+      SELECT query_id, neighbor_id,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id)
+                  AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= {_IVF_K}
+    """
+
+
+@q("ann_ivf_topk")
+def ann_ivf_topk_q(spark, sf_dir):
+    """IVF ANN top-5 (similarity.ivf_topk) — the 100 TB ANN path
+    (bucketed-by-list layout), oracle-verified: centroids are trained by
+    the shared pure-numpy spherical k-means on the lowest-320-id sample,
+    which the oracle generator re-trains bit-identically from the same
+    parquet via pyarrow and embeds as SQL literals (the IVF analogue of
+    ann_lsh_topk's embedded plane matrix).  Integer ranks compared."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    sample = similarity.lowid_sample_matrix(emb, _IVF_SAMPLE_N)
+    if sample.size == 0:  # empty/all-null table: empty result, not a crash
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, rank long")
+    cents = similarity.kmeans_fit_spherical(sample, _IVF_LISTS)
+    queries = emb.filter(F.col("vec_id") < 10)
+    return similarity.ivf_topk(
+        emb, queries, k=_IVF_K, n_lists=_IVF_LISTS, nprobe=_IVF_NPROBE,
+        centroids=cents,
+    ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
+
+
+try:
+    ORACLES["ann_ivf_topk"] = _ann_ivf_oracle_sql(
+        __import__("os").environ.get(
+            "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
+        )
+    )
+except Exception:  # parquet unavailable at import: rows-only entry
+    pass
+
+
 @q(
     "multimodal_image_features",
     """
@@ -1595,6 +1704,89 @@ def minhash_candidates_portable(spark, sf_dir):
 
 
 ORACLES["minhash_candidates_portable"] = _minhash_oracle_sql()
+
+
+def _token_minhash_oracle_sql() -> str:
+    """Token-sequence MinHash oracle: the derived tokens (md5-bigint per
+    word), k=3-token shingles, their portable hashes, the shared
+    MH_COEFFS affine minima, and the 4-band keys are all recomputed in
+    SQL — value-for-value against portable_token_minhash_candidates."""
+    sig_exprs = ",\n             ".join(
+        f"list_min(list_transform(hv, h -> (h * {a} + {b}) % {dedup.MH_PRIME}))"
+        for (a, b) in dedup.MH_COEFFS
+    )
+    band_selects = "\n      UNION ALL\n      ".join(
+        f"SELECT doc_id, {b} AS band, CAST(s[{2*b+1}] AS VARCHAR) || '_' || "
+        f"CAST(s[{2*b+2}] AS VARCHAR) AS key FROM sig"
+        for b in range(4)
+    )
+    return f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    grams AS (
+      SELECT doc_id, CASE WHEN len(toks) >= 3 THEN
+               list_transform(range(1, len(toks) - 1),
+                              i -> array_to_string(toks[i:i+2], '_'))
+             ELSE [array_to_string(toks, '_')] END AS gs
+      FROM docs WHERE len(toks) > 0
+    ),
+    hs AS (
+      SELECT doc_id,
+             list_transform(gs,
+               g -> CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT)) AS hv
+      FROM grams
+    ),
+    sig AS (
+      SELECT doc_id,
+             [{sig_exprs}] AS s
+      FROM hs
+    ),
+    bands AS (
+      {band_selects}
+    )
+    SELECT DISTINCT CAST(a.doc_id AS BIGINT) AS id_a,
+                    CAST(b.doc_id AS BIGINT) AS id_b
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    """
+
+
+@q("token_minhash_candidates_portable", None)
+def token_minhash_candidates_portable_q(spark, sf_dir):
+    """Token-sequence MinHash over the input_hint's actual payload shape
+    (`tokens: array<int>`): the driver tables carry no tokens column, so
+    one is DERIVED in-query — token_i = md5-bigint of word_i of
+    documents.text, computed identically in the oracle CTE — and the
+    portable token-MinHash banding runs over it
+    (operators/token_dedup.portable_token_minhash_candidates).  The
+    Arrow-stride and all-JVM xxhash64 production tiers share this plan
+    shape (pytest + 2M-doc smoke); this portable tier proves the
+    shingle→signature→band path value-for-value."""
+    from ensembl_datacheck_spark.operators import token_dedup
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        ).alias("tokens"),
+    )
+    pairs = token_dedup.portable_token_minhash_candidates(
+        toks, "doc_id", "tokens", k=3, n_bands=4
+    )
+    return pairs.select(
+        F.col("id_a").cast("long").alias("id_a"),
+        F.col("id_b").cast("long").alias("id_b"),
+    )
+
+
+ORACLES["token_minhash_candidates_portable"] = _token_minhash_oracle_sql()
 
 
 @q(
