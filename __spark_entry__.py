@@ -98,11 +98,31 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window (e.g. minhash_lsh_candidates -> minhash_candidates_portable).
     """
     qs = dict(EQ.QUERIES)
-    ordered = {k: qs[k] for k in DRIVER_WINDOW if k in qs and k in EQ.ORACLES}
-    ordered.update({k: v for k, v in qs.items() if k in EQ.ORACLES})
-    ordered.update({k: v for k, v in qs.items() if k not in EQ.ORACLES})
+    # LAZY_ORACLES counts as oracle-backed for ordering: window
+    # membership is a static fact, independent of whether the lazy
+    # generator can read its parquet in this environment.
+    backed = set(EQ.ORACLES) | set(EQ.LAZY_ORACLES)
+    ordered = {k: qs[k] for k in DRIVER_WINDOW if k in qs and k in backed}
+    ordered.update({k: v for k, v in qs.items() if k in backed})
+    ordered.update({k: v for k, v in qs.items() if k not in backed})
     return ordered
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(EQ.ORACLES)
+    """Static oracles verbatim; data-dependent oracles (LAZY_ORACLES —
+    SQL embedding values trained from the adjudication parquet) are
+    generated here, at call time.  A generator that cannot read its
+    data degrades that one entry to the driver's rows-only check, with
+    a warning — never silently, and never at import."""
+    out = dict(EQ.ORACLES)
+    for name, gen in EQ.LAZY_ORACLES.items():
+        try:
+            out[name] = gen()
+        except (OSError, ImportError, ValueError) as exc:
+            import warnings
+
+            warnings.warn(
+                f"oracle for {name!r} unavailable ({exc!r}); "
+                "driver falls back to a rows-only check for it"
+            )
+    return out

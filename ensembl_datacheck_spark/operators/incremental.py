@@ -108,6 +108,24 @@ def incremental_dedup_exact(
 # ---------------------------------------------------------------------------
 
 
+#: One cap discipline for every band-bucket bound in this module: the
+#: build-time store cap, the maintenance probe's threshold, and the
+#: opt-in legacy probe cap must agree or an "in-bound" store can still
+#: blow up a probe join.
+DEFAULT_CAP_PER_BUCKET = 20
+
+
+def _cap_per_key(df: DataFrame, key: str, order_col: str, cap: int) -> DataFrame:
+    """At most ``cap`` rows per ``key``, lowest ``order_col`` first —
+    the shared cap discipline (one spillable sort-window)."""
+    w = Window.partitionBy(key).orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= cap)
+        .drop("__rn")
+    )
+
+
 def band_store(
     df: DataFrame,
     id_col: str,
@@ -115,7 +133,7 @@ def band_store(
     ngram: int = 3,
     n_hashes: int = 64,
     n_bands: int = 16,
-    cap_per_bucket: int | None = 20,
+    cap_per_bucket: int | None = DEFAULT_CAP_PER_BUCKET,
 ) -> DataFrame:
     """(id, bk) LSH band membership of an accepted corpus — the near-dup
     analogue of `exact_store`.  n_bands rows per doc, each a small
@@ -151,17 +169,12 @@ def band_store(
         "id", F.explode(lsh_band_keys("sig", n_bands, rows_per_band)).alias("bk")
     )
     if cap_per_bucket is not None:
-        w = Window.partitionBy("bk").orderBy("id")
-        bands = (
-            bands.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= cap_per_bucket)
-            .drop("__rn")
-        )
+        bands = _cap_per_key(bands, "bk", "id", cap_per_bucket)
     return bands
 
 
 def overfull_store_buckets(
-    store_bands: DataFrame, cap_per_bucket: int = 20
+    store_bands: DataFrame, cap_per_bucket: int = DEFAULT_CAP_PER_BUCKET
 ) -> DataFrame:
     """Maintenance probe for the `band_store` pre-capped contract: the
     band keys whose representative count exceeds ``cap_per_bucket``, as
@@ -233,12 +246,7 @@ def incremental_lsh_candidates(
 
     probe_side = store_bands.select(F.col("id").alias("match_id"), "bk")
     if store_probe_cap is not None:
-        w = Window.partitionBy("bk").orderBy("match_id")
-        probe_side = (
-            probe_side.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") <= store_probe_cap)
-            .drop("__rn")
-        )
+        probe_side = _cap_per_key(probe_side, "bk", "match_id", store_probe_cap)
 
     vs_store = (
         new_bands.join(probe_side, "bk")

@@ -318,7 +318,13 @@ def ivf_topk(
         v = np.asarray(r[vec_col], dtype=np.float64)
         n = np.linalg.norm(v) or 1.0
         sims = cents @ (v / n)
-        top = np.argsort(-sims)[:nprobe]
+        # stable sort: tied centroid similarities resolve to the LOWEST
+        # list_id — the same convention as the SQL oracle's
+        # row_number() OVER (ORDER BY dot DESC, list_id) and as the
+        # np.argmax corpus assignment; the default introsort would pick
+        # an arbitrary list on ties (duplicate/collapsed centroids are
+        # legal k-means outputs, so ties are reachable)
+        top = np.argsort(-sims, kind="stable")[:nprobe]
         for lid in top:
             probes.append((r[id_col], int(lid), [float(x) for x in v]))
     spark = corpus.sparkSession

@@ -36,6 +36,15 @@ from ensembl_datacheck_spark.sources.io import load_sf_tables
 
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
+# Oracles whose SQL embeds values computed FROM the adjudication data
+# (e.g. trained k-means centroids) register here as zero-arg generators
+# and are resolved when __spark_entry__.oracle_sql() is called — never at
+# import.  Import-time resolution did parquet I/O + k-means on every
+# import of this module and, worse, swallowed failures in a bare except,
+# silently dropping the entry from ORACLES and thereby shifting the
+# driver's adjudicated 50-query prefix (queries() filters on oracle
+# membership).  Lazy registration keeps window membership a static fact.
+LAZY_ORACLES: dict[str, Callable[[], str]] = {}
 
 
 def q(name: str, oracle: str | None = None):
@@ -1428,14 +1437,22 @@ def ann_ivf_topk_q(spark, sf_dir):
     ).select("query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"))
 
 
-try:
-    ORACLES["ann_ivf_topk"] = _ann_ivf_oracle_sql(
-        __import__("os").environ.get(
-            "SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01"
-        )
+def _lazy_ann_ivf_oracle() -> str:
+    """Resolved at oracle_sql() call time.  The embedded centroids are
+    trained from the parquet under SPARK_GRAFT_SF_DIR_TEST (default
+    /root/testdata/sf0.01, the driver's fixed correctness scale) — the
+    one data-dependent oracle in the registry, so its validity is
+    coupled to that directory: the engine query trains bit-identical
+    centroids from whatever sf_dir it is CALLED with, and the two agree
+    exactly when the dirs match (the driver contract)."""
+    import os
+
+    return _ann_ivf_oracle_sql(
+        os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
     )
-except Exception:  # parquet unavailable at import: rows-only entry
-    pass
+
+
+LAZY_ORACLES["ann_ivf_topk"] = _lazy_ann_ivf_oracle
 
 
 @q(
