@@ -115,3 +115,26 @@ def test_driver_window_is_oracle_backed_and_covers_new_operators():
     # demoted shape-duplicates stay oracle-backed (parity-tested above)
     for n in names[50:]:
         assert n in QUERIES
+
+
+def test_lazy_oracle_failure_degrades_loudly_and_keeps_window_stable(monkeypatch):
+    """LAZY_ORACLES contract (data-dependent oracles, e.g. ann_ivf_topk's
+    trained-centroid SQL): a generator that cannot read its parquet must
+    (a) warn, (b) drop only its own oracle entry (rows-only fallback),
+    and (c) NOT shift the adjudicated 50-query prefix — window
+    membership is a static fact, independent of generator success."""
+    import warnings
+
+    from ensembl_datacheck_spark.plans import entry_queries as EQ
+
+    def boom():
+        raise FileNotFoundError("embeddings.parquet unavailable")
+
+    monkeypatch.setitem(EQ.LAZY_ORACLES, "ann_ivf_topk", boom)
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        oracles = entry_mod.oracle_sql()
+    assert "ann_ivf_topk" not in oracles
+    assert any("ann_ivf_topk" in str(w.message) for w in caught)
+    # static window unchanged: queries() still leads with DRIVER_WINDOW
+    assert list(entry_mod.queries())[:50] == entry_mod.DRIVER_WINDOW
