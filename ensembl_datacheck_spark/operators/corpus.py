@@ -171,3 +171,87 @@ def stratified_sample(
         cut = F.when(F.col(strata_col) == name,
                      int(round(frac * buckets))).otherwise(cut)
     return df.filter(b < cut)
+
+
+def passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    passage_words: int = 10,
+) -> DataFrame:
+    """Sub-document exact dedup: remove duplicated fixed-length word
+    passages ACROSS the corpus, keeping each passage's first occurrence
+    (lowest (id, passage_index)).  This is the chunk-granularity variant
+    of exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better") — doc-level dedup
+    (dedup.exact_duplicates / minhash) cannot remove a boilerplate
+    paragraph pasted into thousands of otherwise-distinct pages; this
+    operator does.  Returns one row per non-empty input doc:
+    (id, n_passages, n_kept, text_deduped) with text_deduped the kept
+    passages rejoined in document order ('' when every passage was a
+    duplicate).
+
+    Plan, sized for 10^12 docs:
+
+    * passages are built by a PURE PROJECTION — transform(sequence(...))
+      slicing the split word array into ceil(n/k) non-overlapping
+      k-word windows — then posexplode: zero shuffle, and pidx comes
+      from posexplode, not a window;
+    * first-occurrence selection is groupBy(md5(ptext)) ·
+      min(struct(id, pidx, ptext)) — ONE aggregation with map-side
+      partial combine, so a passage duplicated 10^9 times collapses to
+      one row per map partition BEFORE the shuffle.  No row_number
+      window over the digest (a window would put all 10^9 occurrences
+      of a hot passage in one partition — the skew this formulation
+      exists to avoid); the SQL-oracle equivalent row_number()
+      formulation is value-identical because struct comparison is
+      lexicographic on (id, pidx);
+    * reassembly is one groupBy(id) whose collect_list is bounded by
+      passages-per-doc (document length), never corpus size.
+
+    Two shuffles total (digest agg, per-doc reassembly) plus the
+    id-keyed join back to per-doc passage totals (computed as a
+    projection, ceil(size(wa)/k) — no extra scan or count job).
+    """
+    k = int(passage_words)
+    if k < 1:
+        raise ValueError(f"passage_words must be >= 1, got {passage_words}")
+    docs = df.filter(
+        F.col(text_col).isNotNull() & (F.col(text_col) != "")
+    ).select(
+        F.col(id_col).alias("id"), F.split(F.col(text_col), " ").alias("wa")
+    )
+    pass_df = docs.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(wa) / {k}.0) AS INT) - 1),"
+                f" i -> array_join(slice(wa, i * {k} + 1, {k}), ' '))"
+            )
+        ).alias("pidx", "ptext"),
+    )
+    firsts = (
+        pass_df.groupBy(F.md5("ptext").alias("__digest"))
+        .agg(F.min(F.struct("id", "pidx", "ptext")).alias("f"))
+        .select("f.id", "f.pidx", "f.ptext")
+    )
+    kept = firsts.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "ptext"))),
+                lambda s: s["ptext"],
+            ),
+            " ",
+        ).alias("text_deduped"),
+    )
+    base = docs.select(
+        "id",
+        F.ceil(F.size("wa") / F.lit(float(k))).cast("long").alias("n_passages"),
+    )
+    return base.join(kept, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_passages",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
+    )

@@ -2102,6 +2102,59 @@ def corpus_prep_pipeline(spark, sf_dir):
 
 
 @q(
+    "passage_dedup_documents",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL AND text <> ''
+    ),
+    docs2 AS (SELECT doc_id, string_split(text, ' ') AS wa FROM docs),
+    plist AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(wa) / 10.0) AS BIGINT)),
+                            i -> array_to_string(wa[i*10+1 : i*10+10], ' '))
+               AS ps
+      FROM docs2
+    ),
+    pass AS (
+      SELECT doc_id, unnest(range(0, len(ps))) AS pidx, unnest(ps) AS ptext
+      FROM plist
+    ),
+    firsts AS (
+      SELECT doc_id, pidx, ptext FROM (
+        SELECT doc_id, pidx, ptext,
+               row_number() OVER (PARTITION BY md5(ptext)
+                                  ORDER BY doc_id, pidx) AS rn
+        FROM pass
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(ptext, ' ' ORDER BY pidx) AS text_deduped
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(ceil(len(string_split(d.text, ' ')) / 10.0) AS BIGINT)
+             AS n_passages,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.text_deduped, '') AS text_deduped
+    FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    """,
+)
+def passage_dedup_documents(spark, sf_dir):
+    """Sub-document exact dedup (corpus.passage_dedup, the
+    chunk-granularity exact-substring-dedup variant): 10-word passages,
+    first global occurrence kept, per-doc reassembly — value-for-value
+    against the oracle's row_number formulation (equivalent to the
+    engine's skew-proof min(struct) aggregation because struct
+    comparison is lexicographic on (doc_id, pidx))."""
+    from ensembl_datacheck_spark.operators.corpus import passage_dedup
+
+    t = _t(spark, sf_dir)
+    return passage_dedup(t["documents"], "doc_id", "text", passage_words=10)
+
+
+@q(
     "incremental_dedup_documents",
     """
     WITH store AS (

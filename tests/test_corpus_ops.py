@@ -104,3 +104,72 @@ def test_stratified_sample_per_stratum_fractions(spark):
            for r in out.groupBy("strata").count().collect()}
     assert abs(got["hot"] / 5000 - 0.1) < 0.03
     assert abs(got["cold"] / 5000 - 0.9) < 0.03
+
+
+class TestPassageDedup:
+    """Sub-document exact dedup (corpus.passage_dedup): first global
+    occurrence of a k-word passage is kept, later occurrences removed."""
+
+    def _docs(self, spark):
+        # k=3 passages.  docA: [p1][p2]; docB: [p1 copied][own passage];
+        # docC: entirely docA's p1+p2 (fully duplicated);
+        # docD: 4 words -> trailing partial passage [d4];
+        # docE: empty text (excluded from output).
+        rows = [
+            ("a", "w1 w2 w3 x1 x2 x3"),
+            ("b", "w1 w2 w3 y1 y2 y3"),
+            ("c", "w1 w2 w3 x1 x2 x3"),
+            ("d", "z1 z2 z3 z4"),
+            ("e", ""),
+        ]
+        return spark.createDataFrame(rows, "doc_id string, text string")
+
+    def test_first_occurrence_kept_and_later_removed(self, spark):
+        from ensembl_datacheck_spark.operators.corpus import passage_dedup
+
+        out = {
+            r["doc_id"]: r
+            for r in passage_dedup(self._docs(spark), passage_words=3).collect()
+        }
+        assert set(out) == {"a", "b", "c", "d"}  # empty doc excluded
+        # docA is the lowest id: keeps everything
+        assert out["a"]["text_deduped"] == "w1 w2 w3 x1 x2 x3"
+        assert (out["a"]["n_passages"], out["a"]["n_kept"]) == (2, 2)
+        # docB loses the passage docA already owns, keeps its own
+        assert out["b"]["text_deduped"] == "y1 y2 y3"
+        assert (out["b"]["n_passages"], out["b"]["n_kept"]) == (2, 1)
+        # docC is fully duplicated: present, but empty after dedup
+        assert out["c"]["text_deduped"] == ""
+        assert (out["c"]["n_passages"], out["c"]["n_kept"]) == (2, 0)
+        # trailing partial passage survives as its own unit
+        assert out["d"]["text_deduped"] == "z1 z2 z3 z4"
+        assert (out["d"]["n_passages"], out["d"]["n_kept"]) == (2, 2)
+
+    def test_document_order_preserved_on_reassembly(self, spark):
+        from ensembl_datacheck_spark.operators.corpus import passage_dedup
+
+        # 3 passages; the MIDDLE one duplicates another doc's passage —
+        # the kept first+last must rejoin in original order
+        df = spark.createDataFrame(
+            [("a", "dup dup dup"), ("z", "h1 h2 h3 dup dup dup t1 t2 t3")],
+            "doc_id string, text string",
+        )
+        out = {r["doc_id"]: r for r in passage_dedup(df, passage_words=3).collect()}
+        assert out["z"]["text_deduped"] == "h1 h2 h3 t1 t2 t3"
+        assert (out["z"]["n_passages"], out["z"]["n_kept"]) == (3, 2)
+
+    def test_within_doc_repetition_also_collapses(self, spark):
+        from ensembl_datacheck_spark.operators.corpus import passage_dedup
+
+        df = spark.createDataFrame(
+            [("a", "r1 r2 r3 r1 r2 r3 r1 r2 r3")], "doc_id string, text string"
+        )
+        (row,) = passage_dedup(df, passage_words=3).collect()
+        assert row["text_deduped"] == "r1 r2 r3"
+        assert (row["n_passages"], row["n_kept"]) == (3, 1)
+
+    def test_rejects_nonpositive_k(self, spark):
+        from ensembl_datacheck_spark.operators.corpus import passage_dedup
+
+        with pytest.raises(ValueError):
+            passage_dedup(self._docs(spark), passage_words=0)
