@@ -272,3 +272,88 @@ def token_exact_jaccard(
         .withColumn("jaccard", F.col("n_inter") / F.col("n_union"))
         .select("id_a", "id_b", "n_inter", "n_union", "jaccard")
     )
+
+
+def token_passage_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    passage_tokens: int = 50,
+) -> DataFrame:
+    """Sub-sequence exact dedup over the input_hint payload
+    (`tokens: array<int32>`): remove duplicated fixed-length TOKEN
+    passages across the corpus, keeping each passage's first occurrence
+    (lowest (id, passage_index)) — corpus.passage_dedup's plan applied
+    to token sequences instead of word text (chunk-granularity
+    exact-substring dedup, Lee et al. 2022, at token granularity — the
+    form training pipelines actually run, since duplication is defined
+    over what the model sees).
+
+    Same scale shape as corpus.passage_dedup: passages by pure
+    projection (transform+slice over the token array, zero shuffle),
+    first-occurrence keep via groupBy(digest) · min(struct) — map-side
+    partial combine, NO digest window, so a passage duplicated 10^9
+    times collapses per map partition — then one per-doc reassembly
+    aggregate bounded by document length.
+
+    Output is scalar-only for engine-portable comparison:
+    (id, n_passages, n_kept, n_tok_deduped, dedup_sig) where dedup_sig
+    = md5 of the kept token sequence joined by '_' ('' when every
+    passage was a duplicate).  The digest is md5 over the same join —
+    portable (any SQL engine reproduces it), and exact: two passages
+    share a digest iff they are the same token sequence (md5 collisions
+    aside, the standard assumption of every digest-keyed dedup here).
+    """
+    k = int(passage_tokens)
+    if k < 1:
+        raise ValueError(f"passage_tokens must be >= 1, got {passage_tokens}")
+    docs = df.filter(
+        F.col(tokens_col).isNotNull() & (F.size(F.col(tokens_col)) > 0)
+    ).select(F.col(id_col).alias("id"), F.col(tokens_col).alias("ta"))
+    pass_df = docs.select(
+        "id",
+        F.posexplode(
+            F.expr(
+                f"transform(sequence(0, cast(ceil(size(ta) / {k}.0) AS INT) - 1),"
+                f" i -> slice(ta, i * {k} + 1, {k}))"
+            )
+        ).alias("pidx", "parr"),
+    )
+    digest = F.md5(
+        F.array_join(F.transform(F.col("parr"), lambda x: x.cast("string")), "_")
+    )
+    firsts = (
+        pass_df.groupBy(digest.alias("__digest"))
+        .agg(F.min(F.struct("id", "pidx", "parr")).alias("f"))
+        .select("f.id", "f.pidx", "f.parr")
+    )
+    kept = firsts.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pidx", "parr"))),
+                lambda s: s["parr"],
+            )
+        ).alias("td"),
+    )
+    base = docs.select(
+        "id",
+        F.ceil(F.size("ta") / F.lit(float(k))).cast("long").alias("n_passages"),
+    )
+    return base.join(kept, "id", "left").select(
+        F.col("id").alias(id_col),
+        "n_passages",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        # explicit NULL branch, not coalesce(size(td), 0): size(NULL) is
+        # -1 under legacy sizeOfNull and NULL under ANSI — the when()
+        # is correct in both modes
+        F.when(F.col("td").isNull(), F.lit(0))
+        .otherwise(F.size("td"))
+        .cast("long")
+        .alias("n_tok_deduped"),
+        F.coalesce(
+            F.md5(F.array_join(F.transform(F.col("td"),
+                                           lambda x: x.cast("string")), "_")),
+            F.lit(""),
+        ).alias("dedup_sig"),
+    )

@@ -1806,6 +1806,78 @@ def token_minhash_candidates_portable_q(spark, sf_dir):
 ORACLES["token_minhash_candidates_portable"] = _token_minhash_oracle_sql()
 
 
+_TOKEN_PASSAGE_K = 7
+
+
+@q(
+    "token_passage_dedup_documents",
+    f"""
+    WITH docs AS (
+      SELECT doc_id,
+             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
+               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS ta
+      FROM documents WHERE doc_id < 200 AND text IS NOT NULL AND text <> ''
+    ),
+    plist AS (
+      SELECT doc_id,
+             list_transform(
+               range(0, CAST(ceil(len(ta) / {_TOKEN_PASSAGE_K}.0) AS BIGINT)),
+               i -> ta[i*{_TOKEN_PASSAGE_K}+1 : i*{_TOKEN_PASSAGE_K}+{_TOKEN_PASSAGE_K}])
+               AS ps
+      FROM docs
+    ),
+    pass AS (
+      SELECT doc_id, unnest(range(0, len(ps))) AS pidx, unnest(ps) AS parr
+      FROM plist
+    ),
+    firsts AS (
+      SELECT doc_id, pidx, parr FROM (
+        SELECT doc_id, pidx, parr,
+               row_number() OVER (PARTITION BY md5(array_to_string(parr, '_'))
+                                  ORDER BY doc_id, pidx) AS rn
+        FROM pass
+      ) WHERE rn = 1
+    ),
+    kept AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             flatten(list(parr ORDER BY pidx)) AS td
+      FROM firsts GROUP BY doc_id
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           CAST(ceil(len(d.ta) / {_TOKEN_PASSAGE_K}.0) AS BIGINT) AS n_passages,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(CAST(len(k.td) AS BIGINT), 0) AS n_tok_deduped,
+           COALESCE(md5(array_to_string(k.td, '_')), '') AS dedup_sig
+    FROM docs d LEFT JOIN kept k ON d.doc_id = k.doc_id
+    """,
+)
+def token_passage_dedup_documents(spark, sf_dir):
+    """Sub-sequence exact dedup over the input_hint payload shape
+    (token_dedup.token_passage_dedup): tokens DERIVED in-query exactly
+    as token_minhash_candidates_portable derives them (md5-bigint per
+    word, identical CTE in the oracle), then 7-token passages, first
+    global occurrence kept.  Scalar output incl. an md5 checksum of the
+    reassembled token sequence — value-for-value against the oracle's
+    row_number formulation."""
+    from ensembl_datacheck_spark.operators import token_dedup
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(
+        (F.col("doc_id") < 200)
+        & F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    toks = d.select(
+        "doc_id",
+        F.transform(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+        ).alias("tokens"),
+    )
+    return token_dedup.token_passage_dedup(
+        toks, "doc_id", "tokens", passage_tokens=_TOKEN_PASSAGE_K
+    )
+
+
 @q(
     "asof_purchase_click",
     """

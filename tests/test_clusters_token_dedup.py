@@ -169,3 +169,69 @@ def test_connected_components_long_chain_pointer_doubling(spark):
         labels = CL.connected_components(edges, max_iterations=12).collect()
     assert len(labels) == 201
     assert {r["component"] for r in labels} == {0}
+
+
+class TestTokenPassageDedup:
+    """Sub-sequence exact dedup over tokens arrays
+    (token_dedup.token_passage_dedup)."""
+
+    def test_first_occurrence_and_reassembly(self, spark):
+        from ensembl_datacheck_spark.operators.token_dedup import (
+            token_passage_dedup,
+        )
+
+        rows = [
+            (1, [1, 2, 3, 4, 5, 6]),        # [1,2,3][4,5,6]
+            (2, [1, 2, 3, 9, 9, 9]),        # loses [1,2,3], keeps [9,9,9]
+            (3, [1, 2, 3, 4, 5, 6]),        # fully duplicated
+            (4, [7, 8]),                    # single partial passage
+            (5, None),                      # excluded
+            (6, []),                        # excluded
+        ]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+        out = {
+            r["doc_id"]: r
+            for r in token_passage_dedup(df, passage_tokens=3).collect()
+        }
+        assert set(out) == {1, 2, 3, 4}
+        assert (out[1]["n_passages"], out[1]["n_kept"],
+                out[1]["n_tok_deduped"]) == (2, 2, 6)
+        assert (out[2]["n_passages"], out[2]["n_kept"],
+                out[2]["n_tok_deduped"]) == (2, 1, 3)
+        assert (out[3]["n_passages"], out[3]["n_kept"],
+                out[3]["n_tok_deduped"]) == (2, 0, 0)
+        assert out[3]["dedup_sig"] == ""
+        assert (out[4]["n_passages"], out[4]["n_kept"],
+                out[4]["n_tok_deduped"]) == (1, 1, 2)
+        # checksum = md5 of the kept sequence joined by '_'
+        import hashlib
+
+        assert out[1]["dedup_sig"] == hashlib.md5(b"1_2_3_4_5_6").hexdigest()
+        assert out[2]["dedup_sig"] == hashlib.md5(b"9_9_9").hexdigest()
+
+    def test_document_order_preserved(self, spark):
+        from ensembl_datacheck_spark.operators.token_dedup import (
+            token_passage_dedup,
+        )
+        import hashlib
+
+        df = spark.createDataFrame(
+            [(1, [5, 5]), (2, [1, 1, 5, 5, 2, 2])],
+            "doc_id long, tokens array<int>",
+        )
+        out = {r["doc_id"]: r
+               for r in token_passage_dedup(df, passage_tokens=2).collect()}
+        # doc 2's middle passage duplicates doc 1's; head+tail keep order
+        assert out[2]["dedup_sig"] == hashlib.md5(b"1_1_2_2").hexdigest()
+        assert (out[2]["n_passages"], out[2]["n_kept"]) == (3, 2)
+
+    def test_rejects_nonpositive_k(self, spark):
+        from ensembl_datacheck_spark.operators.token_dedup import (
+            token_passage_dedup,
+        )
+
+        df = spark.createDataFrame([(1, [1])], "doc_id long, tokens array<int>")
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError):
+            token_passage_dedup(df, passage_tokens=0)
