@@ -150,7 +150,39 @@ def main():
         true_found,
     )
 
-    # 3. connected components over the minhash candidate pairs
+    # 3. sub-document passage dedup (corpus.passage_dedup, k=10): the
+    #    planted exact-dup docs (1%) have ALL their passages removed —
+    #    30 words / k=10 → 3 passages per doc, so expected removed =
+    #    3 × rows/100.  Random cross-doc passage collisions are ~0
+    #    (passages are md5-derived words), so sum(n_kept) is exact
+    #    ground truth: a deviation is a digest/first-occurrence
+    #    regression, a wall jump a plan regression (the operator is two
+    #    shuffles: digest agg + per-doc reassembly).
+    from ensembl_datacheck_spark.operators.corpus import passage_dedup
+
+    walls_pd = []
+    agg = None
+    for _ in range(2):
+        t0 = time.perf_counter()
+        agg = (
+            passage_dedup(docs, "doc_id", "text", passage_words=10)
+            .selectExpr("sum(n_passages) AS np", "sum(n_kept) AS nk",
+                        "count(*) AS n_docs")
+            .collect()[0]
+        )
+        walls_pd.append(round(time.perf_counter() - t0, 2))
+    results["passage_dedup_k10"] = {
+        "walls_sec": walls_pd,
+        "wall_sec": headline(walls_pd),
+        "n_docs": agg["n_docs"],
+        "n_passages": agg["np"],
+        "n_kept": agg["nk"],
+        "expected_removed": 3 * args.rows // 100,
+    }
+    print(f"passage_dedup_k10: {results['passage_dedup_k10']}",
+          file=sys.stderr)
+
+    # 4. connected components over the minhash candidate pairs
     #    (clusters the planted 2-cliques).  connected_components executes
     #    eagerly (per-round localCheckpoint), so wrapping the call is the
     #    correct timing; candidates are checkpointed first so only the

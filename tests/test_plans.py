@@ -141,3 +141,27 @@ def test_salted_join_equals_plain_join(spark):
         .distinct().count()
     )
     assert n_salts > 1
+
+
+def test_passage_dedup_no_digest_window_and_partial_min(spark):
+    """passage_dedup's skew story: first-occurrence selection must be an
+    aggregation with a map-side partial (hot passages collapse before
+    the shuffle), NEVER a row_number window over the digest (which puts
+    every occurrence of a hot passage in one partition).  Same contract
+    for the token variant."""
+    from ensembl_datacheck_spark.operators.corpus import passage_dedup
+    from ensembl_datacheck_spark.operators.token_dedup import token_passage_dedup
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_str(passage_dedup(docs, "doc_id", "text", passage_words=10))
+    assert "Window" not in plan
+    assert "partial_min" in plan  # map-side combine under the digest agg
+
+    toks = docs.selectExpr(
+        "doc_id",
+        "transform(split(text, ' '), w -> "
+        "cast(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)) AS tokens",
+    )
+    tplan = plan_str(token_passage_dedup(toks, "doc_id", "tokens", 10))
+    assert "Window" not in tplan
+    assert "partial_min" in tplan
