@@ -173,3 +173,59 @@ class TestPassageDedup:
 
         with pytest.raises(ValueError):
             passage_dedup(self._docs(spark), passage_words=0)
+
+
+def _reference_passage_dedup(docs: list[tuple[str, str]], k: int):
+    """Pure-Python reference: first global occurrence by (doc_id, pidx)
+    of each k-word passage is kept; per-doc reassembly in pidx order."""
+    passages = []  # (doc_id, pidx, ptext)
+    for doc_id, text in docs:
+        if not text:
+            continue
+        ws = text.split(" ")
+        for pidx in range((len(ws) + k - 1) // k):
+            passages.append((doc_id, pidx, " ".join(ws[pidx * k:(pidx + 1) * k])))
+    first: dict[str, tuple] = {}
+    for doc_id, pidx, ptext in sorted(passages):
+        first.setdefault(ptext, (doc_id, pidx))
+    out = {}
+    for doc_id, text in docs:
+        if not text:
+            continue
+        ws = text.split(" ")
+        n_pass = (len(ws) + k - 1) // k
+        kept = [
+            " ".join(ws[p * k:(p + 1) * k])
+            for p in range(n_pass)
+            if first[" ".join(ws[p * k:(p + 1) * k])] == (doc_id, p)
+        ]
+        out[doc_id] = (n_pass, len(kept), " ".join(kept))
+    return out
+
+
+@pytest.mark.parametrize("seed", [7, 101, 9001])
+def test_passage_dedup_matches_python_reference_on_random_corpus(spark, seed):
+    """Seeded-random equivalence: 80 docs over a 6-word vocabulary (heavy
+    passage collisions by construction, incl. within-doc repeats and
+    cross-doc boilerplate), Spark output == a 15-line pure-Python
+    reference, value for value; and invariant under repartitioning."""
+    import random
+
+    from ensembl_datacheck_spark.operators.corpus import passage_dedup
+
+    rng = random.Random(seed)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = [
+        (f"d{idx:03d}", " ".join(rng.choice(vocab)
+                                 for _ in range(rng.randint(1, 25))))
+        for idx in range(80)
+    ]
+    expected = _reference_passage_dedup(docs, k=4)
+
+    df = spark.createDataFrame(docs, "doc_id string, text string")
+    for frame in (df, df.repartition(13)):
+        got = {
+            r["doc_id"]: (r["n_passages"], r["n_kept"], r["text_deduped"])
+            for r in passage_dedup(frame, passage_words=4).collect()
+        }
+        assert got == expected
