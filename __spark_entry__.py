@@ -118,7 +118,11 @@ def oracle_sql() -> dict[str, str]:
     for name, gen in EQ.LAZY_ORACLES.items():
         try:
             out[name] = gen()
-        except (OSError, ImportError, ValueError) as exc:
+        # broad by design: warn + rows-only is the right response to ANY
+        # generator failure (unreadable parquet, degenerate data, numpy
+        # edge cases) — a narrow allowlist here would let one generator
+        # crash the whole oracle collection
+        except Exception as exc:  # noqa: BLE001
             import warnings
 
             warnings.warn(

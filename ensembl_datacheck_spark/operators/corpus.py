@@ -173,6 +173,42 @@ def stratified_sample(
     return df.filter(b < cut)
 
 
+def passage_array_expr(arr: str, k: int, join_words: bool) -> str:
+    """SQL expression slicing array column ``arr`` into ceil(size/k)
+    non-overlapping k-element passages — a PURE PROJECTION (no shuffle,
+    no window; passage index comes from the caller's posexplode).
+    ``join_words=True`` renders each passage as a space-joined string
+    (text dedup); False keeps the raw slices (token dedup).  Shared by
+    corpus.passage_dedup and token_dedup.token_passage_dedup so the
+    sequence bound and slice arithmetic live in exactly one place."""
+    inner = f"slice({arr}, i * {k} + 1, {k})"
+    if join_words:
+        inner = f"array_join({inner}, ' ')"
+    return (
+        f"transform(sequence(0, cast(ceil(size({arr}) / {k}.0) AS INT) - 1),"
+        f" i -> {inner})"
+    )
+
+
+def first_occurrence(pass_df: DataFrame, digest) -> DataFrame:
+    """Skew-proof first-occurrence selection over exploded passages
+    (columns must lead with (id, pidx) — the keep order): groupBy(digest)
+    · min(struct(<all columns>)) — ONE aggregation with map-side partial
+    combine, so a passage duplicated 10^9 times collapses to one row per
+    map partition BEFORE the shuffle.  Deliberately NOT a row_number
+    window over the digest (a window puts every occurrence of a hot
+    passage in one partition — the skew this formulation avoids); the
+    SQL-oracle row_number formulation is value-identical because struct
+    comparison is lexicographic on (id, pidx).  Plan contract pinned by
+    tests/test_plans.py (no Window, partial_min under the exchange)."""
+    cols = pass_df.columns
+    return (
+        pass_df.groupBy(digest.alias("__digest"))
+        .agg(F.min(F.struct(*cols)).alias("f"))
+        .select(*[F.col(f"f.{c}").alias(c) for c in cols])
+    )
+
+
 def passage_dedup(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -224,17 +260,10 @@ def passage_dedup(
     pass_df = docs.select(
         "id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(wa) / {k}.0) AS INT) - 1),"
-                f" i -> array_join(slice(wa, i * {k} + 1, {k}), ' '))"
-            )
+            F.expr(passage_array_expr("wa", k, join_words=True))
         ).alias("pidx", "ptext"),
     )
-    firsts = (
-        pass_df.groupBy(F.md5("ptext").alias("__digest"))
-        .agg(F.min(F.struct("id", "pidx", "ptext")).alias("f"))
-        .select("f.id", "f.pidx", "f.ptext")
-    )
+    firsts = first_occurrence(pass_df, F.md5("ptext"))
     kept = firsts.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(

@@ -310,23 +310,21 @@ def token_passage_dedup(
     docs = df.filter(
         F.col(tokens_col).isNotNull() & (F.size(F.col(tokens_col)) > 0)
     ).select(F.col(id_col).alias("id"), F.col(tokens_col).alias("ta"))
+    from ensembl_datacheck_spark.operators.corpus import (
+        first_occurrence,
+        passage_array_expr,
+    )
+
     pass_df = docs.select(
         "id",
         F.posexplode(
-            F.expr(
-                f"transform(sequence(0, cast(ceil(size(ta) / {k}.0) AS INT) - 1),"
-                f" i -> slice(ta, i * {k} + 1, {k}))"
-            )
+            F.expr(passage_array_expr("ta", k, join_words=False))
         ).alias("pidx", "parr"),
     )
     digest = F.md5(
         F.array_join(F.transform(F.col("parr"), lambda x: x.cast("string")), "_")
     )
-    firsts = (
-        pass_df.groupBy(digest.alias("__digest"))
-        .agg(F.min(F.struct("id", "pidx", "parr")).alias("f"))
-        .select("f.id", "f.pidx", "f.parr")
-    )
+    firsts = first_occurrence(pass_df, digest)
     kept = firsts.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.flatten(

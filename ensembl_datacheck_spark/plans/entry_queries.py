@@ -1723,6 +1723,26 @@ def minhash_candidates_portable(spark, sf_dir):
 ORACLES["minhash_candidates_portable"] = _minhash_oracle_sql()
 
 
+# The derived-tokens convention shared by every token-payload driver
+# query (the sf tables carry no tokens column, so one is derived:
+# token_i = md5-bigint of word_i).  The Spark projection and the DuckDB
+# expression below MUST stay bit-identical — they are the two halves of
+# the oracle-parity contract for token_minhash_candidates_portable AND
+# token_passage_dedup_documents; edit them together or not at all.
+_DERIVED_TOKENS_SQL = (
+    "list_transform(string_split_regex(lower(trim(text)), '\\s+'), "
+    "w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT))"
+)
+
+
+def _derived_tokens_col():
+    """Spark twin of _DERIVED_TOKENS_SQL."""
+    return F.transform(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
+    )
+
+
 def _token_minhash_oracle_sql() -> str:
     """Token-sequence MinHash oracle: the derived tokens (md5-bigint per
     word), k=3-token shingles, their portable hashes, the shared
@@ -1739,9 +1759,7 @@ def _token_minhash_oracle_sql() -> str:
     )
     return f"""
     WITH docs AS (
-      SELECT doc_id,
-             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
-               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS toks
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS toks
       FROM documents WHERE doc_id < 200
     ),
     grams AS (
@@ -1787,13 +1805,7 @@ def token_minhash_candidates_portable_q(spark, sf_dir):
 
     t = _t(spark, sf_dir)
     d = t["documents"].filter(F.col("doc_id") < 200)
-    toks = d.select(
-        "doc_id",
-        F.transform(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
-        ).alias("tokens"),
-    )
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
     pairs = token_dedup.portable_token_minhash_candidates(
         toks, "doc_id", "tokens", k=3, n_bands=4
     )
@@ -1813,9 +1825,7 @@ _TOKEN_PASSAGE_K = 7
     "token_passage_dedup_documents",
     f"""
     WITH docs AS (
-      SELECT doc_id,
-             list_transform(string_split_regex(lower(trim(text)), '\\s+'),
-               w -> CAST(('0x' || substring(md5(w), 1, 8)) AS BIGINT)) AS ta
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS ta
       FROM documents WHERE doc_id < 200 AND text IS NOT NULL AND text <> ''
     ),
     plist AS (
@@ -1866,13 +1876,7 @@ def token_passage_dedup_documents(spark, sf_dir):
         (F.col("doc_id") < 200)
         & F.col("text").isNotNull() & (F.col("text") != "")
     )
-    toks = d.select(
-        "doc_id",
-        F.transform(
-            F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
-            lambda w: F.conv(F.substring(F.md5(w), 1, 8), 16, 10).cast("long"),
-        ).alias("tokens"),
-    )
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
     return token_dedup.token_passage_dedup(
         toks, "doc_id", "tokens", passage_tokens=_TOKEN_PASSAGE_K
     )

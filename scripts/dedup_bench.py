@@ -53,18 +53,20 @@ def gen_docs(spark, n_rows: int, n_partitions: int):
     return base.select(F.col("id").alias("doc_id"), text.alias("text"))
 
 
-def timed_action(df_fn, n: int = 2) -> tuple[list[float], object, int]:
-    """Time the EXECUTION (count action), not the lazy plan build.  Both
-    walls are reported: tiers with an internal signature cache
-    (_cache_signatures) are cold on the first wall and warm on the
-    second — regression tracking reads the cold wall."""
-    walls, df, cnt = [], None, 0
+def timed_action(df_fn, n: int = 2, action=None) -> tuple[list[float], object, object]:
+    """Time the EXECUTION (``action``, default count), not the lazy plan
+    build.  Both walls are reported: tiers with an internal signature
+    cache (_cache_signatures) are cold on the first wall and warm on the
+    second — regression tracking reads the cold wall (see headline())."""
+    if action is None:
+        action = lambda df: df.count()  # noqa: E731
+    walls, df, res = [], None, None
     for _ in range(n):
         df = df_fn()
         t0 = time.perf_counter()
-        cnt = df.count()
+        res = action(df)
         walls.append(round(time.perf_counter() - t0, 2))
-    return walls, df, cnt
+    return walls, df, res
 
 
 def headline(walls: list[float]) -> float:
@@ -160,17 +162,12 @@ def main():
     #    shuffles: digest agg + per-doc reassembly).
     from ensembl_datacheck_spark.operators.corpus import passage_dedup
 
-    walls_pd = []
-    agg = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        agg = (
-            passage_dedup(docs, "doc_id", "text", passage_words=10)
-            .selectExpr("sum(n_passages) AS np", "sum(n_kept) AS nk",
-                        "count(*) AS n_docs")
-            .collect()[0]
-        )
-        walls_pd.append(round(time.perf_counter() - t0, 2))
+    walls_pd, _, agg = timed_action(
+        lambda: passage_dedup(docs, "doc_id", "text", passage_words=10),
+        action=lambda df: df.selectExpr(
+            "sum(n_passages) AS np", "sum(n_kept) AS nk", "count(*) AS n_docs"
+        ).collect()[0],
+    )
     results["passage_dedup_k10"] = {
         "walls_sec": walls_pd,
         "wall_sec": headline(walls_pd),
@@ -191,12 +188,9 @@ def main():
         docs, "doc_id", "text", ngram=3, n_hashes=64, n_bands=16
     ).localCheckpoint(eager=True)
 
-    walls = []
-    labels = None
-    for _ in range(2):
-        t0 = time.perf_counter()
-        labels = connected_components(cands)
-        walls.append(round(time.perf_counter() - t0, 2))
+    walls, _, labels = timed_action(
+        lambda: cands, action=lambda c: connected_components(c)
+    )
     n_nodes = labels.count()
     n_comp = labels.select("component").distinct().count()
     results["connected_components"] = {
