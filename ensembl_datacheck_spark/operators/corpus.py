@@ -250,8 +250,20 @@ def passage_dedup(
     projection, ceil(size(wa)/k) — no extra scan or count job).
     """
     k = int(passage_words)
+    docs, pass_df = exploded_text_passages(df, id_col, text_col, k)
+    firsts = first_occurrence(pass_df, F.md5("ptext"))
+    return reassemble_text_passages(docs, firsts, k, id_col)
+
+
+def exploded_text_passages(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> tuple[DataFrame, DataFrame]:
+    """(docs, passages): docs = non-empty rows as (id, wa=split words);
+    passages = (id, pidx, ptext) via the zero-shuffle projection slices
+    (passage_array_expr) + posexplode.  Shared by passage_dedup,
+    incremental.passage_store and incremental.incremental_passage_dedup."""
     if k < 1:
-        raise ValueError(f"passage_words must be >= 1, got {passage_words}")
+        raise ValueError(f"passage_words must be >= 1, got {k}")
     docs = df.filter(
         F.col(text_col).isNotNull() & (F.col(text_col) != "")
     ).select(
@@ -263,8 +275,19 @@ def passage_dedup(
             F.expr(passage_array_expr("wa", k, join_words=True))
         ).alias("pidx", "ptext"),
     )
-    firsts = first_occurrence(pass_df, F.md5("ptext"))
-    kept = firsts.groupBy("id").agg(
+    return docs, pass_df
+
+
+def reassemble_text_passages(
+    docs: DataFrame, kept_passages: DataFrame, k: int, id_col: str
+) -> DataFrame:
+    """Rebuild (id_col, n_passages, n_kept, text_deduped) from the
+    surviving (id, pidx, ptext) rows: one per-doc aggregate bounded by
+    document length (collect_list of a doc's own passages, never corpus
+    size) joined back to the per-doc passage totals — which are a pure
+    projection (ceil(size(wa)/k)), not a second count job.  Shared by
+    passage_dedup and incremental.incremental_passage_dedup."""
+    kept = kept_passages.groupBy("id").agg(
         F.count(F.lit(1)).alias("n_kept"),
         F.array_join(
             F.transform(

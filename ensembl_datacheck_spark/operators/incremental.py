@@ -264,3 +264,63 @@ def incremental_lsh_candidates(
         F.lit("batch").alias("match_src"),
     )
     return vs_store.unionByName(within)
+
+
+# ---------------------------------------------------------------------------
+# sub-document tier: passage-digest store
+# ---------------------------------------------------------------------------
+
+
+def passage_store(df: DataFrame, text_col: str = "text",
+                  passage_words: int = 10) -> DataFrame:
+    """Distinct passage digests of an accepted corpus (one 32-char md5
+    per DISTINCT k-word passage) — the sub-document analogue of
+    `exact_store`.  The passage projection is zero-shuffle
+    (corpus.passage_array_expr); distinct() partial-dedups map-side
+    before its single shuffle.  Persist bucketed by passage_hash
+    (sources/io.write_bucketed) so daily ingests probe it co-located."""
+    from ensembl_datacheck_spark.operators.corpus import exploded_text_passages
+
+    # exploded_text_passages needs an id column; ids are dropped from a
+    # store build, so text_col doubles as the stand-in id
+    _, pass_df = exploded_text_passages(df, text_col, text_col, passage_words)
+    return pass_df.select(F.md5("ptext").alias("passage_hash")).distinct()
+
+
+def incremental_passage_dedup(
+    new_df: DataFrame,
+    store: DataFrame,
+    id_col: str,
+    text_col: str,
+    passage_words: int = 10,
+) -> DataFrame:
+    """Passage-level dedup of a NEW ingest batch against the accepted
+    corpus's `passage_store`, without rescanning the corpus: a passage
+    of the batch survives iff it is the batch's own first occurrence
+    (lowest (id, pidx) — corpus.first_occurrence, the skew-proof
+    min(struct) aggregation) AND its digest is absent from the store.
+    Returns (id_col, n_passages, n_kept, text_deduped) per non-empty
+    batch doc, same shape as corpus.passage_dedup.
+
+    Scale shape: the batch side is batch-sized everywhere; the store is
+    touched by ONE digest-keyed left-anti join (store rows are unique
+    per digest, so no fan-out; a digest-bucketed store table ships zero
+    bytes).  The caller appends `passage_store(admitted_text)` digests
+    to the store after admission — append-only maintenance, the store
+    is never rebuilt from the corpus.
+    """
+    from ensembl_datacheck_spark.operators.corpus import (
+        exploded_text_passages,
+        first_occurrence,
+        reassemble_text_passages,
+    )
+
+    k = int(passage_words)
+    docs, pass_df = exploded_text_passages(new_df, id_col, text_col, k)
+    firsts = first_occurrence(pass_df, F.md5("ptext"))
+    novel = firsts.withColumn("__d", F.md5("ptext")).join(
+        store.select(F.col("passage_hash").alias("__d")).distinct(),
+        "__d",
+        "left_anti",
+    ).drop("__d")
+    return reassemble_text_passages(docs, novel, k, id_col)

@@ -2231,6 +2231,82 @@ def passage_dedup_documents(spark, sf_dir):
 
 
 @q(
+    "incremental_passage_dedup_documents",
+    """
+    WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 250 AND text IS NOT NULL AND text <> ''
+    ),
+    batch AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 250 AND text IS NOT NULL AND text <> ''
+    ),
+    cpl AS (
+      SELECT list_transform(range(0, CAST(ceil(len(wa) / 10.0) AS BIGINT)),
+                            i -> array_to_string(wa[i*10+1 : i*10+10], ' '))
+               AS ps
+      FROM (SELECT string_split(text, ' ') AS wa FROM corpus)
+    ),
+    store AS (
+      SELECT DISTINCT md5(unnest(ps)) AS passage_hash FROM cpl
+    ),
+    bpl AS (
+      SELECT doc_id,
+             list_transform(range(0, CAST(ceil(len(wa) / 10.0) AS BIGINT)),
+                            i -> array_to_string(wa[i*10+1 : i*10+10], ' '))
+               AS ps
+      FROM (SELECT doc_id, string_split(text, ' ') AS wa FROM batch)
+    ),
+    pass AS (
+      SELECT doc_id, unnest(range(0, len(ps))) AS pidx, unnest(ps) AS ptext
+      FROM bpl
+    ),
+    firsts AS (
+      SELECT doc_id, pidx, ptext FROM (
+        SELECT doc_id, pidx, ptext,
+               row_number() OVER (PARTITION BY md5(ptext)
+                                  ORDER BY doc_id, pidx) AS rn
+        FROM pass
+      ) WHERE rn = 1
+    ),
+    novel AS (
+      SELECT f.doc_id, f.pidx, f.ptext FROM firsts f
+      WHERE NOT EXISTS (SELECT 1 FROM store s
+                        WHERE s.passage_hash = md5(f.ptext))
+    ),
+    kept AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+             string_agg(ptext, ' ' ORDER BY pidx) AS text_deduped
+      FROM novel GROUP BY doc_id
+    )
+    SELECT CAST(b.doc_id AS BIGINT) AS doc_id,
+           CAST(ceil(len(string_split(b.text, ' ')) / 10.0) AS BIGINT)
+             AS n_passages,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.text_deduped, '') AS text_deduped
+    FROM batch b LEFT JOIN kept k ON b.doc_id = k.doc_id
+    """,
+)
+def incremental_passage_dedup_documents(spark, sf_dir):
+    """Passage-level incremental dedup (incremental.passage_store +
+    incremental_passage_dedup): accepted corpus = docs < 250, new batch
+    = docs >= 250; a batch passage survives iff it is the batch's first
+    occurrence AND absent from the corpus's passage-digest store.
+    Value-for-value incl. the reassembled text."""
+    from ensembl_datacheck_spark.operators import incremental
+
+    t = _t(spark, sf_dir)
+    d = t["documents"]
+    store = incremental.passage_store(
+        d.filter(F.col("doc_id") < 250), "text", passage_words=10
+    )
+    return incremental.incremental_passage_dedup(
+        d.filter(F.col("doc_id") >= 250), store, "doc_id", "text",
+        passage_words=10,
+    )
+
+
+@q(
     "incremental_dedup_documents",
     """
     WITH store AS (

@@ -443,3 +443,87 @@ def test_hot_keys_builds_lazily_single_scan(spark, tmp_path):
     final = phys.split("== Initial Plan ==")[0]
     assert final.count("FileScan") == 1, final
     assert "ReusedExchange" in final, final
+
+
+class TestIncrementalPassageDedup:
+    """Passage-level batch-vs-store dedup (incremental.passage_store /
+    incremental_passage_dedup)."""
+
+    def test_store_and_batch_first_occurrence(self, spark):
+        from ensembl_datacheck_spark.operators.incremental import (
+            incremental_passage_dedup,
+            passage_store,
+        )
+
+        corpus = spark.createDataFrame(
+            [("c1", "s1 s2 s3 s4 s5 s6")], "doc_id string, text string"
+        )
+        store = passage_store(corpus, "text", passage_words=3)
+        assert store.count() == 2  # two distinct 3-word passages
+        batch = spark.createDataFrame(
+            [
+                # first passage hits the store, second is novel
+                ("n1", "s1 s2 s3 a1 a2 a3"),
+                # duplicates n1's novel passage within the batch; its own
+                # second passage is novel
+                ("n2", "a1 a2 a3 b1 b2 b3"),
+                # fully covered: one store passage + n1's batch passage
+                ("n3", "s4 s5 s6 a1 a2 a3"),
+            ],
+            "doc_id string, text string",
+        )
+        out = {
+            r["doc_id"]: r
+            for r in incremental_passage_dedup(
+                batch, store, "doc_id", "text", passage_words=3
+            ).collect()
+        }
+        assert out["n1"]["text_deduped"] == "a1 a2 a3"
+        assert (out["n1"]["n_passages"], out["n1"]["n_kept"]) == (2, 1)
+        assert out["n2"]["text_deduped"] == "b1 b2 b3"
+        assert (out["n2"]["n_passages"], out["n2"]["n_kept"]) == (2, 1)
+        assert out["n3"]["text_deduped"] == ""
+        assert (out["n3"]["n_passages"], out["n3"]["n_kept"]) == (2, 0)
+
+    def test_store_append_makes_readmission_impossible(self, spark):
+        from pyspark.sql import functions as F
+
+        from ensembl_datacheck_spark.operators.incremental import (
+            incremental_passage_dedup,
+            passage_store,
+        )
+
+        batch = spark.createDataFrame(
+            [("n1", "x1 x2 x3")], "doc_id string, text string"
+        )
+        store = passage_store(batch, "text", passage_words=3)
+        again = incremental_passage_dedup(
+            batch, store, "doc_id", "text", passage_words=3
+        ).collect()[0]
+        assert again["n_kept"] == 0 and again["text_deduped"] == ""
+
+    def test_empty_store_equals_passage_dedup(self, spark):
+        """Against an empty store, the incremental tier degenerates to
+        plain within-batch passage_dedup."""
+        from ensembl_datacheck_spark.operators.corpus import passage_dedup
+        from ensembl_datacheck_spark.operators.incremental import (
+            incremental_passage_dedup,
+        )
+
+        batch = spark.createDataFrame(
+            [("a", "p q r p q r"), ("b", "p q r z z z")],
+            "doc_id string, text string",
+        )
+        empty = spark.createDataFrame([], "passage_hash string")
+        inc = {
+            tuple(r)
+            for r in incremental_passage_dedup(
+                batch, empty, "doc_id", "text", passage_words=3
+            ).collect()
+        }
+        plain = {
+            tuple(r)
+            for r in passage_dedup(batch, "doc_id", "text", passage_words=3)
+            .collect()
+        }
+        assert inc == plain
