@@ -35,16 +35,20 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 
-def gen_docs(spark, n_rows: int, n_partitions: int):
-    """Deterministic 1%-duplicated corpus, built entirely JVM-side."""
+def gen_docs(spark, n_rows: int, n_partitions: int, salt: str = "",
+             start: int = 0):
+    """Deterministic 1%-duplicated corpus, built entirely JVM-side.
+    ``salt`` derives a disjoint vocabulary (novel ingest batches);
+    ``start`` offsets doc ids."""
     from pyspark.sql import functions as F
 
-    base = spark.range(0, n_rows, 1, n_partitions)
+    base = spark.range(start, start + n_rows, 1, n_partitions)
     seed = F.when(
-        (F.col("id") % 100 == 1) & (F.col("id") > 0), F.col("id") - 1
+        (F.col("id") % 100 == 1) & (F.col("id") > start), F.col("id") - 1
     ).otherwise(F.col("id"))
     word = lambda i: F.conv(  # noqa: E731
-        F.substring(F.md5(F.concat(seed.cast("string"), F.lit("_"), i.cast("string"))), 1, 6),
+        F.substring(F.md5(F.concat(F.lit(salt), seed.cast("string"),
+                                   F.lit("_"), i.cast("string"))), 1, 6),
         16, 10,
     )
     text = F.concat_ws(
@@ -179,7 +183,58 @@ def main():
     print(f"passage_dedup_k10: {results['passage_dedup_k10']}",
           file=sys.stderr)
 
-    # 4. connected components over the minhash candidate pairs
+    # 4. incremental passage dedup — the daily-drop story: a 10k batch
+    #    (1% of corpus size) probes the passage-digest store of the FULL
+    #    1M-doc corpus.  Half the batch copies corpus docs (every passage
+    #    must be removed by the store anti-join); half is novel
+    #    vocabulary (salt-disjoint), where only its own 1%-planted
+    #    within-batch dups lose passages to first-occurrence.  Exact
+    #    ground truth: kept = 3 * 5000 - 3 * (planted dups in the novel
+    #    id range).  The probe wall is the number that must stay flat as
+    #    the STORE grows — it is one digest-keyed anti-join.
+    from ensembl_datacheck_spark.operators import incremental as inc
+
+    store_walls, _, n_store = timed_action(
+        lambda: inc.passage_store(docs, "text", passage_words=10)
+    )
+    store = inc.passage_store(docs, "text", passage_words=10).localCheckpoint(
+        eager=True
+    )
+    half = 5_000
+    copies = docs.filter(F.col("doc_id") < half).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    novel_start = 3_000_000
+    novel = gen_docs(spark, half, 8, salt="novel", start=novel_start)
+    novel = novel.select(F.col("doc_id"), "text")
+    batch = copies.unionByName(novel).localCheckpoint(eager=True)
+    novel_planted = sum(
+        1 for i in range(novel_start, novel_start + half)
+        if i % 100 == 1 and i > novel_start
+    )
+    walls_ip, _, agg_ip = timed_action(
+        lambda: inc.incremental_passage_dedup(
+            batch, store, "doc_id", "text", passage_words=10
+        ),
+        action=lambda df: df.selectExpr(
+            "sum(n_passages) AS np", "sum(n_kept) AS nk", "count(*) AS nd"
+        ).collect()[0],
+    )
+    results["incremental_passage_dedup"] = {
+        "store_build_walls_sec": store_walls,
+        "store_build_wall_sec": headline(store_walls),
+        "n_store_digests": n_store,
+        "probe_walls_sec": walls_ip,
+        "probe_wall_sec": headline(walls_ip),
+        "batch_docs": agg_ip["nd"],
+        "n_passages": agg_ip["np"],
+        "n_kept": agg_ip["nk"],
+        "expected_kept": 3 * half - 3 * novel_planted,
+    }
+    print(f"incremental_passage_dedup: {results['incremental_passage_dedup']}",
+          file=sys.stderr)
+
+    # 5. connected components over the minhash candidate pairs
     #    (clusters the planted 2-cliques).  connected_components executes
     #    eagerly (per-round localCheckpoint), so wrapping the call is the
     #    correct timing; candidates are checkpointed first so only the
