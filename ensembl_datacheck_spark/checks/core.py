@@ -588,3 +588,58 @@ def token_content_duplicates(ctx):
         ),
         key_col="example_doc_id",
     )
+
+
+@register(
+    "TokenPassageRedundancy",
+    "Duplicated-passage fraction of the token corpus stays under "
+    "config[max_dup_passage_fraction] (default 0.2): tokens are sliced "
+    "into non-overlapping config[passage_tokens]-token passages "
+    "(default 50, the exact-substring-dedup convention) by a pure "
+    "projection, digested with xxhash64 over the raw int slice (whole-"
+    "stage codegen, arrays hashed natively — no string join), and the "
+    "redundant fraction is sum(n-1 over duplicated digests)/total from "
+    "TWO map-side-combinable aggregations.  The check-suite face of "
+    "operators/token_dedup.token_passage_dedup — it tells a pipeline "
+    "WHEN the (more expensive) removal pass is worth running.",
+    # like TokenContentDuplicates: a whole-corpus scan, not dragged into
+    # routine --groups sequences runs
+    groups=("dedup",),
+    severity="advisory",
+    tables=("sequences",),
+    on_demand=True,
+)
+def token_passage_redundancy(ctx):
+    from ensembl_datacheck_spark.operators.corpus import passage_array_expr
+
+    seq = ctx.table("sequences")
+    k = int(ctx.config.get("passage_tokens", 50))
+    max_frac = float(ctx.config.get("max_dup_passage_fraction", 0.2))
+    digests = (
+        seq.filter(F.col("tokens").isNotNull() & (F.size("tokens") > 0))
+        .select(F.col("tokens").alias("ta"))
+        .select(
+            F.explode(
+                F.expr(passage_array_expr("ta", k, join_words=False))
+            ).alias("parr")
+        )
+        .select(F.xxhash64("parr").alias("dg"))
+    )
+    per_digest = digests.groupBy("dg").agg(F.count(F.lit(1)).alias("n"))
+    stats = per_digest.agg(
+        F.sum("n").alias("n_passages"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0)).alias(
+            "n_redundant"
+        ),
+    ).select(
+        "n_passages",
+        "n_redundant",
+        (F.col("n_redundant") / F.col("n_passages")).alias("dup_fraction"),
+    )
+    breach = stats.filter(
+        F.col("n_passages").isNotNull()
+        & (F.col("dup_fraction") > F.lit(max_frac))
+    )
+    ctx.record(
+        A.is_rows_zero(breach, f"dup_passage_fraction_<=_{max_frac}")
+    )

@@ -31,7 +31,9 @@ def test_registry_selection_and_index(tmp_path):
     sel = registry.select(groups=["drift"])
     assert {s.name for s in sel} >= {"RowTotals", "SourceDrift", "NTokDrift"}
     sel = registry.select(patterns=["^Token"])
-    assert {s.name for s in sel} == {"TokenInvariants", "TokenContentDuplicates"}
+    assert {s.name for s in sel} == {
+        "TokenInvariants", "TokenContentDuplicates", "TokenPassageRedundancy"
+    }
     sel = registry.select(names=["DocIdUnique"], severity="critical")
     assert len(sel) == 1
     # index round-trip (t/index.t semantics)
@@ -478,3 +480,35 @@ def test_catalog_iceberg_arm_roundtrip(spark, tmp_path):
     cat.write(spark.range(5).toDF("id"), "t")
     assert cat.load("t").count() == 5
     assert cat.lineage("t").startswith("iceberg-snapshot:")
+
+
+def test_token_passage_redundancy_check(spark):
+    """Advisory redundancy check: a corpus where half the 2-token
+    passages are copies breaches the default 0.2 threshold; a
+    distinct-passage corpus passes; threshold is configurable."""
+    spec = registry.get("TokenPassageRedundancy")
+    # 4 docs x 2 passages of k=2; docs c,d duplicate a,b passage-for-
+    # passage -> 8 passages, 4 redundant -> dup_fraction = 0.5
+    dup = spark.createDataFrame(
+        [("a", [1, 2, 3, 4], 4, "s"), ("b", [5, 6, 7, 8], 4, "s"),
+         ("c", [1, 2, 3, 4], 4, "s"), ("d", [5, 6, 7, 8], 4, "s"),
+         ("e", None, 0, "s"), ("f", [], 0, "s")],
+        "doc_id string, tokens array<int>, n_tok int, source string",
+    )
+    res, _ = run_check(spec, spark, {"sequences": dup},
+                       config={"passage_tokens": 2}, n_buckets=4)
+    assert res.status.value == "fail"
+    assert "0.2" in res.assertions[0].name
+
+    uniq = dup.filter("doc_id IN ('a', 'b', 'e', 'f')")
+    res2, _ = run_check(spec, spark, {"sequences": uniq},
+                        config={"passage_tokens": 2}, n_buckets=4)
+    assert res2.status.value == "ok"
+
+    # raising the threshold past the measured 0.5 flips the verdict
+    res3, _ = run_check(
+        spec, spark, {"sequences": dup},
+        config={"passage_tokens": 2, "max_dup_passage_fraction": 0.6},
+        n_buckets=4,
+    )
+    assert res3.status.value == "ok"
