@@ -458,3 +458,93 @@ def l2_topk_exact(
         partial.withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_lists: int = 16,
+    tau: float = 0.9,
+    centroids: np.ndarray | None = None,
+    cap_per_list: int | None = None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540 — public method): k-means partition the embedding
+    space, then inside each cluster drop every vector whose cosine to a
+    LOWER-ID cluster member is >= ``tau`` (first occurrence by id wins,
+    the same deterministic keep rule as exact/passage dedup).  The
+    training-data step this feeds is corpus pruning: near-identical
+    semantic content collapses to one representative.
+
+    Output, one row per corpus id: ``(id, list_id, keep, dup_of)`` where
+    ``dup_of`` is the smallest over-threshold lower-id partner (NULL =
+    kept).  Cosine doubles are deliberately NOT in the output — the
+    >= tau decision is portable across engines, the doubles are not
+    (see embedding_near_duplicates).
+
+    Plan & scale: assignment is one Arrow matmul pass (ivf_assign,
+    centroid matrix in the task closure — no shuffle); pairing is a
+    self-equi-join on ``list_id`` — quadratic only WITHIN a cluster,
+    which is the SemDeDup design point: ``n_lists`` scales with the
+    corpus (n/⟨target cluster size⟩), so per-cluster work is bounded and
+    the join shuffles each vector exactly twice.  For degenerate
+    clusters (a mode in embedding space), ``cap_per_list`` bounds
+    members per cluster by id rank — the shared cap discipline of the
+    LSH band stores; capped-out members are conservatively KEPT (never
+    compared, never dropped), trading recall for a hard join bound.  At
+    10^12 rows the assigned table is written bucketed by ``list_id`` so
+    the pair join is co-located, and the per-cluster pairing can be
+    swapped for one applyInPandas V@V.T matmul per list without changing
+    results (same float64 pair cosine).
+
+    Zero-norm vectors pair-score NULL (cosine_pairs_arrow convention) —
+    never dropped; NULL embeddings get NULL list_id and keep=true.
+    """
+    cents = (
+        centroids
+        if centroids is not None
+        else deterministic_centroids(corpus, n_lists, id_col, vec_col)
+    )
+    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    members = assigned.filter(F.col("list_id").isNotNull())
+    if cap_per_list is not None:
+        w = Window.partitionBy("list_id").orderBy(id_col)
+        members = (
+            members.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= cap_per_list)
+            .drop("__rn")
+        )
+    a = members.select(
+        "list_id",
+        F.col(id_col).alias("id_a"),
+        F.col(vec_col).alias("vec_a"),
+    )
+    b = members.select(
+        "list_id",
+        F.col(id_col).alias("id_b"),
+        F.col(vec_col).alias("vec_b"),
+    )
+    dups = (
+        a.join(b, "list_id")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_b",
+            "id_a",
+            cosine_pairs_arrow(F.col("vec_a"), F.col("vec_b")).alias("cos"),
+        )
+        .filter(F.col("cos") >= tau)
+        .groupBy("id_b")
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return (
+        assigned.select(F.col(id_col).alias("id"), "list_id")
+        .join(dups, F.col("id") == dups["id_b"], "left")
+        .drop("id_b")
+        .select(
+            "id",
+            "list_id",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )

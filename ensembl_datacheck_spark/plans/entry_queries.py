@@ -1455,6 +1455,115 @@ def _lazy_ann_ivf_oracle() -> str:
 LAZY_ORACLES["ann_ivf_topk"] = _lazy_ann_ivf_oracle
 
 
+_SEMDEDUP_TAU = 0.35  # synthetic embeddings are near-orthogonal (see
+# embedding_near_duplicates): a production ~0.9 threshold would make the
+# oracle a trivial all-kept pass; 0.35 yields real drops
+
+
+def _semantic_dedup_oracle_sql(sf_dir: str) -> str:
+    """SemDeDup oracle: same pyarrow sample read + bit-identical
+    pure-numpy k-means as _ann_ivf_oracle_sql, centroids embedded as
+    double literals; cluster assignment (argmax centroid dot, ties to
+    the lowest list), within-cluster pair cosines, and the
+    min-lower-id-dup rule all recomputed in SQL.  Cosine doubles never
+    surface in the output — only the >= tau decision and the integer
+    dup_of, both portable."""
+    import os
+
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"),
+        columns=["vec_id", "embedding"],
+    ).to_pydict()
+    pairs = sorted(
+        (i, v)
+        for i, v in zip(tbl["vec_id"], tbl["embedding"])
+        if v is not None
+    )
+    sample = np.array(
+        [list(v) for _, v in pairs[:_IVF_SAMPLE_N]], dtype=np.float64
+    )
+    cents = similarity.kmeans_fit_spherical(sample, _IVF_LISTS)
+    cent_rows = ",\n      ".join(
+        f"({j}, [" + ", ".join(repr(float(x)) for x in cents[j]) + "])"
+        for j in range(len(cents))
+    )
+    return f"""
+    WITH cv AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings WHERE embedding IS NOT NULL
+    ),
+    cents(list_id, c) AS (VALUES
+      {cent_rows}
+    ),
+    assigned AS (
+      SELECT id, v, list_id FROM (
+        SELECT cv.id, cv.v, cents.list_id,
+               row_number() OVER (PARTITION BY cv.id
+                                  ORDER BY list_dot_product(cv.v, cents.c)
+                                           DESC, cents.list_id) AS rn
+        FROM cv CROSS JOIN cents
+      ) WHERE rn = 1
+    ),
+    dups AS (
+      SELECT b.id AS id, MIN(a.id) AS dup_of
+      FROM assigned a JOIN assigned b
+        ON a.list_id = b.list_id AND a.id < b.id
+      WHERE list_dot_product(a.v, a.v) > 0
+        AND list_dot_product(b.v, b.v) > 0
+        AND list_dot_product(a.v, b.v)
+              / (sqrt(list_dot_product(a.v, a.v))
+                 * sqrt(list_dot_product(b.v, b.v))) >= {_SEMDEDUP_TAU}
+      GROUP BY b.id
+    )
+    SELECT e.vec_id AS id,
+           CAST(a.list_id AS INTEGER) AS list_id,
+           d.dup_of IS NULL AS keep,
+           d.dup_of AS dup_of
+    FROM embeddings e
+    LEFT JOIN assigned a ON a.id = e.vec_id
+    LEFT JOIN dups d ON d.id = e.vec_id
+    """
+
+
+@q("semantic_dedup_embeddings")
+def semantic_dedup_embeddings_q(spark, sf_dir):
+    """SemDeDup-style semantic dedup (similarity.semantic_dedup): k-means
+    clusters over the embedding space (centroids trained by the shared
+    pure-numpy spherical k-means on the lowest-320-id sample — the oracle
+    generator re-trains them bit-identically via pyarrow and embeds them
+    as SQL literals, the IVF pattern), then within each cluster every
+    vector with an over-threshold LOWER-ID partner is dropped.  Per-id
+    verdict rows (id, list_id, keep, dup_of)."""
+    t = _t(spark, sf_dir)
+    emb = t["embeddings"]
+    sample = similarity.lowid_sample_matrix(emb, _IVF_SAMPLE_N)
+    if sample.size == 0:
+        return spark.createDataFrame(
+            [], "id long, list_id int, keep boolean, dup_of long")
+    cents = similarity.kmeans_fit_spherical(sample, _IVF_LISTS)
+    return similarity.semantic_dedup(
+        emb, n_lists=_IVF_LISTS, tau=_SEMDEDUP_TAU, centroids=cents
+    ).select("id", "list_id", "keep", F.col("dup_of").cast("long").alias("dup_of"))
+
+
+def _lazy_semantic_dedup_oracle() -> str:
+    """Same resolution contract as _lazy_ann_ivf_oracle: centroids come
+    from the parquet under SPARK_GRAFT_SF_DIR_TEST (the driver's fixed
+    correctness scale)."""
+    import os
+
+    return _semantic_dedup_oracle_sql(
+        os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+    )
+
+
+LAZY_ORACLES["semantic_dedup_embeddings"] = _lazy_semantic_dedup_oracle
+
+
 @q(
     "multimodal_image_features",
     """

@@ -138,6 +138,50 @@ def test_embedding_similarity(spark):
     assert got_ivf == {20: 0, 21: 1}  # nprobe=all lists == exact
 
 
+def test_semantic_dedup(spark):
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = []
+    for i in range(20):
+        v = rng.standard_normal(16)
+        vecs.append((i, [float(x) for x in v]))
+    v0 = np.array(vecs[0][1])
+    vecs.append((20, [float(x) for x in v0 + 0.001 * rng.standard_normal(16)]))
+    vecs.append((21, list(vecs[1][1])))  # exact copy of 1
+    vecs.append((22, None))  # null embedding: keep, NULL list
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+
+    out = {r["id"]: r for r in similarity.semantic_dedup(
+        emb, n_lists=4, tau=0.95).collect()}
+    assert len(out) == 23
+    # exact copy of vec 1: identical centroid dots -> same cluster,
+    # cosine 1.0 -> dropped with dup_of = 1
+    assert not out[21]["keep"] and out[21]["dup_of"] == 1
+    # near-copy of vec 0 (cos > 0.999): same argmax cluster, dropped
+    assert not out[20]["keep"] and out[20]["dup_of"] == 0
+    # random 16-dim vectors never reach cos 0.95 pairwise
+    assert all(out[i]["keep"] for i in range(20))
+    assert out[22]["keep"] and out[22]["list_id"] is None
+
+
+def test_semantic_dedup_cap_conservative_keep(spark):
+    # 5 exact copies in one cluster, cap_per_list=2: only ids 0,1 are
+    # compared (1 dropped); capped-out members 2-4 are conservatively
+    # KEPT, never dropped by a comparison they were excluded from
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0]) for i in range(5)]
+    emb = spark.createDataFrame(vecs, "vec_id long, embedding array<double>")
+    out = {r["id"]: r for r in similarity.semantic_dedup(
+        emb, n_lists=2, tau=0.9, cap_per_list=2).collect()}
+    assert out[0]["keep"] and not out[1]["keep"] and out[1]["dup_of"] == 0
+    assert all(out[i]["keep"] for i in (2, 3, 4))
+    # uncapped: every copy after the first is dropped onto id 0
+    full = {r["id"]: r for r in similarity.semantic_dedup(
+        emb, n_lists=2, tau=0.9).collect()}
+    assert full[0]["keep"] and all(
+        not full[i]["keep"] and full[i]["dup_of"] == 0 for i in (1, 2, 3, 4))
+
+
 def test_text_functions(spark):
     df = spark.createDataFrame(
         [(1, "The quick fox, and the dog!"), (2, ""), (3, "no stopwords here 123")],
