@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from ensembl_datacheck_spark import assertions as A
 from ensembl_datacheck_spark.operators import drift as D
-from ensembl_datacheck_spark.operators.column_stats import column_stats
+from ensembl_datacheck_spark.operators import profile as P
 from ensembl_datacheck_spark.operators.fused import RowPredicate, with_dim_flag
 from ensembl_datacheck_spark.operators.uniqueness import duplicate_rows
 from ensembl_datacheck_spark.registry import register
@@ -116,6 +116,27 @@ def token_invariants(ctx):
         )
 
 
+def _shared_fact_profile(ctx):
+    """Run-scoped one-scan (source, n_tok) profile cube
+    (operators/profile.py): the first aggregate check in a run builds and
+    localCheckpoints it, every other consumer (SequencesStats, RowTotals,
+    SourceDrift, NTokDrift, NTokQuantileDrift, SourcesUsed) re-aggregates
+    the ~80k-row materialized cube — six independent full fact scans
+    collapse to one.  A standalone run_check gets a private memo (one
+    scan, same answers)."""
+    def build():
+        return P.fact_profile(ctx.table("sequences")).localCheckpoint(eager=True)
+
+    return ctx.shared.get("fact_profile:sequences", build)
+
+
+def _shared_profile_global(ctx) -> dict:
+    prof = _shared_fact_profile(ctx)
+    return ctx.shared.get(
+        "fact_profile_global:sequences", lambda: P.profile_global(prof)
+    )
+
+
 @register(
     "SequencesStats",
     "Fused one-pass column statistics with threshold verdicts: null rates "
@@ -127,11 +148,13 @@ def token_invariants(ctx):
     tables=("sequences",),
 )
 def sequences_stats(ctx):
-    seq = ctx.table("sequences")
     # narrow columns only: tokens-array stats already ride the fused row
     # scan (completeness/invariants); re-scanning the widest column here
-    # would double the table's IO for an advisory check
-    row = column_stats(seq, columns=["doc_id", "n_tok", "source"]).collect()[0].asDict()
+    # would double the table's IO for an advisory check.  Stats come from
+    # the shared one-scan profile cube (operators/profile.py) — null
+    # counts for the cube's key columns fall out of their NULL groups,
+    # doc_id nulls ride as a summed flag.
+    row = _shared_profile_global(ctx)
     n = row["n_rows"] or 1
     max_null_rate = ctx.config.get("max_null_rate", 0.001)
     for col in ("doc_id", "n_tok", "source"):
@@ -290,12 +313,19 @@ def source_referential(ctx):
     tables=("sequences", "sources"),
 )
 def sources_used(ctx):
-    from ensembl_datacheck_spark.operators.referential import childless_parents
-
-    seq, sources = ctx.table("sequences"), ctx.table("sources")
-    viol = childless_parents(
-        sources.filter(F.col("active")), "source", seq, "source"
-    ).select("source")
+    sources = ctx.table("sources")
+    # reverse FK against the shared profile cube instead of the fact
+    # table (operators/referential.childless_parents is the standalone
+    # operator face): the set of sources that appear is exactly the
+    # cube's non-null source groups, so the anti-join probes an ~80k-row
+    # materialized table, not 10^12 rows — and costs no fact scan when
+    # another aggregate check already built the profile
+    present = P.profile_source_counts(_shared_fact_profile(ctx)).select("source")
+    viol = (
+        sources.filter(F.col("active"))
+        .join(present, "source", "left_anti")
+        .select("source")
+    )
     ctx.record(A.is_rows_zero(viol, "active_source_has_rows"), key_col="source")
 
 
@@ -313,14 +343,15 @@ def sources_used(ctx):
     tables=("sequences", "baseline_stats"),
 )
 def row_totals_check(ctx):
-    seq, base = ctx.table("sequences"), ctx.table("baseline_stats")
+    base = ctx.table("baseline_stats")
     base_total = (
         base.filter(F.col("stat_key") == "source_count")
         .agg(F.sum("value").alias("v"))
         .collect()[0]["v"]
         or 0.0
     )
-    cur = seq.count()
+    # current total from the shared profile cube — no dedicated count scan
+    cur = int(_shared_profile_global(ctx)["n_rows"])
     p = ctx.config.get("row_totals_min_proportion", 0.95)
     ok = cur >= base_total * p
     ctx.result.assertions.append(
@@ -341,8 +372,10 @@ def row_totals_check(ctx):
     tables=("sequences", "baseline_stats"),
 )
 def source_drift(ctx):
-    seq, base = ctx.table("sequences"), ctx.table("baseline_stats")
-    cur_counts = seq.groupBy("source").count()
+    base = ctx.table("baseline_stats")
+    # identical to sequences.groupBy(source).count(), derived from the
+    # shared profile cube (one fact scan for the whole aggregate family)
+    cur_counts = P.profile_source_counts(_shared_fact_profile(ctx))
     base_counts = base.filter(F.col("stat_key") == "source_count")
     tol = D.Tolerance(min_proportion=ctx.config.get("source_min_proportion", 0.75))
     base_kv = base_counts.select(F.col("category").alias("source"), "value")
@@ -391,10 +424,10 @@ def source_drift(ctx):
     tables=("sequences", "baseline_stats"),
 )
 def ntok_drift(ctx):
-    seq, base = ctx.table("sequences"), ctx.table("baseline_stats")
-    cur_hist = D.build_histogram(
-        seq.filter(F.col("n_tok").isNotNull()), ntok_bin()
-    )
+    base = ctx.table("baseline_stats")
+    # identical to build_histogram(seq.filter(n_tok notnull), ntok_bin())
+    # — binned from the shared profile cube's non-null n_tok groups
+    cur_hist = P.profile_ntok_hist(_shared_fact_profile(ctx), ntok_bin())
     base_hist = base.filter(F.col("stat_key") == "n_tok_hist")
     stats = D.drift_statistics(
         D.collect_histogram(cur_hist),
@@ -449,14 +482,14 @@ def ntok_quantile_drift(ctx):
         raise SkipCheck("baseline snapshot carries no n_tok_quantile rows")
     rel_tol = ctx.config.get("quantile_rel_tol", 0.05)
     max_card = int(ctx.config.get("quantile_exact_max_card", 65_536))
-    nn = seq.filter(F.col("n_tok").isNotNull())
-    # cardinality probe IS the histogram job: LIMIT max_card+1 bounds the
-    # driver transfer (the aggregation itself is distributed and spills),
-    # so the exact path costs exactly one job and the sketch decision
-    # needs no separate approx_count_distinct scan
+    # cardinality probe IS the value-frequency histogram, re-aggregated
+    # from the shared profile cube (no dedicated fact scan): LIMIT
+    # max_card+1 still bounds the driver transfer (the cube itself is
+    # distributed and localCheckpointed, never collected), so the exact
+    # path stays one tiny job and the sketch decision needs no separate
+    # approx_count_distinct scan
     probe = (
-        nn.groupBy("n_tok")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        P.profile_ntok_counts(_shared_fact_profile(ctx))
         .limit(max_card + 1)
         .collect()
     )
@@ -467,9 +500,12 @@ def ntok_quantile_drift(ctx):
     if len(probe) > max_card:
         # sketch tier: mergeable percentile_approx partials — one
         # aggregation whose shuffle carries one sketch per partition
-        # regardless of cardinality
+        # regardless of cardinality.  This is the only path that re-reads
+        # the fact table (the sketch needs row-level values); the shared
+        # profile cube already paid for the cardinality decision.
         tier = f"sketch (> {max_card} distinct values)"
         qs = tuple(sorted(base_q))
+        nn = seq.filter(F.col("n_tok").isNotNull())
         cur_q = {
             float(r["q"]): float(r["value"])
             for r in D.quantile_profile(nn, "n_tok", qs, approx=True).collect()

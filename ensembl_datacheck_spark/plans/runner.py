@@ -58,6 +58,28 @@ class SkipCheck(Exception):
         self.reason = reason
 
 
+class SharedComputations:
+    """Per-run memoization for Spark jobs whose result several checks can
+    consume (the fact-table profile in checks/core.py is the flagship:
+    one grouping-sets scan replaces five independent full scans).  Keyed
+    compute-once with a lock PER KEY: under ``parallelism`` > 1 the first
+    pooled check to ask runs the job while its co-consumers block on that
+    key only — unrelated shared values never serialize behind it."""
+
+    def __init__(self) -> None:
+        self._vals: dict[str, object] = {}
+        self._locks: dict[str, threading.Lock] = {}
+        self._meta = threading.Lock()
+
+    def get(self, key: str, fn: Callable[[], object]) -> object:
+        with self._meta:
+            lock = self._locks.setdefault(key, threading.Lock())
+        with lock:
+            if key not in self._vals:
+                self._vals[key] = fn()
+            return self._vals[key]
+
+
 class CheckContext:
     """What a check body sees: tables, config, assertion recorder.  The
     analogue of the reference's dba + Test::More import surface."""
@@ -71,6 +93,7 @@ class CheckContext:
         bucket_key: str = "doc_id",
         n_buckets: int = 64,
         fact_table: str = "sequences",
+        shared: SharedComputations | None = None,
     ):
         self.spark = spark
         self.tables = tables
@@ -82,6 +105,10 @@ class CheckContext:
         #: name of the table a fused row scan iterates (spec-pack row
         #: rules verify their target against this before fusing)
         self.fact_table = fact_table
+        #: run-scoped memo for cross-check shared jobs; standalone
+        #: run_check callers get a private instance (each check then
+        #: computes its own profile — today's per-check cost, no sharing)
+        self.shared = shared if shared is not None else SharedComputations()
 
     def table(self, name: str) -> DataFrame:
         if name in self.tables:
@@ -145,12 +172,13 @@ def run_check(
     config: dict | None = None,
     bucket_key: str = "doc_id",
     n_buckets: int = 64,
+    shared: SharedComputations | None = None,
 ) -> tuple[CheckResult, list[DataFrame]]:
     """Programmatic single-check entry point (reference §3.3:
     `My::Check->new(...)->run()`)."""
     ctx = CheckContext(
         spark, tables, config, check_name=spec.name,
-        bucket_key=bucket_key, n_buckets=n_buckets,
+        bucket_key=bucket_key, n_buckets=n_buckets, shared=shared,
     )
     ctx.result.severity = spec.severity.value
     try:
@@ -186,6 +214,7 @@ class Runner:
         self.lineage = f"{lineage}#nb{n_buckets}" if lineage else lineage
         self.config = config or {}
         self.run_id = new_run_id()
+        self.shared = SharedComputations()
         self._rows_per_bucket: dict[int, int] | None = None
         self._rpb_lock = threading.Lock()
         self._cc_lock = threading.Lock()
@@ -342,6 +371,9 @@ class Runner:
             result, violations = run_check(
                 spec, self.spark, tables, self.config,
                 bucket_key=self.bucket_key, n_buckets=self.n_buckets,
+                # shared values are computed from the FULL fact table; a
+                # resume-filtered scan must not consume (or poison) them
+                shared=self.shared if pending is None else None,
             )
             viol_counts: dict[int, int] = {}
             if result.partition_violations:

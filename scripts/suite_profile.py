@@ -68,7 +68,7 @@ def main() -> None:
         wall = time.perf_counter() - t0
 
         rows = sorted(
-            ((r.finished or r.started) - r.started, r.name, r.status)
+            ((r.finished or r.started) - r.started, r.check_name, str(r.status))
             for r in summary.results
         )[::-1]
         print(f"\n=== suite wall {wall:.3f}s  ({n_rows} rows, "

@@ -512,3 +512,66 @@ def test_token_passage_redundancy_check(spark):
         n_buckets=4,
     )
     assert res3.status.value == "ok"
+
+
+def test_shared_fact_profile_one_scan_and_parity(spark, seq_fixture, monkeypatch):
+    """The aggregate-check family (SequencesStats, RowTotals, SourceDrift,
+    NTokDrift, NTokQuantileDrift, SourcesUsed) shares ONE profile-cube
+    build per Runner run (operators/profile.fact_profile called exactly
+    once), and the cube-derived numbers equal the direct per-check
+    aggregations they replaced."""
+    import ensembl_datacheck_spark.checks.core as core
+    from ensembl_datacheck_spark.operators import profile as P
+    from pyspark.sql import functions as F
+
+    calls = {"n": 0}
+    orig = P.fact_profile
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(core.P, "fact_profile", counting)
+    names = ["SequencesStats", "RowTotals", "SourceDrift", "NTokDrift",
+             "NTokQuantileDrift", "SourcesUsed"]
+    runner = Runner(spark, _tables(seq_fixture), n_buckets=16)
+    summary = runner.run(registry.select(names=names), write_checkpoints=False)
+    assert calls["n"] == 1, "profile cube must be built once per run"
+    assert {r.check_name for r in summary.results} == set(names)
+    # every check produced a real verdict (none errored out)
+    assert all(r.error is None for r in summary.results)
+
+    # parity: cube-derived stats == direct aggregations over the fact table
+    seq = seq_fixture["sequences"]
+    prof = orig(seq)
+    g = P.profile_global(prof)
+    assert g["n_rows"] == seq.count()
+    assert g["doc_id__n_null"] == seq.filter(F.col("doc_id").isNull()).count()
+    assert g["source__n_null"] == seq.filter(F.col("source").isNull()).count()
+    nn = seq.filter(F.col("n_tok").isNotNull())
+    direct_minmax = nn.agg(F.min("n_tok"), F.max("n_tok")).collect()[0]
+    assert (g["n_tok__min"], g["n_tok__max"]) == tuple(direct_minmax)
+
+    direct_src = {
+        r["source"]: r["count"] for r in seq.groupBy("source").count().collect()
+    }
+    cube_src = {
+        r["source"]: r["count"]
+        for r in P.profile_source_counts(prof).collect()
+    }
+    assert cube_src == direct_src
+
+    from ensembl_datacheck_spark.operators import drift as D
+    from ensembl_datacheck_spark.sources.synth import ntok_bin
+
+    direct_hist = dict(D.collect_histogram(
+        D.build_histogram(nn, ntok_bin())
+    ))
+    cube_hist = dict(D.collect_histogram(P.profile_ntok_hist(prof, ntok_bin())))
+    assert cube_hist == direct_hist
+
+    # empty-table edge: global row still materializes with zero counts
+    empty = seq.filter(F.lit(False))
+    ge = P.profile_global(orig(empty))
+    assert ge["n_rows"] == 0 and ge["doc_id__n_null"] == 0
+    assert ge["n_tok__min"] is None
