@@ -679,3 +679,135 @@ def token_passage_redundancy(ctx):
     ctx.record(
         A.is_rows_zero(breach, f"dup_passage_fraction_<=_{max_frac}")
     )
+
+
+@register(
+    "TokenUnigramDrift",
+    "Token CONTENT distribution vs baseline — the drift axis the "
+    "length/source/quantile checks cannot see (a tokenizer or filter "
+    "change that preserves n_tok but shifts which tokens appear): "
+    "unigram histogram via explode -> two-stage count (map-side "
+    "combinable, shuffle bounded by vocab size; Arrow bincount tier via "
+    "config[unigram_arrow]), folded onto the BASELINE's top-K token set "
+    "+ __other__ bucket (at most K+1 rows to the driver), then the same "
+    "chi-square machinery as SourceDrift plus an L1 (total-variation) "
+    "bound.  Baseline rows: stat_key='token_unigram' "
+    "(synth.gen_baseline_stats).  Whole-corpus token scan, so on-demand "
+    "like the dedup checks.",
+    groups=("drift", "tokens"),
+    tables=("sequences", "baseline_stats"),
+    on_demand=True,
+)
+def token_unigram_drift(ctx):
+    from ensembl_datacheck_spark.plans.runner import SkipCheck
+
+    base = ctx.table("baseline_stats")
+    base_hist = [
+        (r["category"], float(r["value"]))
+        for r in base.filter(F.col("stat_key") == "token_unigram").collect()
+    ]
+    if not base_hist:
+        raise SkipCheck("baseline snapshot carries no token_unigram rows")
+    base_tokens = [int(c) for c, _ in base_hist if c != "__other__"]
+    prof = D.unigram_profile(
+        ctx.table("sequences"),
+        arrow=bool(ctx.config.get("unigram_arrow", False)),
+    )
+    cur_hist = D.collect_histogram(
+        D.align_unigram_categories(prof, base_tokens), "category", "count"
+    )
+    # chi-square on the aligned categorical histograms (KS needs an
+    # ordinal axis; token ids are nominal, so L1/total-variation is the
+    # distance reported alongside)
+    stats = D.drift_statistics(cur_hist, base_hist)
+    cur_d, base_d = dict(cur_hist), dict(base_hist)
+    c_tot = sum(cur_d.values()) or 1.0
+    b_tot = sum(base_d.values()) or 1.0
+    l1 = 0.5 * sum(
+        abs(cur_d.get(k, 0.0) / c_tot - base_d.get(k, 0.0) / b_tot)
+        for k in set(cur_d) | set(base_d)
+    )
+    alpha = ctx.config.get("chi2_alpha", 1e-4)
+    l1_max = ctx.config.get("unigram_l1_max", 0.05)
+    chi_status = Status.OK if stats.chi2_pvalue >= alpha else Status.FAIL
+    l1_status = Status.OK if l1 <= l1_max else Status.FAIL
+    ctx.result.assertions.append(
+        AssertionResult(
+            "token_unigram_chi2", chi_status, expected=f"p >= {alpha}",
+            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} p={stats.chi2_pvalue:.2e}",
+            diag=[f"worst tokens (base_share, cur_share): {stats.worst_bins[:3]}"]
+            if chi_status == Status.FAIL else [],
+        )
+    )
+    ctx.result.assertions.append(
+        AssertionResult(
+            "token_unigram_l1", l1_status,
+            expected=f"<= {l1_max}", got=round(l1, 4),
+        )
+    )
+
+
+@register(
+    "TokenSnapshotEquality",
+    "Per-row token-array equality against a previous snapshot — the "
+    "north rule's per-row invariant as a check: full-outer diff on "
+    "doc_id (operators/snapshot.py), rows classed changed / "
+    "missing_in_current / new_in_current.  changed and missing are "
+    "failures; new rows are growth and pass unless "
+    "config[snapshot_forbid_new].  One aggregate job for the verdict, "
+    "one bounded collect for diagnostics only on failure; violation "
+    "rows persist distributed.  The payload-level generalization of the "
+    "reference's ComparePreviousVersion* count diffs "
+    "(ComparePreviousVersionProbes.pm:51-60).",
+    groups=("sequences", "snapshot"),
+    tables=("sequences", "sequences_snapshot"),
+)
+def token_snapshot_equality(ctx):
+    from ensembl_datacheck_spark.operators import snapshot as SN
+
+    diff = SN.token_snapshot_diff(
+        ctx.table("sequences"), ctx.table("sequences_snapshot")
+    )
+    counts = {
+        r["diff_kind"]: int(r["n"])
+        for r in diff.groupBy("diff_kind").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    forbid_new = bool(ctx.config.get("snapshot_forbid_new", False))
+    fail_kinds = [SN.CHANGED, SN.MISSING_IN_CURRENT] + (
+        [SN.NEW_IN_CURRENT] if forbid_new else []
+    )
+    failing = [k for k in fail_kinds if counts.get(k, 0)]
+    # diagnostics: ONE bounded collect across every failing kind (the
+    # per-kind split happens driver-side over <= MAX_DIAG_ROWS+1 rows),
+    # so failure costs one extra join execution, not one per kind
+    diag_rows: dict[str, list[str]] = {}
+    if failing:
+        probe = (
+            diff.filter(F.col("diff_kind").isin(failing))
+            .limit(A.MAX_DIAG_ROWS + 1)
+            .collect()
+        )
+        for r in probe:
+            diag_rows.setdefault(r["diff_kind"], []).append(str(r.asDict()))
+    for kind in fail_kinds:
+        got = counts.get(kind, 0)
+        ar = AssertionResult(
+            f"snapshot_{kind}",
+            Status.OK if got == 0 else Status.FAIL,
+            expected=0, got=got,
+            diag=diag_rows.get(kind, [])[: A.MAX_DIAG_ROWS],
+        )
+        viol = (
+            diff.filter(F.col("diff_kind") == kind) if got else None
+        )
+        ctx.record((ar, viol), key_col="doc_id")
+    if not forbid_new:
+        ctx.result.assertions.append(
+            AssertionResult(
+                "snapshot_new_in_current", Status.OK,
+                expected="growth allowed",
+                got=counts.get(SN.NEW_IN_CURRENT, 0),
+            )
+        )

@@ -645,7 +645,7 @@ DEFAULT_PACK = (
         table="baseline_stats",
         violation_sql=(
             "stat_key IS NULL OR stat_key NOT IN "
-            "('source_count', 'n_tok_hist', 'n_tok_quantile')"
+            "('source_count', 'n_tok_hist', 'n_tok_quantile', 'token_unigram')"
         ),
         key_col="stat_key",
         diag_cols=("category",),

@@ -166,6 +166,92 @@ def category_drift_violations(
     return j.filter(pred)
 
 
+def unigram_profile(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    arrow: bool = False,
+) -> DataFrame:
+    """(token, count) unigram histogram of a token corpus — the drift
+    axis the length/source/quantile checks cannot see: a tokenizer or
+    filtering change that preserves n_tok but shifts token CONTENT.
+
+    Two tiers, identical output:
+
+    * portable (default): ``explode(tokens) → groupBy(token).count()``.
+      Partial aggregation runs in the same stage as the explode, so the
+      shuffle carries at most vocab-size rows per task regardless of
+      corpus size — at 10^12 sequences the exploded 10^15 token rows
+      never materialize past the map-side hash aggregate.  This is the
+      oracle-verified tier (any SQL engine reproduces it).
+    * ``arrow=True``: mapInPandas emitting one ``numpy.bincount`` partial
+      per Arrow batch (token ids are non-negative ints by TokenInvariants'
+      domain check), then the same tiny groupBy-sum combine.  Skips the
+      per-token row expansion entirely — the scale tier when the explode's
+      codegen hash aggregate becomes CPU-bound.
+
+    Both tiers skip NULL/empty arrays (completeness checks own those) and
+    NULL/negative elements (the domain check owns those; bincount cannot
+    index negatives, so the portable tier drops them too — the tiers must
+    agree bin-for-bin).
+    """
+    nn = df.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+    if not arrow:
+        return (
+            nn.select(F.explode(tokens_col).alias("token"))
+            .filter(F.col("token").isNotNull() & (F.col("token") >= 0))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias("count"))
+        )
+
+    import pandas as pd  # local: Arrow tier only
+
+    def bincount_batches(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            flat = np.concatenate([
+                np.asarray(a, dtype=np.int64) for a in pdf[tokens_col]
+            ])
+            flat = flat[flat >= 0]  # domain violations belong elsewhere
+            if flat.size == 0:
+                continue
+            counts = np.bincount(flat)
+            toks = np.nonzero(counts)[0]
+            yield pd.DataFrame({"token": toks, "count": counts[toks]})
+
+    # NULL elements compacted JVM-side so every Arrow batch lands as a
+    # clean int array (np.asarray on a None-bearing list would fall back
+    # to dtype=object); negatives are dropped numpy-side above
+    partials = nn.select(
+        F.array_compact(tokens_col).alias(tokens_col)
+    ).mapInPandas(bincount_batches, schema="token long, count long")
+    return partials.groupBy("token").agg(F.sum("count").alias("count"))
+
+
+def align_unigram_categories(
+    profile: DataFrame,
+    baseline_tokens: list[int],
+    other_label: str = "__other__",
+) -> DataFrame:
+    """Fold a (token, count) profile onto a BASELINE's category set: the
+    baseline's top-K tokens keep their own bucket, everything else lumps
+    into ``other_label``.  Aligning current to the baseline's token set
+    (not re-selecting a top-K from current) keeps the two histograms
+    comparable when ranks churn between snapshots — the standard
+    guard against top-K selection instability.  Output is at most
+    K+1 rows; safe to collect."""
+    toks = [int(t) for t in baseline_tokens]
+    cat = (
+        F.when(F.col("token").isin(toks), F.col("token").cast("string"))
+        .otherwise(F.lit(other_label))
+    )
+    return profile.groupBy(cat.alias("category")).agg(
+        F.sum("count").alias("count")
+    )
+
+
 def quantile_profile(
     df: DataFrame,
     value_col: str,

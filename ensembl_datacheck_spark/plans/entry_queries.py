@@ -1992,6 +1992,141 @@ def token_passage_dedup_documents(spark, sf_dir):
 
 
 @q(
+    "token_unigram_drift_halves",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    tok AS (
+      SELECT doc_id % 2 AS half, unnest(toks) AS token FROM docs
+    ),
+    c AS (SELECT half, token, count(*) AS cnt FROM tok GROUP BY half, token),
+    tot AS (SELECT half, sum(cnt) AS t FROM c GROUP BY half),
+    wide AS (
+      SELECT token,
+             COALESCE(a.cnt, 0) AS cnt_a, COALESCE(b.cnt, 0) AS cnt_b
+      FROM (SELECT token, cnt FROM c WHERE half = 0) a
+      FULL OUTER JOIN (SELECT token, cnt FROM c WHERE half = 1) b
+      USING (token)
+    )
+    SELECT CAST(token AS BIGINT) AS token,
+           CAST(cnt_a AS BIGINT) AS cnt_a,
+           CAST(cnt_b AS BIGINT) AS cnt_b
+    FROM wide,
+         (SELECT t AS ta FROM tot WHERE half = 0),
+         (SELECT t AS tb FROM tot WHERE half = 1)
+    WHERE 400 * abs(cnt_a * tb - cnt_b * ta) > ta * tb
+    """,
+)
+def token_unigram_drift_halves(spark, sf_dir):
+    """Token-content drift (TokenUnigramDrift's operator,
+    drift.unigram_profile) between the two doc_id-parity halves of the
+    derived token corpus: tokens whose relative frequency differs by
+    more than 0.25% of the corpus between halves.  The breach predicate
+    is pure BIGINT cross-multiplication
+    (400·|cnt_a·T_b − cnt_b·T_a| > T_a·T_b ⇔ |share_a − share_b| >
+    1/400) — no float division anywhere, so Spark and DuckDB agree
+    bit-for-bit."""
+    from ensembl_datacheck_spark.operators import drift as D
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    a = D.unigram_profile(toks.filter(F.col("doc_id") % 2 == 0))
+    b = D.unigram_profile(toks.filter(F.col("doc_id") % 2 == 1))
+    ta = a.agg(F.sum("count").alias("ta"))
+    tb = b.agg(F.sum("count").alias("tb"))
+    wide = (
+        a.withColumnRenamed("count", "cnt_a")
+        .join(b.withColumnRenamed("count", "cnt_b"), "token", "full_outer")
+        .fillna({"cnt_a": 0, "cnt_b": 0})
+        .crossJoin(ta)
+        .crossJoin(tb)
+    )
+    breach = wide.filter(
+        400 * F.abs(F.col("cnt_a") * F.col("tb") - F.col("cnt_b") * F.col("ta"))
+        > F.col("ta") * F.col("tb")
+    )
+    return breach.select(
+        F.col("token").cast("long").alias("token"),
+        F.col("cnt_a").cast("long").alias("cnt_a"),
+        F.col("cnt_b").cast("long").alias("cnt_b"),
+    )
+
+
+@q(
+    "token_snapshot_diff_documents",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE text IS NOT NULL AND text <> ''
+    ),
+    cur AS (SELECT doc_id, toks FROM docs WHERE doc_id < 300),
+    snap AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 13 = 0 THEN toks[1:len(toks)-1]
+                  ELSE toks END AS toks
+      FROM docs WHERE doc_id < 310 AND doc_id % 17 <> 0
+    ),
+    j AS (
+      SELECT COALESCE(c.doc_id, s.doc_id) AS doc_id,
+             c.doc_id IS NOT NULL AS cur_p, s.doc_id IS NOT NULL AS snap_p,
+             c.toks AS ct, s.toks AS st
+      FROM cur c FULL OUTER JOIN snap s ON c.doc_id = s.doc_id
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN NOT snap_p THEN 'new_in_current'
+                WHEN NOT cur_p THEN 'missing_in_current'
+                ELSE 'changed' END AS diff_kind,
+           CAST(len(ct) AS BIGINT) AS n_tok_cur,
+           CAST(len(st) AS BIGINT) AS n_tok_snap
+    FROM j
+    WHERE (NOT snap_p) OR (NOT cur_p) OR (ct IS DISTINCT FROM st)
+    """,
+)
+def token_snapshot_diff_documents(spark, sf_dir):
+    """The north rule's per-row invariant (token-array equality) as a
+    snapshot diff (operators/snapshot.token_snapshot_diff,
+    TokenSnapshotEquality's operator): current = derived tokens for
+    doc_id < 300; snapshot = same derivation with deterministic
+    perturbations (doc_id%13==0 loses its last token → `changed`;
+    doc_id%17==0 absent from the snapshot → `new_in_current`; docs
+    300-309 snapshot-only → `missing_in_current`).  Value-for-value
+    against the oracle's CASE formulation."""
+    from ensembl_datacheck_spark.operators import snapshot as SN
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(
+        F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    cur = toks.filter(F.col("doc_id") < 300)
+    snap = (
+        toks.filter((F.col("doc_id") < 310) & (F.col("doc_id") % 17 != 0))
+        .withColumn(
+            "tokens",
+            F.when(
+                F.col("doc_id") % 13 == 0,
+                F.slice(
+                    "tokens", 1,
+                    F.greatest(F.size("tokens") - 1, F.lit(0)),
+                ),
+            ).otherwise(F.col("tokens")),
+        )
+    )
+    diff = SN.token_snapshot_diff(cur, snap)
+    return diff.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "diff_kind",
+        F.col("n_tok_cur").cast("long").alias("n_tok_cur"),
+        F.col("n_tok_snap").cast("long").alias("n_tok_snap"),
+    )
+
+
+@q(
     "asof_purchase_click",
     """
     WITH r AS (

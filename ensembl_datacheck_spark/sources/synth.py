@@ -207,13 +207,15 @@ def gen_baseline_stats(
     spark: SparkSession,
     sequences: DataFrame,
     shifted: bool = False,
+    unigram_top_k: int = 64,
 ) -> DataFrame:
     """Baseline snapshot (FIXTURES.md §3): long-format stats table
     (stat_key, category, value).  ``shifted=False`` reproduces the live
     distribution (drift checks pass); ``shifted=True`` shifts the n_tok
-    histogram one bin up and halves the hot source's count (drift checks
-    fail with known categories) — mirroring the pass+fail golden pairs of
-    t/TestDataCheck.t:135-139."""
+    histogram one bin up, halves the hot source's count, and grossly
+    reweights the unigram baseline (top-K x30, __other__ halved; the
+    drift checks fail with known categories) —
+    mirroring the pass+fail golden pairs of t/TestDataCheck.t:135-139."""
     hist = (
         sequences.filter(F.col("n_tok").isNotNull())
         .groupBy(ntok_bin().alias("bin"))
@@ -254,7 +256,86 @@ def gen_baseline_stats(
         F.col("q").cast("string").alias("category"),
         F.col("value"),
     )
-    return n_tok_hist.unionByName(src_counts).unionByName(n_tok_q)
+
+    # token_unigram rows (TokenUnigramDrift baseline): the top-K tokens
+    # by corpus count plus one __other__ bucket carrying the remaining
+    # mass — the baseline-aligned representation the check folds the
+    # live profile onto.  Deterministic top-K (count desc, token asc).
+    from ensembl_datacheck_spark.operators.drift import unigram_profile
+
+    prof = unigram_profile(sequences)
+    topk = prof.orderBy(F.col("count").desc(), "token").limit(unigram_top_k).collect()
+    total = prof.agg(F.sum("count").alias("t")).collect()[0]["t"] or 0
+    uni_rows = [
+        ("token_unigram", str(r["token"]), float(r["count"])) for r in topk
+    ]
+    uni_rows.append(
+        ("token_unigram", "__other__",
+         float(total - sum(r["count"] for r in topk)))
+    )
+    if shifted:
+        # 30x every top-K token and halve the __other__ mass: the synth
+        # vocab is uniform, so top-64 of ~50k tokens carries <1% of the
+        # mass — only a gross reweight moves enough share to breach BOTH
+        # the chi-square and the 5% L1 total-variation bound
+        uni_rows = [
+            (k, cat, v * (0.5 if cat == "__other__" else 30.0))
+            for (k, cat, v) in uni_rows
+        ]
+    unigrams = spark.createDataFrame(
+        uni_rows, "stat_key string, category string, value double"
+    )
+    return (
+        n_tok_hist.unionByName(src_counts)
+        .unionByName(n_tok_q)
+        .unionByName(unigrams)
+    )
+
+
+def gen_sequences_snapshot(
+    spark: SparkSession,
+    sequences: DataFrame,
+    changed_mod: int = 97,
+    dropped_mod: int = 89,
+    n_extra: int = 5,
+) -> DataFrame:
+    """Snapshot fixture for TokenSnapshotEquality, derived from a
+    sequences table (typically the inject_violations=False variant):
+
+    * docs with ``pmod(xxhash64(doc_id), changed_mod) == 0`` carry a
+      perturbed first token in the snapshot → diff as ``changed``;
+    * docs with ``pmod(xxhash64(doc_id), dropped_mod) == 0`` (and not
+      already changed) are absent from the snapshot → ``new_in_current``;
+    * ``n_extra`` synthetic docs exist only in the snapshot →
+      ``missing_in_current``.
+
+    Tests derive exact expected counts by evaluating the same hash
+    predicates on the input — the fixture never hardcodes counts."""
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(changed_mod))
+    hd = F.pmod(F.xxhash64("doc_id"), F.lit(dropped_mod))
+    perturbed = F.concat(
+        F.array(
+            F.pmod(F.element_at("tokens", 1) + 1, F.lit(VOCAB_SIZE)).cast("int")
+        ),
+        F.slice(F.col("tokens"), 2, 1_000_000),
+    )
+    snap = (
+        sequences.filter((hd != 0) | (h == 0))
+        .withColumn(
+            "tokens",
+            F.when(
+                (h == 0) & F.col("tokens").isNotNull() & (F.size("tokens") > 0),
+                perturbed,
+            ).otherwise(F.col("tokens")),
+        )
+    )
+    extra = spark.range(n_extra).select(
+        F.format_string("snap_only_%06d", F.col("id")).alias("doc_id"),
+        F.array(F.lit(1), F.lit(2), F.lit(3)).cast("array<int>").alias("tokens"),
+        F.lit(3).alias("n_tok"),
+        F.lit("src_00").alias("source"),
+    )
+    return snap.select("doc_id", "tokens", "n_tok", "source").unionByName(extra)
 
 
 # meta-table injected-violation constants (spec-pack checks): which

@@ -32,7 +32,8 @@ def test_registry_selection_and_index(tmp_path):
     assert {s.name for s in sel} >= {"RowTotals", "SourceDrift", "NTokDrift"}
     sel = registry.select(patterns=["^Token"])
     assert {s.name for s in sel} == {
-        "TokenInvariants", "TokenContentDuplicates", "TokenPassageRedundancy"
+        "TokenInvariants", "TokenContentDuplicates", "TokenPassageRedundancy",
+        "TokenUnigramDrift", "TokenSnapshotEquality",
     }
     sel = registry.select(names=["DocIdUnique"], severity="critical")
     assert len(sel) == 1
@@ -97,6 +98,11 @@ def test_drift_fails_on_shifted_baseline(spark, seq_fixture):
     # sketch-tier quantile check: baseline quantiles inflated 1.25x by
     # the shifted snapshot breach the 5% relative tolerance
     assert res["NTokQuantileDrift"].status == Status.FAIL
+    # unigram baseline grossly reweighted (top-K x30, __other__ halved):
+    # both the chi-square and the L1 total-variation bound breach
+    uni = {x.name: x for x in res["TokenUnigramDrift"].assertions}
+    assert uni["token_unigram_chi2"].status == Status.FAIL
+    assert uni["token_unigram_l1"].status == Status.FAIL
 
 
 def test_quantile_drift_passes_on_same_baseline(spark, seq_fixture):
@@ -120,6 +126,80 @@ def test_clean_fixture_all_pass(spark, seq_fixture):
     bad = [r.check_name for r in summary.results if r.status == Status.FAIL]
     assert bad == [], f"unexpected failures: {bad}"
     assert summary.all_passed
+
+
+def test_unigram_profile_tiers_agree(spark, seq_fixture):
+    """Portable explode-agg tier vs Arrow bincount tier, bin-for-bin, on
+    the DIRTY fixture (null arrays, out-of-domain first elements) — the
+    tiers must agree on what they skip, not just on clean data."""
+    from ensembl_datacheck_spark.operators import drift as D
+
+    seq = seq_fixture["sequences"]
+    a = {r["token"]: r["count"] for r in D.unigram_profile(seq).collect()}
+    b = {r["token"]: r["count"]
+         for r in D.unigram_profile(seq, arrow=True).collect()}
+    assert len(a) > 1000
+    assert a == b
+
+
+def test_token_unigram_drift_passes_on_same_baseline(spark, seq_fixture):
+    tables = {
+        "sequences": seq_fixture["sequences_clean"],
+        "baseline_stats": seq_fixture["baseline_same"],
+    }
+    result, _ = run_check(registry.get("TokenUnigramDrift"), spark, tables)
+    assert result.status == Status.OK, [
+        (x.name, x.got) for x in result.assertions
+    ]
+
+
+def test_token_snapshot_equality_counts_skip_and_forbid_new(spark, seq_fixture):
+    from pyspark.sql import functions as F
+
+    spec = registry.get("TokenSnapshotEquality")
+    clean = seq_fixture["sequences_clean"]
+    snap = synth.gen_sequences_snapshot(spark, clean, n_extra=5)
+    # expected counts from the SAME hash predicates the fixture uses
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(97))
+    hd = F.pmod(F.xxhash64("doc_id"), F.lit(89))
+    exp_changed = clean.filter(
+        (h == 0) & F.col("tokens").isNotNull() & (F.size("tokens") > 0)
+    ).count()
+    exp_new = clean.filter((hd == 0) & (h != 0)).count()
+    assert exp_changed > 0 and exp_new > 0
+
+    res, viols = run_check(
+        spec, spark, {"sequences": clean, "sequences_snapshot": snap}
+    )
+    a = {x.name: x for x in res.assertions}
+    assert res.status == Status.FAIL
+    assert a["snapshot_changed"].got == exp_changed
+    assert a["snapshot_missing_in_current"].got == 5
+    # growth is allowed by default: reported, not failed
+    assert a["snapshot_new_in_current"].status == Status.OK
+    assert a["snapshot_new_in_current"].got == exp_new
+    # violation rows persist distributed, keyed by doc_id
+    assert viols and all("key" in v.columns for v in viols)
+
+    # forbid_new flips growth into a failure
+    res_fn, _ = run_check(
+        spec, spark, {"sequences": clean, "sequences_snapshot": snap},
+        config={"snapshot_forbid_new": True},
+    )
+    afn = {x.name: x for x in res_fn.assertions}
+    assert afn["snapshot_new_in_current"].status == Status.FAIL
+    assert afn["snapshot_new_in_current"].got == exp_new
+
+    # identical snapshot: every assertion OK
+    res_ok, _ = run_check(
+        spec, spark, {"sequences": clean, "sequences_snapshot": clean}
+    )
+    assert res_ok.status == Status.OK
+
+    # snapshot table absent: skip with reason, not crash
+    res_skip, _ = run_check(spec, spark, {"sequences": clean})
+    assert res_skip.status == Status.SKIP
+    assert "sequences_snapshot" in res_skip.skip_reason
 
 
 def test_error_in_check_is_fail_not_crash(spark, seq_fixture):
