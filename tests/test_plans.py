@@ -165,3 +165,47 @@ def test_passage_dedup_no_digest_window_and_partial_min(spark):
     tplan = plan_str(token_passage_dedup(toks, "doc_id", "tokens", 10))
     assert "Window" not in tplan
     assert "partial_min" in tplan
+
+
+def test_unigram_profile_partial_agg_and_pruning(spark):
+    """unigram_profile's scale contract: partial aggregation must run in
+    the SAME stage as the explode (the 10^15 exploded token rows
+    collapse to vocab-size partials before the shuffle), and the scan
+    must read only the tokens column."""
+    from ensembl_datacheck_spark.operators.drift import unigram_profile
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.selectExpr(
+        "doc_id",
+        "transform(split(text, ' '), w -> "
+        "cast(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)) AS tokens",
+    )
+    df = unigram_profile(toks)
+    plan = plan_str(df, "simple")
+    # exactly one exchange, with a partial_count aggregate below it
+    assert plan.count("Exchange") == 1
+    assert "partial_count" in plan
+    pre, post = plan.split("Exchange", 1)
+    assert "partial_count" in post  # partial side is UNDER the exchange
+    # column pruning reaches the parquet scan: text feeds the derived
+    # tokens, but no other document column is read
+    read_schema = plan_str(df).split("ReadSchema")[1].split("\n")[0]
+    assert "lang" not in read_schema and "n_chars" not in read_schema
+
+
+def test_snapshot_diff_single_join_violation_sized(spark):
+    """token_snapshot_diff is ONE full-outer sort-merge join; with both
+    sides bucketed on the key it plans with zero Exchange (the bucketed
+    path is pinned by test_bucketed_join_has_no_exchange)."""
+    from ensembl_datacheck_spark.operators.snapshot import token_snapshot_diff
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.selectExpr(
+        "doc_id",
+        "transform(split(text, ' '), w -> "
+        "cast(conv(substring(md5(w), 1, 8), 16, 10) AS BIGINT)) AS tokens",
+    )
+    df = token_snapshot_diff(toks, toks.limit(100))
+    plan = plan_str(df, "simple")
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") == 1
+    assert "FullOuter" in plan
