@@ -185,9 +185,11 @@ def unigram_profile(
       oracle-verified tier (any SQL engine reproduces it).
     * ``arrow=True``: mapInPandas emitting one ``numpy.bincount`` partial
       per Arrow batch (token ids are non-negative ints by TokenInvariants'
-      domain check), then the same tiny groupBy-sum combine.  Skips the
-      per-token row expansion entirely — the scale tier when the explode's
-      codegen hash aggregate becomes CPU-bound.
+      domain check), then the same tiny groupBy-sum combine.  MEASURED
+      SLOWER than the portable tier on this host (44M vs 110M tokens/s at
+      1M×512 — BENCH/UNIGRAM_1M.md): shipping the token arrays through
+      Arrow costs more than bincount saves.  Kept for environments where
+      that balance differs; the default is the measured winner.
 
     Both tiers skip NULL/empty arrays (completeness checks own those) and
     NULL/negative elements (the domain check owns those; bincount cannot
