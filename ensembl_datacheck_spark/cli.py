@@ -25,6 +25,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--baseline", help="parquet path of baseline_stats")
     p.add_argument("--meta", help="parquet path of the meta tag table "
                    "(spec-pack meta checks skip when absent)")
+    p.add_argument("--snapshot", help="parquet path of a previous-release "
+                   "sequences snapshot (TokenSnapshotEquality skips when "
+                   "absent)")
     p.add_argument("--names", nargs="*", help="exact check names")
     p.add_argument("--patterns", nargs="*", help="regex patterns over names")
     p.add_argument("--groups", nargs="*", help="check groups")
@@ -40,6 +43,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--jdbc-sources-table", default="sources")
     p.add_argument("--jdbc-baseline-table", default="baseline_stats")
     p.add_argument("--jdbc-meta-table", default="meta")
+    p.add_argument("--jdbc-snapshot-table", default="sequences_snapshot")
     p.add_argument("--schema", help="DDL schema string for csv/json inputs "
                    "(skips the inference scan)")
     p.add_argument("--warehouse", default="/tmp/dcheck_warehouse",
@@ -132,18 +136,24 @@ def main(argv: list[str] | None = None) -> int:
     if args.meta:
         tables["meta"] = read_table(spark, args.meta, args.fmt,
                                     **fmt_kw(args.jdbc_meta_table))
+    if args.snapshot:
+        tables["sequences_snapshot"] = read_table(
+            spark, args.snapshot, args.fmt,
+            **fmt_kw(args.jdbc_snapshot_table))
 
     catalog = Catalog(spark, args.warehouse)
     # the resume lineage must cover EVERY input a check reads: a changed
     # sources/baseline table invalidates referential/drift checkpoints
     # even when the fact table is untouched
-    inputs = [args.sequences, args.sources, args.baseline, args.meta]
+    inputs = [args.sequences, args.sources, args.baseline, args.meta,
+              args.snapshot]
     if args.fmt == "jdbc":
         # no files to fingerprint: lineage = url+table identity only (a
         # changed remote table is NOT detected — document-level caveat;
         # use --force when revalidating live databases)
         rels = [args.jdbc_table, args.jdbc_sources_table,
-                args.jdbc_baseline_table, args.jdbc_meta_table]
+                args.jdbc_baseline_table, args.jdbc_meta_table,
+                args.jdbc_snapshot_table]
         lineage = "|".join(
             f"jdbc:{p}:{r}" for p, r in zip(inputs, rels) if p)
     else:

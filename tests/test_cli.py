@@ -196,3 +196,43 @@ def test_parallelism_flag_parses():
     assert p.parse_args(
         ["--sequences", "x", "--parallelism", "1"]
     ).parallelism == 1
+
+
+def test_cli_snapshot_table_runs_equality_check(spark, tmp_path):
+    """--snapshot wires the sequences_snapshot table through to
+    TokenSnapshotEquality; omitting it makes the same selection skip."""
+    clean = synth.gen_sequences(spark, 10_000, 8, median_tok=32,
+                                max_tok=128, inject_violations=False)
+    clean.write.mode("overwrite").parquet(str(tmp_path / "sequences"))
+    synth.gen_sequences_snapshot(spark, clean).write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "snapshot"))
+
+    rc = main([
+        "--sequences", str(tmp_path / "sequences"),
+        "--snapshot", str(tmp_path / "snapshot"),
+        "--names", "TokenSnapshotEquality",
+        "--warehouse", str(tmp_path / "wh"),
+        "--n-buckets", "8",
+        "--output-json", str(tmp_path / "res.json"),
+        "--passed",
+    ])
+    assert rc == 1  # changed + missing rows fail the check
+    j = json.loads((tmp_path / "res.json").read_text())
+    (d,) = j["datachecks"]
+    names = {a["name"]: a for a in d["assertions"]}
+    assert names["snapshot_changed"]["status"] == "fail"
+    assert names["snapshot_missing_in_current"]["status"] == "fail"
+    assert names["snapshot_new_in_current"]["status"] == "ok"
+
+    rc2 = main([
+        "--sequences", str(tmp_path / "sequences"),
+        "--names", "TokenSnapshotEquality",
+        "--warehouse", str(tmp_path / "wh2"),
+        "--n-buckets", "8",
+        "--output-json", str(tmp_path / "res2.json"),
+        "--passed",
+    ])
+    assert rc2 == 0
+    j2 = json.loads((tmp_path / "res2.json").read_text())
+    assert j2["datachecks"][0]["status"] == "skip"
