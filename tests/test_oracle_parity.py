@@ -96,13 +96,17 @@ def test_entry_smoke(spark):
 
 def test_driver_window_is_oracle_backed_and_covers_new_operators():
     """The driver adjudicates the first 50 queries() entries: all 50 must
-    be oracle-backed, match DRIVER_WINDOW exactly, and include the
-    corpus-hygiene / incremental / drift / skew / IVF / token-dedup
-    operators promoted in round 4 (VERDICT r3 items 1, 4, 5)."""
+    be oracle-backed (static or lazy), match DRIVER_WINDOW exactly, and
+    include the operators promoted in rounds 4-5 (VERDICT r3 items 1, 4,
+    5; VERDICT r4 item 2: the unigram-drift / snapshot-diff / SemDeDup
+    rotation)."""
+    from ensembl_datacheck_spark.plans.entry_queries import LAZY_ORACLES
+
     names = list(QUERIES)
     win = names[:50]
     assert win == entry_mod.DRIVER_WINDOW
-    assert all(n in ORACLES for n in win)
+    backed = set(ORACLES) | set(LAZY_ORACLES)
+    assert all(n in backed for n in win)
     promoted = {
         "hash_split_documents", "contamination_eval_vs_train",
         "stratified_sample_documents", "normalized_documents",
@@ -110,9 +114,21 @@ def test_driver_window_is_oracle_backed_and_covers_new_operators():
         "repetition_signals_documents", "hot_keys_orders",
         "quantile_drift_halves", "ann_ivf_topk",
         "token_minhash_candidates_portable",
+        # round-5 rotation (VERDICT r4 next-round item 2)
+        "token_unigram_drift_halves", "token_snapshot_diff_documents",
+        "semantic_dedup_embeddings",
     }
+    # the three thin shape-duplicates rotated out in round 5 — their
+    # window twins are noted in __spark_entry__.py; all stay
+    # oracle-backed (parity-tested above)
+    demoted = {
+        "hash_split_documents", "rolling_fingerprints_portable",
+        "minhash_candidates_portable",
+    }
+    promoted -= demoted
     assert promoted <= set(win)
-    # demoted shape-duplicates stay oracle-backed (parity-tested above)
+    assert demoted <= set(names[50:])
+    assert demoted <= backed
     for n in names[50:]:
         assert n in QUERIES
 
