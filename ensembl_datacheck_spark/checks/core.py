@@ -119,13 +119,27 @@ def token_invariants(ctx):
 def _shared_fact_profile(ctx):
     """Run-scoped one-scan (source, n_tok) profile cube
     (operators/profile.py): the first aggregate check in a run builds and
-    localCheckpoints it, every other consumer (SequencesStats, RowTotals,
+    materializes it, every other consumer (SequencesStats, RowTotals,
     SourceDrift, NTokDrift, NTokQuantileDrift, SourcesUsed) re-aggregates
-    the ~80k-row materialized cube — six independent full fact scans
-    collapse to one.  A standalone run_check gets a private memo (one
-    scan, same answers)."""
+    the ~80k-row cube — six independent full fact scans collapse to one.
+    A standalone run_check gets a private memo (one scan, same answers).
+
+    Materialization is persist(MEMORY_AND_DISK) + an eager count, NOT
+    localCheckpoint: persist keeps the RECOMPUTABLE lineage, so losing an
+    executor mid-run recomputes the missing cube blocks from the fact
+    table instead of failing every downstream consumer (localCheckpoint
+    truncates lineage to non-replicated executor blocks — a
+    fault-tolerance regression at the executor-churn scale this module
+    targets).  The cube is ~vocab-of-(source,n_tok) rows, so the cached
+    footprint is tiny; the count that forces it IS the one shared scan."""
     def build():
-        return P.fact_profile(ctx.table("sequences")).localCheckpoint(eager=True)
+        from pyspark import StorageLevel
+
+        prof = P.fact_profile(ctx.table("sequences")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        prof.count()  # eager: consumers re-aggregate materialized blocks
+        return prof
 
     return ctx.shared.get("fact_profile:sequences", build)
 
@@ -461,12 +475,16 @@ def ntok_drift(ctx):
     "driver — beats a percentile sketch, whose single-reducer merge of "
     "per-partition sketches is a SERIAL tail that grows with accuracy "
     "and partition count (measurably hurts N→4N scaling).  The driver "
-    "collect is guarded: if the histogram exceeds "
-    "config[quantile_exact_max_card] distinct values (default 65536 — "
-    "the collect is LIMIT-bounded, so an unbounded column can never "
-    "flood the driver), the check self-switches to "
-    "drift.quantile_profile(approx=True), the mergeable "
-    "percentile_approx sketch tier (bounded rank error 1/accuracy).",
+    "collect is guarded: above config[quantile_exact_max_card] distinct "
+    "values (default 65536 — every collect is LIMIT-bounded, so an "
+    "unbounded column can never flood the driver) the check runs the "
+    "mergeable percentile_approx sketch tier (bounded rank error "
+    "1/accuracy).  The tier decision itself never adds a scan: the "
+    "shared profile cube is consulted only when a co-running check "
+    "already memoized it, else ONE combined aggregation "
+    "(drift.quantile_sketch_probe) carries approx_count_distinct and "
+    "the sketch in the same pass — the sketch path costs exactly one "
+    "fact scan in every execution mode.",
     groups=("sequences", "drift"),
     tables=("sequences", "baseline_stats"),
 )
@@ -482,37 +500,61 @@ def ntok_quantile_drift(ctx):
         raise SkipCheck("baseline snapshot carries no n_tok_quantile rows")
     rel_tol = ctx.config.get("quantile_rel_tol", 0.05)
     max_card = int(ctx.config.get("quantile_exact_max_card", 65_536))
-    # cardinality probe IS the value-frequency histogram, re-aggregated
-    # from the shared profile cube (no dedicated fact scan): LIMIT
-    # max_card+1 still bounds the driver transfer (the cube itself is
-    # distributed and localCheckpointed, never collected), so the exact
-    # path stays one tiny job and the sketch decision needs no separate
-    # approx_count_distinct scan
-    probe = (
-        P.profile_ntok_counts(_shared_fact_profile(ctx))
-        .limit(max_card + 1)
-        .collect()
-    )
-    if not probe:
-        raise SkipCheck("sequences has no non-null n_tok rows")
+    qs = tuple(sorted(base_q))
+    # Tier decision without a dedicated scan: consult the shared profile
+    # cube ONLY if a co-running check already memoized it (peek — never
+    # build the cube just to count distinct values).  Otherwise run ONE
+    # combined fact aggregation (drift.quantile_sketch_probe) carrying
+    # count + approx_count_distinct + the percentile sketch together, so
+    # the sketch path costs exactly one fact-table scan in every
+    # execution mode.  Only an exact-tier verdict without a memoized
+    # cube pays a second scan — the cube build — and that scan seeds
+    # every other aggregate consumer via ctx.shared.
+    probe: list | None = None
+    sketch_q: dict[float, float] | None = None
+    shared_prof = ctx.shared.peek("fact_profile:sequences")
+    if shared_prof is not None:
+        probe = (
+            P.profile_ntok_counts(shared_prof).limit(max_card + 1).collect()
+        )
+        if not probe:
+            raise SkipCheck("sequences has no non-null n_tok rows")
+        use_sketch = len(probe) > max_card
+    else:
+        est = D.quantile_sketch_probe(seq, "n_tok", qs)
+        if est["n"] == 0:
+            raise SkipCheck("sequences has no non-null n_tok rows")
+        sketch_q = est["quantiles"]
+        use_sketch = est["card_est"] > max_card
+        if not use_sketch:
+            # exact tier wants the value-frequency histogram; build (or
+            # join) the shared cube.  If the HLL estimate undershot and
+            # the true cardinality exceeds the cap, fall back to the
+            # sketch values already computed — never a third scan.
+            probe = (
+                P.profile_ntok_counts(_shared_fact_profile(ctx))
+                .limit(max_card + 1)
+                .collect()
+            )
+            use_sketch = len(probe) > max_card
 
     breaches: list[str] = []
-    if len(probe) > max_card:
+    if use_sketch:
         # sketch tier: mergeable percentile_approx partials — one
         # aggregation whose shuffle carries one sketch per partition
-        # regardless of cardinality.  This is the only path that re-reads
-        # the fact table (the sketch needs row-level values); the shared
-        # profile cube already paid for the cardinality decision.
+        # regardless of cardinality.
         tier = f"sketch (> {max_card} distinct values)"
-        qs = tuple(sorted(base_q))
-        nn = seq.filter(F.col("n_tok").isNotNull())
-        cur_q = {
-            float(r["q"]): float(r["value"])
-            for r in D.quantile_profile(nn, "n_tok", qs, approx=True).collect()
-            if r["value"] is not None
-        }
+        if sketch_q is None:
+            nn = seq.filter(F.col("n_tok").isNotNull())
+            sketch_q = {
+                float(r["q"]): float(r["value"])
+                for r in D.quantile_profile(
+                    nn, "n_tok", qs, approx=True
+                ).collect()
+                if r["value"] is not None
+            }
         for q in qs:
-            bv, cur = base_q[q], cur_q.get(q)
+            bv, cur = base_q[q], sketch_q.get(q)
             if cur is None or abs(cur - bv) > rel_tol * abs(bv):
                 breaches.append(
                     f"q={q}: baseline {bv} vs current "
@@ -779,18 +821,20 @@ def token_snapshot_equality(ctx):
         [SN.NEW_IN_CURRENT] if forbid_new else []
     )
     failing = [k for k in fail_kinds if counts.get(k, 0)]
-    # diagnostics: ONE bounded collect across every failing kind (the
-    # per-kind split happens driver-side over <= MAX_DIAG_ROWS+1 rows),
-    # so failure costs one extra join execution, not one per kind
+    # diagnostics: one LIMIT-bounded collect PER failing kind (<= 3 jobs,
+    # failure path only) so a dominant kind (millions of 'changed' rows)
+    # cannot starve the others' samples.  CollectLimit scans partitions
+    # incrementally and early-outs, which beats the single-job
+    # alternative — row_number over (partition by diff_kind) — whose
+    # shuffle would funnel the ENTIRE diff output into <= 3 tasks.
     diag_rows: dict[str, list[str]] = {}
-    if failing:
+    for k in failing:
         probe = (
-            diff.filter(F.col("diff_kind").isin(failing))
-            .limit(A.MAX_DIAG_ROWS + 1)
+            diff.filter(F.col("diff_kind") == k)
+            .limit(A.MAX_DIAG_ROWS)
             .collect()
         )
-        for r in probe:
-            diag_rows.setdefault(r["diff_kind"], []).append(str(r.asDict()))
+        diag_rows[k] = [str(r.asDict()) for r in probe]
     for kind in fail_kinds:
         got = counts.get(kind, 0)
         ar = AssertionResult(

@@ -166,6 +166,13 @@ def category_drift_violations(
     return j.filter(pred)
 
 
+# bincount allocates 8 bytes per id up to the batch max; above this bound
+# (2^24 ids = 128 MB) the buffer no longer pays for itself and the Arrow
+# tier counts via np.unique instead.  Real BPE/unigram-LM vocabularies
+# top out around 2^18; ids past this line are hash-derived or corrupt.
+_BINCOUNT_MAX_ID = 1 << 24
+
+
 def unigram_profile(
     df: DataFrame,
     tokens_col: str = "tokens",
@@ -190,6 +197,12 @@ def unigram_profile(
       1M×512 — BENCH/UNIGRAM_1M.md): shipping the token arrays through
       Arrow costs more than bincount saves.  Kept for environments where
       that balance differs; the default is the measured winner.
+      ``bincount`` allocates O(max token id) per batch, not O(vocab), so
+      a batch whose max id exceeds ``_BINCOUNT_MAX_ID`` (2^24 → 128 MB of
+      int64, the largest real BPE vocabularies are ~2^18) falls back to
+      ``np.unique(..., return_counts=True)`` — O(batch·log batch) time,
+      O(distinct) memory — instead of attempting a multi-GB allocation on
+      sparse large-id vocabularies.
 
     Both tiers skip NULL/empty arrays (completeness checks own those) and
     NULL/negative elements (the domain check owns those; bincount cannot
@@ -218,6 +231,12 @@ def unigram_profile(
             ])
             flat = flat[flat >= 0]  # domain violations belong elsewhere
             if flat.size == 0:
+                continue
+            if int(flat.max()) > _BINCOUNT_MAX_ID:
+                # sparse large-id vocab: bincount's O(max id) buffer
+                # would dwarf the batch — count by sorting instead
+                toks, counts = np.unique(flat, return_counts=True)
+                yield pd.DataFrame({"token": toks, "count": counts})
                 continue
             counts = np.bincount(flat)
             toks = np.nonzero(counts)[0]
@@ -293,6 +312,45 @@ def quantile_profile(
         F.element_at(q_arr, F.col("__pos") + 1).alias("q"),
         F.col("value").cast("double").alias("value"),
     )
+
+
+def quantile_sketch_probe(
+    df: DataFrame,
+    value_col: str,
+    qs: tuple[float, ...],
+    accuracy: int = 10_000,
+    rsd: float = 0.02,
+) -> dict:
+    """ONE fact-table aggregation computing both the tier decision and
+    the sketch answer: count, approx_count_distinct (HLL++, relative sd
+    ``rsd``) and the percentile_approx sketch for every requested
+    quantile ride the same map-side-combinable pass.  Callers that may
+    need the sketch tier use this instead of a cardinality probe
+    followed by a second percentile scan — if the cardinality estimate
+    says 'sketch', the sketch values are already in hand (one scan
+    total); if it says 'exact', the exact tier's histogram build is the
+    only further scan.  Returns ``{"n": int, "card_est": int,
+    "quantiles": {q: value}}``."""
+    q_arr = F.array(*[F.lit(float(q)) for q in qs])
+    row = (
+        df.filter(F.col(value_col).isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.approx_count_distinct(value_col, rsd).alias("card_est"),
+            F.percentile_approx(value_col, q_arr, F.lit(accuracy)).alias("qv"),
+        )
+        .first()
+    )
+    qvals = row["qv"] or []
+    return {
+        "n": int(row["n"]),
+        "card_est": int(row["card_est"]),
+        "quantiles": {
+            float(q): float(v)
+            for q, v in zip(qs, qvals)
+            if v is not None
+        },
+    }
 
 
 def quantile_drift_violations(

@@ -33,8 +33,8 @@ n_tok over sources — so the single shuffle this plan performs is safer
 than the per-check shuffles it replaces.
 
 Degenerate input: an unbounded/corrupt n_tok column makes the cube
-large but it stays DISTRIBUTED (the materialization is a
-localCheckpoint, never a driver collect); the only driver transfers
+large but it stays DISTRIBUTED (the materialization is a recomputable
+persist(MEMORY_AND_DISK), never a driver collect); the only driver transfers
 are the derived aggregates, and the quantile consumer keeps its
 LIMIT-bounded cardinality guard.
 

@@ -79,6 +79,17 @@ class SharedComputations:
                 self._vals[key] = fn()
             return self._vals[key]
 
+    def peek(self, key: str) -> object | None:
+        """The memoized value if ALREADY computed, else None — never
+        triggers a build.  Lets a consumer with a cheaper single-purpose
+        plan (e.g. NTokQuantileDrift's combined sketch scan) use the
+        shared value opportunistically without paying for it.  A build
+        in flight on another thread reads as None (no blocking): the
+        peeker then runs its own one-scan plan, which is the bounded
+        worst case."""
+        with self._meta:
+            return self._vals.get(key)
+
 
 class CheckContext:
     """What a check body sees: tables, config, assertion recorder.  The

@@ -142,6 +142,29 @@ def test_unigram_profile_tiers_agree(spark, seq_fixture):
     assert a == b
 
 
+def test_unigram_arrow_tier_sparse_large_ids_no_bincount_blowup(spark):
+    """ADVICE r4: np.bincount allocates O(max token id) per batch; a
+    sparse vocabulary with ids near int32-max must take the np.unique
+    fallback (O(distinct) memory) and still agree with the portable tier
+    bin-for-bin.  Without the guard this test would attempt a ~16 GB
+    allocation per batch."""
+    from ensembl_datacheck_spark.operators import drift as D
+
+    big = 2_000_000_000  # > _BINCOUNT_MAX_ID, within int32
+    rows = [
+        ("d1", [big, 5, big]),
+        ("d2", [big - 1, 5]),
+        ("d3", [7]),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    expected = {big: 2, big - 1: 1, 5: 2, 7: 1}
+    a = {r["token"]: r["count"] for r in D.unigram_profile(df).collect()}
+    b = {r["token"]: r["count"]
+         for r in D.unigram_profile(df, arrow=True).collect()}
+    assert a == expected
+    assert b == expected
+
+
 def test_token_unigram_drift_passes_on_same_baseline(spark, seq_fixture):
     tables = {
         "sequences": seq_fixture["sequences_clean"],
@@ -175,6 +198,14 @@ def test_token_snapshot_equality_counts_skip_and_forbid_new(spark, seq_fixture):
     assert res.status == Status.FAIL
     assert a["snapshot_changed"].got == exp_changed
     assert a["snapshot_missing_in_current"].got == 5
+    # ADVICE r4: every failing kind gets its own bounded diag sample — a
+    # dominant kind (changed >> MAX_DIAG_ROWS here) must not starve the
+    # rare kind's diagnostics
+    from ensembl_datacheck_spark import assertions as A
+
+    assert exp_changed > A.MAX_DIAG_ROWS
+    assert 0 < len(a["snapshot_changed"].diag) <= A.MAX_DIAG_ROWS
+    assert 0 < len(a["snapshot_missing_in_current"].diag) <= A.MAX_DIAG_ROWS
     # growth is allowed by default: reported, not failed
     assert a["snapshot_new_in_current"].status == Status.OK
     assert a["snapshot_new_in_current"].got == exp_new

@@ -264,6 +264,76 @@ def test_ntok_quantile_drift_auto_switches_to_sketch(spark):
     assert a.status == Status.OK, a.diag  # sketch within 5% of exact
 
 
+def test_ntok_quantile_sketch_path_is_one_fact_scan(spark, monkeypatch):
+    """VERDICT r4 item 4: the sketch path must launch exactly ONE
+    fact-table scan in every execution mode.  Standalone (no memoized
+    profile cube): the single combined quantile_sketch_probe aggregation
+    — no cube build, no second percentile pass.  With a co-running
+    check's memoized cube: the tier decision is free (peek) and only the
+    percentile sketch scans.  Exact tier standalone still builds the
+    shared cube (it seeds every other aggregate consumer)."""
+    import ensembl_datacheck_spark.checks.core as core
+    from ensembl_datacheck_spark.plans.runner import (
+        SharedComputations,
+        run_check,
+    )
+
+    calls = {"fact_profile": 0, "quantile_profile": 0, "probe": 0}
+    origs = {
+        "fact_profile": core.P.fact_profile,
+        "quantile_profile": core.D.quantile_profile,
+        "probe": core.D.quantile_sketch_probe,
+    }
+
+    def counted(key):
+        def wrap(*a, **kw):
+            calls[key] += 1
+            return origs[key](*a, **kw)
+        return wrap
+
+    monkeypatch.setattr(core.P, "fact_profile", counted("fact_profile"))
+    monkeypatch.setattr(core.D, "quantile_profile", counted("quantile_profile"))
+    monkeypatch.setattr(core.D, "quantile_sketch_probe", counted("probe"))
+
+    tables = _ntok_quantile_tables(spark)
+    [spec] = registry.select(names=["NTokQuantileDrift"])
+
+    # 1) sketch tier, standalone: one combined scan, nothing else
+    res, _ = run_check(
+        spark=spark, spec=spec, tables=tables,
+        config={"quantile_exact_max_card": 100},
+    )
+    assert res.status == Status.OK, res.assertions
+    assert calls == {"fact_profile": 0, "quantile_profile": 0, "probe": 1}
+
+    # 2) sketch tier with the cube already memoized by a co-running
+    #    check: free tier decision, one percentile-sketch scan
+    shared = SharedComputations()
+    shared.get(
+        "fact_profile:sequences",
+        lambda: origs["fact_profile"](tables["sequences"]),
+    )
+    for k in calls:
+        calls[k] = 0
+    res, _ = run_check(
+        spark=spark, spec=spec, tables=tables,
+        config={"quantile_exact_max_card": 100}, shared=shared,
+    )
+    assert res.status == Status.OK, res.assertions
+    assert calls == {"fact_profile": 0, "quantile_profile": 1, "probe": 0}
+
+    # 3) exact tier, standalone: combined probe decides, cube build
+    #    serves the histogram (and would seed co-consumers)
+    for k in calls:
+        calls[k] = 0
+    res, _ = run_check(
+        spark=spark, spec=spec, tables=tables,
+        config={"quantile_exact_max_card": 100_000},
+    )
+    assert res.status == Status.OK, res.assertions
+    assert calls == {"fact_profile": 1, "quantile_profile": 0, "probe": 1}
+
+
 def test_ntok_quantile_drift_exact_tier_below_threshold(spark):
     """Below the threshold the exact-histogram tier runs (bit-exact
     against the baseline's exact quantiles: zero breaches even at zero
