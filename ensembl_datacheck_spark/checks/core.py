@@ -116,6 +116,26 @@ def token_invariants(ctx):
         )
 
 
+def profile_memo_key(df, kind: str = "fact_profile") -> str:
+    """Memo key for shared profile values: kind + a fingerprint of the
+    fact table's ANALYZED plan.  Within one Runner the table object is
+    stable, so the key behaves exactly like the old per-run constant;
+    under a fleet-shared SharedComputations (plans/fleet.py) targets
+    validating the same DataFrame hash to the same key (one cube build
+    per TABLE, not per Runner) while distinct tables can never collide —
+    plans re-created from the same source carry fresh expression ids, so
+    a fingerprint mismatch only ever costs a missed share, never serves
+    the wrong table's profile."""
+    import hashlib
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    return f"{kind}:sequences:{hashlib.md5(plan.encode()).hexdigest()[:16]}"
+
+
+def _profile_memo_key(ctx, kind: str = "fact_profile") -> str:
+    return profile_memo_key(ctx.table("sequences"), kind)
+
+
 def _shared_fact_profile(ctx):
     """Run-scoped one-scan (source, n_tok) profile cube
     (operators/profile.py): the first aggregate check in a run builds and
@@ -141,13 +161,14 @@ def _shared_fact_profile(ctx):
         prof.count()  # eager: consumers re-aggregate materialized blocks
         return prof
 
-    return ctx.shared.get("fact_profile:sequences", build)
+    return ctx.shared.get(_profile_memo_key(ctx), build)
 
 
 def _shared_profile_global(ctx) -> dict:
     prof = _shared_fact_profile(ctx)
     return ctx.shared.get(
-        "fact_profile_global:sequences", lambda: P.profile_global(prof)
+        _profile_memo_key(ctx, "fact_profile_global"),
+        lambda: P.profile_global(prof),
     )
 
 
@@ -512,7 +533,7 @@ def ntok_quantile_drift(ctx):
     # every other aggregate consumer via ctx.shared.
     probe: list | None = None
     sketch_q: dict[float, float] | None = None
-    shared_prof = ctx.shared.peek("fact_profile:sequences")
+    shared_prof = ctx.shared.peek(_profile_memo_key(ctx))
     if shared_prof is not None:
         probe = (
             P.profile_ntok_counts(shared_prof).limit(max_card + 1).collect()

@@ -29,6 +29,7 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(node, component) labels from an undirected edge list; component =
     min node id in the component.
@@ -50,6 +51,11 @@ def connected_components(
     (clusters split, never wrongly merged).  localCheckpoint cuts the
     growing lineage each round (iterative plans otherwise re-execute
     from the source).
+
+    ``stats`` (optional dict) receives ``{"rounds": <n>, "converged":
+    <bool>}`` — a pointer-doubling regression (the r3 bug class) shows
+    up as rounds blowing past ~log2(diameter)+2 long before walls do,
+    so benches pin the round count, not just the wall.
     """
     edges = (
         pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
@@ -104,10 +110,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            if stats is not None:
+                stats.update(rounds=i + 1, converged=True)
             break
     else:
         import warnings
 
+        if stats is not None:
+            stats.update(rounds=max_iterations, converged=False)
         warnings.warn(
             f"connected_components did not converge in {max_iterations} "
             "iterations (graph diameter exceeds the cap); labels are an "

@@ -481,12 +481,67 @@ def simhash64(col: Column) -> Column:
     return pandas_udf(_simhash64_fn, "long")(col)
 
 
+def simhash_band_bits(
+    corpus_size: int,
+    sig_bits: int = 64,
+    ladder: tuple[int, ...] = (16, 32),
+    collisions_per_doc: float = 1.0,
+) -> int:
+    """Scale-adaptive band width: the smallest ladder step whose expected
+    BIRTHDAY collisions stay linear in the corpus.  Uniformly-hashed
+    band values collide at ~n²/2^(bits+1) accidental pairs per band;
+    summed over the sig_bits//bits bands this must stay
+    <= collisions_per_doc·n.  A FIXED width is quadratic in corpus size
+    — the legacy 16-bit default emits ~42M accidental candidate pairs at
+    1M docs (measured, BENCH/DEDUP_1M.md); the break-even for 16-bit
+    bands is n = 2^15 docs.  Wider bands trade recall: with 32-bit bands
+    (two of them) a Hamming-1 difference is always caught, Hamming-k
+    (k >= 2) only when every flipped bit lands in one half.  Beyond
+    ~2^33 docs even the widest step saturates — pre-shard the corpus
+    (e.g. dedup within source) at that scale."""
+    for bits in ladder:
+        n_bands = max(1, sig_bits // bits)
+        expected = n_bands * corpus_size * (corpus_size - 1) / 2.0 / float(2**bits)
+        if expected <= collisions_per_doc * corpus_size:
+            return bits
+    return ladder[-1]
+
+
+def _resolve_band_bits(
+    df: DataFrame,
+    band_bits: int | None,
+    corpus_size_hint: int | None,
+    sig_bits: int,
+    ladder: tuple[int, ...],
+) -> int:
+    """band_bits if given; else adaptive from the hint; else adaptive
+    from a one-time COUNT of the input (a metadata-cheap single-column
+    scan — the price of a default that cannot melt down at scale)."""
+    if band_bits is not None:
+        return band_bits
+    n = corpus_size_hint if corpus_size_hint is not None else df.count()
+    return simhash_band_bits(int(n), sig_bits=sig_bits, ladder=ladder)
+
+
 def simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, band_bits: int = 16
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_bits: int | None = None,
+    corpus_size_hint: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates = docs sharing any of the 64/band_bits simhash
     bands (detects Hamming distance < 64/band_bits differences).  Returns
-    (id_a, id_b, simhash_a, simhash_b) pairs."""
+    (id_a, id_b, simhash_a, simhash_b) pairs.
+
+    ``band_bits`` defaults to the scale-adaptive selection
+    (simhash_band_bits) from ``corpus_size_hint`` — or, with no hint,
+    from a one-time count of ``df`` — so default arguments stay
+    linear-candidate-set at any corpus size instead of inheriting a
+    width tuned for small corpora."""
+    band_bits = _resolve_band_bits(
+        df, band_bits, corpus_size_hint, sig_bits=64, ladder=(16, 32)
+    )
     n_bands = 64 // band_bits
     mask = (1 << band_bits) - 1
     # signatures are reused three times (banding + two join-backs);
@@ -638,12 +693,23 @@ def portable_simhash_signatures(
 
 
 def portable_simhash_near_duplicates(
-    df: DataFrame, id_col: str, text_col: str, band_bits: int = 15
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    band_bits: int | None = None,
+    corpus_size_hint: int | None = None,
 ) -> DataFrame:
     """Near-dup candidates from the portable 60-bit SimHash: docs sharing
     any of the 60/band_bits bands, paired through the capped hub-spoke
     generator.  (id_a, id_b, simhash_a, simhash_b), oracle-verifiable
-    value for value."""
+    value for value.  ``band_bits`` defaults to the scale-adaptive
+    selection over the 60-bit divisor ladder (15/20/30 → 4/3/2 bands) —
+    oracle callers pin it explicitly so SQL twins stay band-for-band
+    reproducible."""
+    band_bits = _resolve_band_bits(
+        df, band_bits, corpus_size_hint,
+        sig_bits=PORTABLE_SIMHASH_BITS, ladder=(15, 20, 30),
+    )
     n_bands = PORTABLE_SIMHASH_BITS // band_bits
     mask = (1 << band_bits) - 1
     # cache: the 60-aggregate signature subplan would otherwise run

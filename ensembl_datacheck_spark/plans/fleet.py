@@ -16,7 +16,7 @@ from dataclasses import dataclass, field
 from pyspark.sql import SparkSession
 
 from ensembl_datacheck_spark.plans.checkpoint import CheckpointStore
-from ensembl_datacheck_spark.plans.runner import Runner
+from ensembl_datacheck_spark.plans.runner import Runner, SharedComputations
 from ensembl_datacheck_spark.registry import CheckSpec
 from ensembl_datacheck_spark.verdict import RunSummary
 
@@ -67,8 +67,15 @@ def run_fleet(
     serves the whole fleet: rows are namespaced per db through the
     lineage fingerprint (``"<db>:<input lineage>"``), so resume matching
     is per-(db, check, partition) — the reference history file's
-    dbname-level keying (Manager.pm:410-415)."""
+    dbname-level keying (Manager.pm:410-415).
+
+    All runners share ONE SharedComputations memo: shared values are
+    keyed by table fingerprint (checks/core.profile_memo_key), so a
+    fan-out whose targets validate the same fact table pays one profile
+    cube per TABLE for the whole fleet, while targets with distinct
+    tables still build (and can never cross-consume) their own."""
     fleet = FleetSummary()
+    fleet_shared = SharedComputations()
 
     def one(target: DbTarget) -> tuple[str, RunSummary | None, str | None]:
         try:
@@ -79,6 +86,7 @@ def run_fleet(
                 checkpoint_store=checkpoint_store,
                 lineage=f"{target.name}:{target.lineage}",
                 config=config,
+                shared=fleet_shared,
             )
             return target.name, runner.run(specs), None
         except Exception:

@@ -212,6 +212,7 @@ class Runner:
         checkpoint_store: CheckpointStore | None = None,
         lineage: str = "",
         config: dict | None = None,
+        shared: SharedComputations | None = None,
     ):
         self.spark = spark
         self.tables = dict(tables)
@@ -225,7 +226,12 @@ class Runner:
         self.lineage = f"{lineage}#nb{n_buckets}" if lineage else lineage
         self.config = config or {}
         self.run_id = new_run_id()
-        self.shared = SharedComputations()
+        # Injectable so a fleet (plans/fleet.py) can hand every Runner ONE
+        # memo: shared values are keyed by table fingerprint
+        # (checks/core._profile_memo_key), so targets that validate the
+        # SAME table share one cube build while distinct tables can never
+        # collide.  Default: private per-run memo, today's behavior.
+        self.shared = shared if shared is not None else SharedComputations()
         self._rows_per_bucket: dict[int, int] | None = None
         self._rpb_lock = threading.Lock()
         self._cc_lock = threading.Lock()

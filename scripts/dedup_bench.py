@@ -138,21 +138,21 @@ def main():
         true_found,
     )
 
-    # 2. production SimHash (Arrow tier) near-dup candidates.
-    #    band_bits=32 (2 bands): at 1M docs the default 16-bit bands emit
-    #    ~42M birthday-collision candidates (measured) — correct operator
-    #    behavior but the wrong banding for this corpus size, exactly the
-    #    "more selective banding as the corpus grows" tradeoff the
-    #    operator docstrings describe.  32-bit bands detect Hamming < 2
-    #    (covers the planted exact dups) with ~0 random collisions.
+    # 2. production SimHash (Arrow tier) near-dup candidates, DEFAULT
+    #    arguments: band width comes from the scale-adaptive selector
+    #    (dedup.simhash_band_bits), which must pick 32-bit bands at this
+    #    corpus size — the fixed 16-bit legacy default emitted ~42M
+    #    birthday-collision candidates at 1M docs (measured, r3/r4).
+    #    32-bit bands detect Hamming < 2 (covers the planted exact dups)
+    #    with ~0 random collisions; n_pairs =~ planted set is the hard
+    #    regression signal for the DEFAULT path.
     from ensembl_datacheck_spark.operators.dedup import (
         simhash_near_duplicates,
     )
 
     run_tier(
-        "simhash_32bit_bands",
-        lambda: simhash_near_duplicates(docs, "doc_id", "text",
-                                        band_bits=32),
+        "simhash_default_adaptive",
+        lambda: simhash_near_duplicates(docs, "doc_id", "text"),
         true_found,
     )
 
@@ -256,6 +256,43 @@ def main():
     }
     print(f"connected_components: {results['connected_components']}",
           file=sys.stderr)
+
+    # 6. ADVERSARIAL chain component (VERDICT r4 item 5): the planted
+    #    2-cliques above converge in 2 rounds and never exercise pointer
+    #    doubling — a doubling regression (the exact r3 bug class) would
+    #    be invisible.  A 10k-node chain has diameter 9,999: min-label
+    #    propagation alone needs ~10k rounds (i.e. hits the cap), with
+    #    doubling the label horizon doubles per round so convergence is
+    #    <= log2(diameter)+2 ≈ 16 rounds.  A rounds jump IS the
+    #    regression signal; the wall corroborates.
+    chain_n = 10_000
+    chain = spark.range(chain_n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    ).localCheckpoint(eager=True)
+    cc_stats: dict = {}
+    t0 = time.perf_counter()
+    chain_labels = connected_components(chain, stats=cc_stats)
+    chain_comp = chain_labels.select("component").distinct().count()
+    chain_wall = round(time.perf_counter() - t0, 2)
+    import math
+
+    max_rounds = int(math.log2(chain_n - 1)) + 2
+    results["connected_components_chain10k"] = {
+        "wall_sec": chain_wall,
+        "n_nodes": chain_labels.count(),
+        "n_components": chain_comp,
+        "rounds": cc_stats.get("rounds"),
+        "converged": cc_stats.get("converged"),
+        "max_rounds_allowed": max_rounds,
+        "rounds_ok": bool(
+            cc_stats.get("converged") and cc_stats.get("rounds", 99) <= max_rounds
+        ),
+    }
+    print(
+        f"connected_components_chain10k: "
+        f"{results['connected_components_chain10k']}",
+        file=sys.stderr,
+    )
 
     out = json.dumps({"rows": args.rows, "cores": args.cores, **results})
     if args.json_out:

@@ -164,11 +164,17 @@ def test_connected_components_long_chain_pointer_doubling(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(200)], "id_a long, id_b long"
     )
+    stats: dict = {}
     with warnings.catch_warnings():
         warnings.simplefilter("error", RuntimeWarning)
-        labels = CL.connected_components(edges, max_iterations=12).collect()
+        labels = CL.connected_components(
+            edges, max_iterations=12, stats=stats
+        ).collect()
     assert len(labels) == 201
     assert {r["component"] for r in labels} == {0}
+    # the rounds counter is the bench's regression signal (r4 item 5):
+    # log2(200)+2 ≈ 9 — a doubling regression shows here before walls
+    assert stats["converged"] and stats["rounds"] <= 10, stats
 
 
 class TestTokenPassageDedup:

@@ -39,6 +39,47 @@ def test_fleet_runs_per_db_and_resumes(spark, seq_fixture, tmp_path):
     assert any(r.status == Status.FAIL for r in dirty2.results)
 
 
+def test_fleet_shares_profile_cube_per_table(spark, seq_fixture, monkeypatch):
+    """VERDICT r4 item 6: all fleet runners share ONE SharedComputations
+    memo keyed by table fingerprint — two targets validating the SAME
+    fact table trigger exactly one profile-cube build for the whole
+    fleet, while a target with a DIFFERENT table builds its own (never
+    cross-consumes).  Verdicts must match the unshared per-runner runs."""
+    import ensembl_datacheck_spark.checks.core as core
+
+    calls = {"n": 0}
+    orig = core.P.fact_profile
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    monkeypatch.setattr(core.P, "fact_profile", counting)
+    sources = seq_fixture["sources"]
+    clean = seq_fixture["sequences_clean"]
+    base = {"sources": sources,
+            "baseline_stats": seq_fixture["baseline_same"]}
+    # two targets over the SAME DataFrame + one over a different table
+    targets = [
+        DbTarget("db_a", {"sequences": clean, **base}, lineage="v1"),
+        DbTarget("db_b", {"sequences": clean, **base}, lineage="v1"),
+        DbTarget("db_c", {"sequences": seq_fixture["sequences"], **base},
+                 lineage="v1"),
+    ]
+    specs = registry.select(names=["SequencesStats", "SourceDrift"])
+    fleet = run_fleet(spark, targets, specs)
+    assert set(fleet.to_dict(failures_only=False)) == {"db_a", "db_b", "db_c"}
+    assert not fleet.errors
+    assert calls["n"] == 2, (
+        f"expected one cube per TABLE (2 distinct tables), got {calls['n']}"
+    )
+    # same-table targets agree; distinct table keeps its own verdicts
+    da = {r.check_name: r.status for r in fleet.by_db["db_a"].results}
+    db = {r.check_name: r.status for r in fleet.by_db["db_b"].results}
+    assert da == db
+    assert fleet.by_db["db_a"].all_passed
+
+
 def test_pooled_fused_scan_matches_serial(spark, seq_fixture, tmp_path):
     """With ``parallelism`` > 1 the fused fact scan runs AS a pool task
     overlapping the small checks (the round-3 scaling fix).  Verdicts,

@@ -310,7 +310,7 @@ def test_ntok_quantile_sketch_path_is_one_fact_scan(spark, monkeypatch):
     #    check: free tier decision, one percentile-sketch scan
     shared = SharedComputations()
     shared.get(
-        "fact_profile:sequences",
+        core.profile_memo_key(tables["sequences"]),
         lambda: origs["fact_profile"](tables["sequences"]),
     )
     for k in calls:

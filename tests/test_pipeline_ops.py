@@ -102,6 +102,35 @@ def test_simhash_near_duplicates(docs):
     assert (1, 2) in pairs
 
 
+def test_simhash_band_bits_scales_with_corpus(docs):
+    """VERDICT r4 item 3: default band width derives from corpus size so
+    defaults cannot emit quadratic birthday collisions at scale.  Pins
+    the selector at three sizes (the 16-bit break-even is n = 2^15), the
+    portable 60-bit ladder, and that corpus_size_hint reaches the plan
+    (a large hint on a small corpus must band at 32 bits)."""
+    # 64-bit production ladder (16, 32)
+    assert dedup.simhash_band_bits(1_000) == 16
+    assert dedup.simhash_band_bits(32_768) == 16
+    assert dedup.simhash_band_bits(1_000_000) == 32
+    # 60-bit portable ladder (15, 20, 30)
+    ladder60 = dict(sig_bits=60, ladder=(15, 20, 30))
+    assert dedup.simhash_band_bits(1_000, **ladder60) == 15
+    assert dedup.simhash_band_bits(100_000, **ladder60) == 20
+    assert dedup.simhash_band_bits(1_000_000, **ladder60) == 30
+    # hint is honored without counting: the 32-bit band mask
+    # (2^32 - 1) appears in the plan and pairs equal the explicit call
+    hinted = dedup.simhash_near_duplicates(
+        docs, "doc_id", "text", corpus_size_hint=2_000_000
+    )
+    assert "4294967295" in hinted._jdf.queryExecution().toString()
+    explicit = dedup.simhash_near_duplicates(
+        docs, "doc_id", "text", band_bits=32
+    )
+    assert sorted(map(tuple, hinted.collect())) == sorted(
+        map(tuple, explicit.collect())
+    )
+
+
 def test_embedding_similarity(spark):
     import numpy as np
 
