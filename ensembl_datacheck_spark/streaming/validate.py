@@ -223,3 +223,60 @@ def dedup_stream_against_store(
     )
     out = deduped.unionByName(fresh.filter(F.col("__ch").isNull()))
     return out.drop("__ch")
+
+
+def snapshot_equality_stream(
+    stream: DataFrame,
+    snapshot: DataFrame,
+    key_col: str = "doc_id",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Streaming twin of operators/snapshot.token_snapshot_diff: classify
+    every ARRIVING row against a STATIC snapshot table — the per-row
+    token-array-equality invariant running on data as it lands instead
+    of in a nightly batch diff.
+
+    Emits (key, diff_kind, n_tok_cur, n_tok_snap) violation rows, kinds
+
+    * ``changed``        — key exists in the snapshot, token arrays
+      differ (same null-safe codegen comparison as the batch operator);
+    * ``new_in_current`` — key absent from the snapshot (growth).
+
+    ``missing_in_current`` is UNDECIDABLE on an unbounded stream —
+    absence of a key has no arrival event — so the batch check
+    (TokenSnapshotEquality) keeps sole ownership of that kind; this twin
+    covers the two kinds that are per-row facts.  Parity with the batch
+    diff on those kinds is pinned in tests.
+
+    Scale shape: a stream-static LEFT OUTER equi-join, re-planned per
+    micro-batch with only the batch on the streaming side — the
+    snapshot is never pulled into streaming state, so state size is
+    zero (stateless select+join per batch).  For a large snapshot,
+    persist it bucketed on the key (sources/io.write_bucketed) so each
+    micro-batch joins shuffle-free on the static side.
+    """
+    from ensembl_datacheck_spark.functions.arrays import token_arrays_equal
+    from ensembl_datacheck_spark.operators.snapshot import (
+        CHANGED,
+        NEW_IN_CURRENT,
+    )
+
+    snap = snapshot.select(
+        F.col(key_col).alias("__k"),
+        F.col(tokens_col).alias("__snap_toks"),
+        F.lit(True).alias("__snap_present"),
+    )
+    j = stream.join(snap, stream[key_col] == F.col("__k"), "left_outer")
+    kind = (
+        F.when(F.col("__snap_present").isNull(), F.lit(NEW_IN_CURRENT))
+        .when(
+            ~token_arrays_equal(F.col(tokens_col), F.col("__snap_toks")),
+            F.lit(CHANGED),
+        )
+    )
+    return j.select(
+        F.col(key_col),
+        kind.alias("diff_kind"),
+        F.size(tokens_col).alias("n_tok_cur"),
+        F.size("__snap_toks").alias("n_tok_snap"),
+    ).filter(F.col("diff_kind").isNotNull())

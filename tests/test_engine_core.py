@@ -581,13 +581,24 @@ def test_lineage_reads_iceberg_snapshot_id_without_runtime(spark, tmp_path):
 
 def test_catalog_iceberg_arm_roundtrip(spark, tmp_path):
     """format('iceberg') read/write arm — runs only where the runtime
-    jars are present (not this sandbox: the test documents the arm and
-    skips)."""
+    jars are present.  This sandbox has no network and no vendored jar,
+    so the skip is a DECISION documented here and in README.md
+    ("Iceberg runtime"): supply the artifact matching the installed
+    PySpark (see skip reason) via spark.jars.packages / --packages /
+    spark.jars and this test runs unmodified."""
     import pytest as _pytest
+    from pyspark import __version__ as _pyspark_ver
 
     cat = Catalog(spark, tmp_path / "wh_ice2")
     if not cat.use_iceberg:
-        _pytest.skip("Iceberg runtime not on the classpath")
+        major_minor = ".".join(_pyspark_ver.split(".")[:2])
+        _pytest.skip(
+            "Iceberg runtime not on the classpath: missing "
+            f"org.apache.iceberg:iceberg-spark-runtime-{major_minor}_2.13 "
+            "(no network in this sandbox to resolve it; supply via "
+            "spark.jars.packages or spark.jars — see README.md "
+            "'Iceberg runtime')"
+        )
     cat.write(spark.range(5).toDF("id"), "t")
     assert cat.load("t").count() == 5
     assert cat.lineage("t").startswith("iceberg-snapshot:")
