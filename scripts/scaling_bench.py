@@ -46,6 +46,10 @@ tables = {{
 # the regime a long-running validation job lives in
 Runner(spark, tables, n_buckets=64).run(registry.default_suite(), write_checkpoints=False,
                                         parallelism=4)
+def _load1():
+    return float(open("/proc/loadavg").read().split()[0])
+
+load_start = _load1()
 walls = []
 for _ in range(2):
     t0 = time.perf_counter()
@@ -54,8 +58,12 @@ for _ in range(2):
     walls.append(time.perf_counter() - t0)
 wall = min(walls)
 n_failed = summary.n_failed
+# load_end includes this worker's own threads; read it relative to
+# `cores`, not as ambient
 print(json.dumps({{"wall": wall, "walls": walls, "cores": cores,
-                   "n_failed": n_failed, "rows": seq.count()}}))
+                   "n_failed": n_failed, "rows": seq.count(),
+                   "loadavg_start": round(load_start, 2),
+                   "loadavg_end": round(_load1(), 2)}}))
 """
 
 
