@@ -60,6 +60,17 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--no-failures-fatal", action="store_true")
     p.add_argument("--output-json", help="JSON report path")
     p.add_argument("--output-tap", help="TAP-style report path")
+    p.add_argument("--es-bulk-file", help="write the Elasticsearch _bulk "
+                   "payload for this run here (StoreResultToES.pm analogue; "
+                   "offline relay mode — POST the file to {host}/_bulk)")
+    p.add_argument("--es-index", default="datachecks",
+                   help="ES index name for --es-bulk-file docs")
+    p.add_argument("--email-file", help="write the summary email (.eml, "
+                   "DataCheckSummary.pm analogue) here")
+    p.add_argument("--email-to", nargs="*", default=["datachecks@localhost"],
+                   help="To: recipients for --email-file")
+    p.add_argument("--tag", help="submission tag echoed in the email "
+                   "subject/body and ES input_details")
     p.add_argument("--passed", action="store_true",
                    help="include passing checks in the JSON report")
     p.add_argument("--list", action="store_true", help="list checks and exit")
@@ -71,7 +82,7 @@ def build_parser() -> argparse.ArgumentParser:
 def main(argv: list[str] | None = None) -> int:
     import ensembl_datacheck_spark.checks  # noqa: F401  (register suite)
     from ensembl_datacheck_spark import registry
-    from ensembl_datacheck_spark.plans import reports
+    from ensembl_datacheck_spark.plans import reports, sinks
     from ensembl_datacheck_spark.plans.checkpoint import CheckpointStore
     from ensembl_datacheck_spark.plans.runner import Runner
     from ensembl_datacheck_spark.session import get_spark
@@ -174,6 +185,18 @@ def main(argv: list[str] | None = None) -> int:
                                   failures_only=not args.passed)
     if args.output_tap:
         reports.write_tap_report(summary, args.output_tap)
+    if args.es_bulk_file:
+        sinks.store_to_elasticsearch(
+            summary, args.es_index, path=args.es_bulk_file,
+            run_id=lineage[:64] or "run",
+            input_details={"tag": args.tag, "names": args.names,
+                           "groups": args.groups, "lineage": lineage},
+        )
+    if args.email_file:
+        sinks.email_summary(
+            summary, args.email_to, path=args.email_file, tag=args.tag,
+            json_output_file=args.output_json, json_passed=args.passed,
+        )
     print(reports.summary_line(summary))
     for name in reports.failed_names(summary):
         print(f"  FAILED: {name}", file=sys.stderr)

@@ -236,3 +236,30 @@ def test_cli_snapshot_table_runs_equality_check(spark, tmp_path):
     assert rc2 == 0
     j2 = json.loads((tmp_path / "res2.json").read_text())
     assert j2["datachecks"][0]["status"] == "skip"
+
+
+def test_cli_es_bulk_and_email_sinks(spark, tmp_path):
+    _write_tables(spark, tmp_path, dirty=True)
+    rc = main([
+        "--sequences", str(tmp_path / "sequences"),
+        "--sources", str(tmp_path / "sources"),
+        "--names", "DocIdUnique", "SourceReferential",
+        "--warehouse", str(tmp_path / "wh"),
+        "--n-buckets", "8",
+        "--output-json", str(tmp_path / "res.json"),
+        "--es-bulk-file", str(tmp_path / "bulk.ndjson"),
+        "--email-file", str(tmp_path / "summary.eml"),
+        "--email-to", "ops@example.org",
+        "--tag", "rel42",
+    ])
+    assert rc == 1
+    lines = (tmp_path / "bulk.ndjson").read_text().strip().split("\n")
+    assert len(lines) == 2 * (1 + 2)  # summary + 2 checks, action+source each
+    run_doc = json.loads(lines[1])
+    assert run_doc["doc_kind"] == "run_summary" and run_doc["failed"] == 2
+    assert run_doc["input_details"]["tag"] == "rel42"
+    eml = (tmp_path / "summary.eml").read_bytes().decode()
+    assert "Subject: FAIL: Datacheck Summary (rel42)" in eml
+    assert "To: ops@example.org" in eml
+    # the JSON report rides along as the attachment (under the 2MB cap)
+    assert "res.json" in eml

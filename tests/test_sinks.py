@@ -1,0 +1,152 @@
+"""Sinks: ES bulk payload (StoreResultToES.pm analogue) and summary email
+(DataCheckSummary.pm:110-176 analogue).  Pure renderers — no Spark, no
+network; the offline `path` transports are exercised for real."""
+
+from __future__ import annotations
+
+import json
+from email import message_from_bytes
+
+import pytest
+
+from ensembl_datacheck_spark.plans import sinks
+from ensembl_datacheck_spark.plans.fleet import FleetSummary
+from ensembl_datacheck_spark.verdict import (
+    AssertionResult,
+    CheckResult,
+    RunSummary,
+    Status,
+)
+
+
+def _summary(n_ok: int = 1, n_fail: int = 1) -> RunSummary:
+    results = []
+    for i in range(n_ok):
+        results.append(
+            CheckResult(
+                check_name=f"ok_{i}",
+                assertions=[AssertionResult("rows match", Status.OK)],
+            ).finish()
+        )
+    for i in range(n_fail):
+        results.append(
+            CheckResult(
+                check_name=f"fail_{i}",
+                assertions=[
+                    AssertionResult(
+                        "no orphans", Status.FAIL, expected=0, got=3,
+                        diag=["doc_id=a", "doc_id=b"],
+                    )
+                ],
+                n_violations=3,
+            ).finish()
+        )
+    return RunSummary(results=results)
+
+
+def test_es_bulk_payload_shape():
+    s = _summary(n_ok=2, n_fail=1)
+    payload = sinks.es_bulk_payload(
+        s, "datachecks", run_id="r1", input_details={"tag": "rel42"}
+    )
+    assert payload.endswith("\n")  # the bulk API requires the trailing newline
+    lines = payload.strip().split("\n")
+    # one action + one source line per doc; docs = 1 summary + 3 checks
+    assert len(lines) == 2 * (1 + 3)
+    actions = [json.loads(l) for l in lines[0::2]]
+    sources = [json.loads(l) for l in lines[1::2]]
+    assert all(a["index"]["_index"] == "datachecks" for a in actions)
+    assert actions[0]["index"]["_id"] == "r1:summary"
+    run_doc = sources[0]
+    assert run_doc["doc_kind"] == "run_summary"
+    assert (run_doc["passed"], run_doc["failed"]) == (2, 1)
+    assert run_doc["input_details"] == {"tag": "rel42"}
+    # content mirrors the reference's single-report document: the full
+    # JSON report text (StoreResultToES.pm:83)
+    assert json.loads(run_doc["content"])["failed"] == 1
+    check_doc = next(d for d in sources if d.get("check_name") == "fail_0")
+    assert check_doc["status"] == "fail" and check_doc["run_id"] == "r1"
+    # deterministic ids -> idempotent re-index
+    assert payload == sinks.es_bulk_payload(
+        s, "datachecks", run_id="r1", input_details={"tag": "rel42"}
+    )
+
+
+def test_store_to_elasticsearch_file_mode_and_arg_guard(tmp_path):
+    s = _summary()
+    out = tmp_path / "bulk.ndjson"
+    payload = sinks.store_to_elasticsearch(s, "idx", path=out, run_id="r2")
+    assert out.read_text() == payload
+    with pytest.raises(ValueError):
+        sinks.store_to_elasticsearch(s, "idx")  # neither destination
+    with pytest.raises(ValueError):
+        sinks.store_to_elasticsearch(
+            s, "idx", hosts=["http://x"], path=out
+        )  # both
+
+
+def test_render_summary_email_single_run():
+    subject, text = sinks.render_summary_email(_summary(n_fail=1), tag="rel42")
+    assert subject == "FAIL: Datacheck Summary (rel42)"
+    assert "Submission tag: rel42" in text
+    assert "0 databases passed all datachecks, 1 database failed" in text
+    assert "\tpassed: 1\tfailed: 1\tskipped: 0\tdefault\n" in text
+    # provenance notes present even when nothing was stored
+    # (DataCheckSummary.pm:146-170 else-branches)
+    assert "were not stored in a history file" in text
+    assert "The results were not stored in JSON format." in text
+
+    subject_ok, text_ok = sinks.render_summary_email(
+        _summary(n_fail=0), history_file="/h.json", json_output_file="/r.json",
+        json_passed=True,
+    )
+    assert subject_ok == "PASS: Datacheck Summary"
+    assert "1 database passed all datachecks, 0 databases failed" in text_ok
+    assert "history file: /h.json" in text_ok
+    assert "All results were stored in JSON format: /r.json" in text_ok
+
+
+def test_render_summary_email_fleet_counts_databases_not_checks():
+    fleet = FleetSummary(
+        by_db={"core_db": _summary(n_ok=3, n_fail=2), "ft_db": _summary(n_fail=0)},
+        errors={"broken_db": "Traceback: boom"},
+    )
+    subject, text = sinks.render_summary_email(fleet)
+    assert subject == "FAIL: Datacheck Summary"
+    # 1 passing db, 1 failing db + 1 errored db (a broken run counts
+    # against the fleet, fleet.py isolation semantics)
+    assert "1 database passed all datachecks, 2 databases failed" in text
+    assert "\tpassed: 3\tfailed: 2\tskipped: 0\tcore_db\n" in text
+    assert "\terror (run aborted): broken_db\n" in text
+
+
+def test_email_summary_eml_file_with_attachment(tmp_path):
+    report = tmp_path / "report.json"
+    report.write_text('{"failed": 1}\n')
+    eml = tmp_path / "summary.eml"
+    msg = sinks.email_summary(
+        _summary(), ["ops@example.org"], path=eml,
+        json_output_file=str(report), tag="rel42",
+    )
+    parsed = message_from_bytes(eml.read_bytes())
+    assert parsed["Subject"] == "FAIL: Datacheck Summary (rel42)"
+    assert parsed["To"] == "ops@example.org"
+    attachments = [
+        p for p in parsed.walk() if p.get_filename() == "report.json"
+    ]
+    assert len(attachments) == 1
+    assert json.loads(attachments[0].get_payload(decode=True)) == {"failed": 1}
+    assert msg["Subject"] == parsed["Subject"]
+
+
+def test_email_summary_oversize_attachment_noted_not_attached(
+    tmp_path, monkeypatch
+):
+    monkeypatch.setattr(sinks, "_ATTACH_LIMIT_BYTES", 4)
+    report = tmp_path / "report.json"
+    report.write_text('{"failed": 0}\n')
+    msg = sinks.email_summary(
+        _summary(n_fail=0), ["ops@example.org"], json_output_file=str(report)
+    )
+    assert "exceeds 2MB limit" in msg.get_content()
+    assert not any(p.get_filename() for p in msg.walk())
