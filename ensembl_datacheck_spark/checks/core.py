@@ -181,6 +181,7 @@ def _shared_profile_global(ctx) -> dict:
     groups=("sequences", "stats"),
     severity="advisory",
     tables=("sequences",),
+    shared_uses=("fact_profile",),
 )
 def sequences_stats(ctx):
     # narrow columns only: tokens-array stats already ride the fused row
@@ -346,6 +347,7 @@ def source_referential(ctx):
     groups=("sequences", "referential"),
     severity="advisory",
     tables=("sequences", "sources"),
+    shared_uses=("fact_profile",),
 )
 def sources_used(ctx):
     sources = ctx.table("sources")
@@ -376,6 +378,7 @@ def sources_used(ctx):
     "(row_totals, Test/DataCheck.pm:260-281; default min_proportion 0.95)",
     groups=("sequences", "drift"),
     tables=("sequences", "baseline_stats"),
+    shared_uses=("fact_profile",),
 )
 def row_totals_check(ctx):
     base = ctx.table("baseline_stats")
@@ -405,6 +408,7 @@ def row_totals_check(ctx):
     "CompareBiotypeGroup.pm:60 min_proportion=0.75)",
     groups=("sequences", "drift"),
     tables=("sequences", "baseline_stats"),
+    shared_uses=("fact_profile",),
 )
 def source_drift(ctx):
     base = ctx.table("baseline_stats")
@@ -457,6 +461,7 @@ def source_drift(ctx):
     "(SURVEY.md S22 generalization; never sampled)",
     groups=("sequences", "drift"),
     tables=("sequences", "baseline_stats"),
+    shared_uses=("fact_profile",),
 )
 def ntok_drift(ctx):
     base = ctx.table("baseline_stats")
@@ -500,14 +505,17 @@ def ntok_drift(ctx):
     "values (default 65536 — every collect is LIMIT-bounded, so an "
     "unbounded column can never flood the driver) the check runs the "
     "mergeable percentile_approx sketch tier (bounded rank error "
-    "1/accuracy).  The tier decision itself never adds a scan: the "
-    "shared profile cube is consulted only when a co-running check "
-    "already memoized it, else ONE combined aggregation "
+    "1/accuracy).  The tier decision itself never adds a scan: with "
+    "co-consumers of the shared profile cube scheduled in the run "
+    "(Runner-counted CheckSpec.shared_uses) the check JOINS the shared "
+    "cube build — already memoized or in flight, it is a sunk cost; "
+    "standalone, ONE combined aggregation "
     "(drift.quantile_sketch_probe) carries approx_count_distinct and "
     "the sketch in the same pass — the sketch path costs exactly one "
     "fact scan in every execution mode.",
     groups=("sequences", "drift"),
     tables=("sequences", "baseline_stats"),
+    shared_uses=("fact_profile",),
 )
 def ntok_quantile_drift(ctx):
     from ensembl_datacheck_spark.plans.runner import SkipCheck
@@ -534,6 +542,16 @@ def ntok_quantile_drift(ctx):
     probe: list | None = None
     sketch_q: dict[float, float] | None = None
     shared_prof = ctx.shared.peek(_profile_memo_key(ctx))
+    if shared_prof is None and int(
+        ctx.config.get("_shared_consumers", {}).get("fact_profile", 0)
+    ) >= 2:
+        # Co-consumers are scheduled in this run (Runner counts declared
+        # CheckSpec.shared_uses), so the cube build is a sunk cost —
+        # JOIN it (blocking get) rather than racing it: a peek() that
+        # lands while the build is in flight would otherwise launch a
+        # duplicate full fact scan (the combined sketch probe), which
+        # measurably regressed the pooled suite at 50M rows.
+        shared_prof = _shared_fact_profile(ctx)
     if shared_prof is not None:
         probe = (
             P.profile_ntok_counts(shared_prof).limit(max_card + 1).collect()

@@ -225,6 +225,9 @@ class Runner:
         # and skip rows that were never checked
         self.lineage = f"{lineage}#nb{n_buckets}" if lineage else lineage
         self.config = config or {}
+        # per-run view of config (run() adds _shared_consumers); default
+        # for any exec path reached outside run()
+        self._run_config = dict(self.config)
         self.run_id = new_run_id()
         # Injectable so a fleet (plans/fleet.py) can hand every Runner ONE
         # memo: shared values are keyed by table fingerprint
@@ -362,6 +365,21 @@ class Runner:
         all_violations: list[DataFrame] = []
         checkpoint_rows: list[CheckpointRow] = []
 
+        # Count declared shared-computation consumers among the checks in
+        # THIS run (CheckSpec.shared_uses) and expose the counts to every
+        # body: a check that can serve itself with a cheaper one-scan plan
+        # (NTokQuantileDrift's combined sketch probe) joins the shared
+        # build instead iff co-consumers make that build a sunk cost —
+        # without this signal a peek() racing the in-flight cube build
+        # launches a duplicate full fact scan.
+        consumer_counts: dict[str, int] = {}
+        for s in specs:
+            for kind in s.shared_uses:
+                consumer_counts[kind] = consumer_counts.get(kind, 0) + 1
+        run_config = dict(self.config)
+        run_config["_shared_consumers"] = consumer_counts
+        self._run_config = run_config
+
         fused = [s for s in specs if fuse_row_checks and s.row_predicates is not None]
         rest = [s for s in specs if s not in fused]
 
@@ -386,7 +404,7 @@ class Runner:
                 return res.finish(), [], [], None
             tables = self._filtered_tables(pending)
             result, violations = run_check(
-                spec, self.spark, tables, self.config,
+                spec, self.spark, tables, self._run_config,
                 bucket_key=self.bucket_key, n_buckets=self.n_buckets,
                 # shared values are computed from the FULL fact table; a
                 # resume-filtered scan must not consume (or poison) them

@@ -59,6 +59,15 @@ class CheckSpec:
     # scan with its siblings (operators/fused.py).  The factory may extend
     # the scan (e.g. broadcast-join a dimension flag).
     row_predicates: Callable | None = None
+    # Shared-computation kinds this check's body consumes via ctx.shared
+    # (e.g. "fact_profile", the one-scan profile cube).  The Runner counts
+    # declared consumers per run and exposes the counts to bodies
+    # (ctx.config["_shared_consumers"]), so a check with a cheaper
+    # single-purpose plan can decide between joining the shared build
+    # (co-consumers scheduled -> the build is paid anyway) and running its
+    # own one-scan plan (standalone -> the shared build would be a
+    # dedicated extra scan).
+    shared_uses: tuple[str, ...] = ()
 
     def index_entry(self) -> dict[str, Any]:
         # same shape as the reference index.json entries
@@ -168,6 +177,7 @@ def register(
     force: bool = False,
     on_demand: bool = False,
     row_predicates: Callable | None = None,
+    shared_uses: tuple[str, ...] = (),
     _registry: Registry | None = None,
 ) -> Callable:
     """Decorator registering a check body as a CheckSpec."""
@@ -184,6 +194,7 @@ def register(
             force=force,
             on_demand=on_demand,
             row_predicates=row_predicates,
+            shared_uses=tuple(shared_uses),
         )
         # NOT `_registry or registry`: an empty Registry has len 0 and is
         # falsy, which would silently reroute the first spec of a private

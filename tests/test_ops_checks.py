@@ -333,6 +333,59 @@ def test_ntok_quantile_sketch_path_is_one_fact_scan(spark, monkeypatch):
     assert res.status == Status.OK, res.assertions
     assert calls == {"fact_profile": 1, "quantile_profile": 0, "probe": 1}
 
+    # 4) pooled run with co-consumers scheduled (_shared_consumers >= 2,
+    #    the signal Runner.run derives from CheckSpec.shared_uses) but
+    #    the cube not yet memoized — the exact race that duplicated the
+    #    fact scan at 50M rows: the check must JOIN the shared build
+    #    (blocking get -> one cube build) and never launch the combined
+    #    probe or a separate percentile pass
+    for k in calls:
+        calls[k] = 0
+    res, _ = run_check(
+        spark=spark, spec=spec, tables=tables,
+        config={"quantile_exact_max_card": 100_000,
+                "_shared_consumers": {"fact_profile": 2}},
+        shared=SharedComputations(),
+    )
+    assert res.status == Status.OK, res.assertions
+    assert calls == {"fact_profile": 1, "quantile_profile": 0, "probe": 0}
+
+
+def test_runner_counts_shared_consumers_and_quantile_joins_build(
+    spark, monkeypatch
+):
+    """End-to-end: a pooled Runner.run over the aggregate family injects
+    _shared_consumers from the specs' declared shared_uses, and the
+    quantile check therefore never runs its own combined probe — the
+    whole family shares ONE cube build."""
+    import ensembl_datacheck_spark.checks.core as core
+    from ensembl_datacheck_spark.plans.runner import Runner
+
+    calls = {"fact_profile": 0, "probe": 0}
+    origs = {"fact_profile": core.P.fact_profile,
+             "probe": core.D.quantile_sketch_probe}
+
+    def counted(key):
+        def wrap(*a, **kw):
+            calls[key] += 1
+            return origs[key](*a, **kw)
+        return wrap
+
+    monkeypatch.setattr(core.P, "fact_profile", counted("fact_profile"))
+    monkeypatch.setattr(core.D, "quantile_sketch_probe", counted("probe"))
+
+    tables = _ntok_quantile_tables(spark)
+    specs = registry.select(
+        names=["SequencesStats", "RowTotals", "NTokQuantileDrift"]
+    )
+    assert sum(1 for s in specs if "fact_profile" in s.shared_uses) == 3
+    summary = Runner(spark, tables, n_buckets=8).run(
+        specs, write_checkpoints=False, parallelism=4
+    )
+    assert summary.n_failed == 0, [r.to_dict() for r in summary.results]
+    assert calls["probe"] == 0
+    assert calls["fact_profile"] == 1
+
 
 def test_ntok_quantile_drift_exact_tier_below_threshold(spark):
     """Below the threshold the exact-histogram tier runs (bit-exact
