@@ -36,7 +36,7 @@ _ATTACH_LIMIT_BYTES = 2_000_000
 # --------------------------------------------------------------------------
 
 def es_documents(
-    summary: RunSummary,
+    summary: RunSummary | FleetSummary,
     *,
     run_id: str | None = None,
     input_details: dict[str, Any] | None = None,
@@ -49,8 +49,38 @@ def es_documents(
     index is aggregable by check name / status without client-side JSON
     parsing — the per-check granularity the reference keeps in its
     datacheck_results table (DataCheckSummary.pm:53-57).
+
+    A FleetSummary fans out per database — doc ids gain a ``/dbname``
+    segment (the reference indexes one report per database run too:
+    StoreResultToES.pm:51 takes dbname from the job) — and each errored
+    target contributes a ``run_error`` document so an aborted database
+    is visible in the index, not silently absent.
     """
     rid = run_id or "run"
+    if isinstance(summary, FleetSummary):
+        docs: list[tuple[str, dict[str, Any]]] = []
+        for dbname in sorted(summary.by_db):
+            docs.extend(
+                es_documents(
+                    summary.by_db[dbname],
+                    run_id=f"{rid}/{dbname}",
+                    input_details={**(input_details or {}), "dbname": dbname},
+                )
+            )
+        for dbname in sorted(summary.errors):
+            docs.append(
+                (
+                    f"{rid}/{dbname}:error",
+                    {
+                        "doc_kind": "run_error",
+                        "run_id": f"{rid}/{dbname}",
+                        "error": summary.errors[dbname],
+                        "input_details": {**(input_details or {}),
+                                          "dbname": dbname},
+                    },
+                )
+            )
+        return docs
     docs: list[tuple[str, dict[str, Any]]] = [
         (
             f"{rid}:summary",
@@ -75,7 +105,7 @@ def es_documents(
 
 
 def es_bulk_payload(
-    summary: RunSummary,
+    summary: RunSummary | FleetSummary,
     index: str,
     *,
     run_id: str | None = None,
@@ -92,7 +122,7 @@ def es_bulk_payload(
 
 
 def store_to_elasticsearch(
-    summary: RunSummary,
+    summary: RunSummary | FleetSummary,
     index: str,
     hosts: list[str] | None = None,
     *,

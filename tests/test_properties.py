@@ -205,3 +205,31 @@ def test_minhash_exact_dup_inclusion_property(spark):
             df, "doc_id", "text", ngram=3, n_hashes=16, n_bands=8).collect()}
         for i in range(5):
             assert (i, 100 + i) in pairs, f"trial {trial}: exact dup {i} missed"
+
+
+@given(
+    n=st.integers(min_value=1, max_value=2**34),
+    n2=st.integers(min_value=0, max_value=2**20),
+)
+@settings(max_examples=200, deadline=None)
+def test_simhash_band_bits_monotone_and_bounded(n, n2):
+    """The adaptive band selector (operators/dedup.simhash_band_bits) is
+    monotone in corpus size and, whenever a non-saturated ladder step is
+    returned, honors its own promise: expected birthday collisions
+    n_bands * C(n,2) / 2^bits <= 1 per doc."""
+    from ensembl_datacheck_spark.operators.dedup import simhash_band_bits
+
+    bits = simhash_band_bits(n)
+    assert bits in (16, 32)
+    # monotone: a larger corpus never gets a narrower band
+    assert simhash_band_bits(n + n2) >= bits
+    if bits < 32:  # non-saturated -> the bound must actually hold
+        n_bands = 64 // bits
+        assert n_bands * n * (n - 1) / 2.0 / 2.0**bits <= n
+    # 60-bit portable ladder obeys the same contract
+    bits60 = simhash_band_bits(n, sig_bits=60, ladder=(15, 20, 30))
+    assert bits60 in (15, 20, 30)
+    assert simhash_band_bits(n + n2, sig_bits=60, ladder=(15, 20, 30)) >= bits60
+    if bits60 < 30:
+        n_bands = 60 // bits60
+        assert n_bands * n * (n - 1) / 2.0 / 2.0**bits60 <= n

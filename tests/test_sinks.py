@@ -150,3 +150,24 @@ def test_email_summary_oversize_attachment_noted_not_attached(
     )
     assert "exceeds 2MB limit" in msg.get_content()
     assert not any(p.get_filename() for p in msg.walk())
+
+
+def test_es_documents_fleet_fans_out_per_database():
+    fleet = FleetSummary(
+        by_db={"core_db": _summary(n_ok=1, n_fail=1), "ft_db": _summary(n_fail=0)},
+        errors={"broken_db": "Traceback: boom"},
+    )
+    docs = dict(sinks.es_documents(fleet, run_id="r9", input_details={"tag": "t"}))
+    # per-db: summary + per-check docs, namespaced ids; plus the error doc
+    assert "r9/core_db:summary" in docs and "r9/ft_db:summary" in docs
+    assert docs["r9/core_db:summary"]["failed"] == 1
+    assert docs["r9/core_db:fail_0"]["status"] == "fail"
+    assert docs["r9/core_db:summary"]["input_details"] == {
+        "tag": "t", "dbname": "core_db"
+    }
+    err = docs["r9/broken_db:error"]
+    assert err["doc_kind"] == "run_error" and "boom" in err["error"]
+    # bulk payload assembles without error and stays idempotent
+    p = sinks.es_bulk_payload(fleet, "idx", run_id="r9")
+    assert p == sinks.es_bulk_payload(fleet, "idx", run_id="r9")
+    assert len(p.strip().split("\n")) == 2 * len(docs)
