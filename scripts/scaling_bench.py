@@ -50,18 +50,39 @@ def _load1():
     return float(open("/proc/loadavg").read().split()[0])
 
 load_start = _load1()
-walls = []
+walls, best_summary = [], None
 for _ in range(2):
     t0 = time.perf_counter()
     summary = Runner(spark, tables, n_buckets=64).run(
         registry.default_suite(), write_checkpoints=False, parallelism=4)
-    walls.append(time.perf_counter() - t0)
+    w = time.perf_counter() - t0
+    if not walls or w < min(walls):
+        best_summary = summary
+    walls.append(w)
 wall = min(walls)
-n_failed = summary.n_failed
+n_failed = best_summary.n_failed
+# per-check wall attribution from the BEST run: the round-5 quantile
+# regression needed a same-data A/B bisect to attribute because only the
+# total wall was reported — the slowest-checks list makes the next one a
+# one-read diagnosis.  Per-check runtimes overlap under the FAIR pool
+# (their sum exceeds the wall); read them as relative weight.  Checks
+# fused into one shared scan report identical (started, runtime) — they
+# collapse to one entry with a xN count so the list stays diagnostic.
+groups = {{}}
+for r in best_summary.results:
+    groups.setdefault((round(r.started, 2), round(r.runtime, 2)), []).append(
+        r.check_name)
+slowest = sorted(groups.items(), key=lambda kv: -kv[0][1])[:5]
+slowest = {{
+    (names[0] if len(names) == 1 else f"{{names[0]}} x{{len(names)}} fused"):
+        key[1]
+    for key, names in slowest
+}}
 # load_end includes this worker's own threads; read it relative to
 # `cores`, not as ambient
 print(json.dumps({{"wall": wall, "walls": walls, "cores": cores,
                    "n_failed": n_failed, "rows": seq.count(),
+                   "slowest_checks": slowest,
                    "loadavg_start": round(load_start, 2),
                    "loadavg_end": round(_load1(), 2)}}))
 """
@@ -93,16 +114,18 @@ def run_level(data_dir: str, cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def wait_for_quiet(max_load: float = 5.0, timeout_s: int = 240) -> None:
+def wait_for_quiet(max_load: float = 5.0, timeout_s: int = 240) -> bool:
     """The sandbox host carries fluctuating external load; gate each
     measurement on a quiet 1-minute load average so the two levels are
-    compared under comparable conditions."""
+    compared under comparable conditions.  Returns False when the gate
+    TIMED OUT (measurement proceeds loaded — callers label the result)."""
     t0 = time.time()
     while time.time() - t0 < timeout_s:
         load1 = float(open("/proc/loadavg").read().split()[0])
         if load1 < max_load:
-            return
+            return True
         time.sleep(10)
+    return False
 
 
 def main():
@@ -136,8 +159,9 @@ def main():
             print(f"generating {args.rows:,} rows at {args.data} ...", file=sys.stderr)
             generate(args.data, args.rows)
         if args.one_level:
-            wait_for_quiet()
+            quiet = wait_for_quiet()
             res = run_level(args.data, args.one_level)
+            res["gate_timed_out"] = not quiet
             out = json.dumps(res)
             if args.json_out:
                 with open(args.json_out, "w") as f:
