@@ -263,3 +263,77 @@ def test_cli_es_bulk_and_email_sinks(spark, tmp_path):
     assert "To: ops@example.org" in eml
     # the JSON report rides along as the attachment (under the 2MB cap)
     assert "res.json" in eml
+
+
+def test_spark_submit_pyfiles_end_to_end(spark, tmp_path):
+    """The north_rule packaging path, run for real: build the --py-files
+    zip, launch a SEPARATE driver via spark-submit with the package
+    available ONLY from the zip (cwd outside the repo, PYTHONPATH
+    stripped), and run the suite over a parquet fixture.
+
+    Asserts (a) the submit's --master wins (get_spark must not override
+    it, session.py `submitted` path), (b) the package import resolves
+    from the zip, (c) verdicts + JSON report match the in-process run.
+
+    Reference kin: the production pipeline ships checks to workers and
+    aggregates per-run results (DbDataChecks_conf.pm:214-306).
+    """
+    import os
+    import shutil
+    import subprocess
+    import sys
+
+    spark_submit = shutil.which(
+        "spark-submit", path=os.pathsep.join(
+            filter(None, [os.environ.get("PATH"), "/opt/spark/bin"])))
+    if spark_submit is None:
+        import pytest
+        pytest.skip("spark-submit binary not on PATH nor in /opt/spark/bin")
+
+    _write_tables(spark, tmp_path, dirty=True)
+    zip_path = tmp_path / "pkg.zip"
+    r = subprocess.run(
+        [sys.executable, "scripts/package_pyfiles.py", str(zip_path)],
+        capture_output=True, text=True, cwd="/root/repo",
+    )
+    assert r.returncode == 0, r.stderr
+
+    driver = tmp_path / "driver.py"
+    driver.write_text(
+        "import sys\n"
+        "from ensembl_datacheck_spark.session import get_spark\n"
+        "spark = get_spark('pyfiles-smoke')\n"
+        "print('SMOKE_MASTER=' + spark.sparkContext.master, flush=True)\n"
+        "import ensembl_datacheck_spark as pkg\n"
+        "print('SMOKE_PKG=' + pkg.__file__, flush=True)\n"
+        "from ensembl_datacheck_spark.cli import main\n"
+        "sys.exit(main(sys.argv[1:]))\n"
+    )
+    env = {k: v for k, v in os.environ.items() if k != "PYTHONPATH"}
+    env["PYSPARK_PYTHON"] = sys.executable
+    env["PYSPARK_DRIVER_PYTHON"] = sys.executable
+    proc = subprocess.run(
+        [spark_submit, "--master", "local[4]", "--driver-memory", "4g",
+         "--conf", "spark.ui.enabled=false",
+         "--py-files", str(zip_path), str(driver),
+         "--sequences", str(tmp_path / "sequences"),
+         "--sources", str(tmp_path / "sources"),
+         "--names", "DocIdUnique", "SequencesCompleteness",
+         "SourceReferential",
+         "--warehouse", str(tmp_path / "wh_submit"),
+         "--n-buckets", "8",
+         "--output-json", str(tmp_path / "res_submit.json")],
+        capture_output=True, text=True, cwd=str(tmp_path), env=env,
+        timeout=420,
+    )
+    out = proc.stdout + proc.stderr
+    # injected violations -> failures_fatal exit 1, same as the
+    # in-process run in test_cli_run_fail_and_reports
+    assert proc.returncode == 1, out[-4000:]
+    assert "SMOKE_MASTER=local[4]" in out
+    pkg_line = next(l for l in out.splitlines() if l.startswith("SMOKE_PKG="))
+    assert "/root/repo" not in pkg_line, pkg_line  # imported from the zip
+    j = json.loads((tmp_path / "res_submit.json").read_text())
+    assert j["failed"] == 3 and j["passed"] == 0
+    assert {d["check_name"] for d in j["datachecks"]} == {
+        "DocIdUnique", "SequencesCompleteness", "SourceReferential"}
