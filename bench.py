@@ -47,26 +47,7 @@ HEADLINE = [
 ]
 
 
-def _loadavg() -> float:
-    """1-minute load average (linux /proc; os.getloadavg fallback)."""
-    try:
-        return float(open("/proc/loadavg").read().split()[0])
-    except Exception:
-        return os.getloadavg()[0]
-
-
-def wait_for_quiet(max_load: float = 5.0, timeout_s: int = 240) -> float:
-    """Gate timed measurement on a quiet host (same protocol as
-    scripts/scaling_bench.py): the sandbox carries fluctuating external
-    load that swings committed walls +/-30% (BENCH/BASELINE.md round-4
-    section).  Returns the loadavg observed when the gate opened (or at
-    timeout) so the JSON line can self-label its measurement window."""
-    t0 = time.time()
-    load1 = _loadavg()
-    while load1 >= max_load and time.time() - t0 < timeout_s:
-        time.sleep(10)
-        load1 = _loadavg()
-    return load1
+from benchlib import loadavg_1m, wait_for_quiet  # noqa: E402  (shared gate)
 
 
 def _consume(df):
@@ -177,7 +158,7 @@ def main():
 
     # load-gate the timed section: wait for a quiet 1-min loadavg and
     # record start/end loads in the JSON so a loaded run self-labels
-    loadavg_start = wait_for_quiet()
+    loadavg_start, gate_timed_out = wait_for_quiet()
     times = bench_queries(spark, sf_dir)
 
     # sequences throughput scaled with sf (sf0.1 -> 1M rows)
@@ -202,7 +183,8 @@ def main():
         # the box overall", not as ambient load; ambient is gated at
         # start and absorbed per-query by the best-of-2 protocol
         "loadavg_start": round(loadavg_start, 2),
-        "loadavg_end": round(_loadavg(), 2),
+        "loadavg_end": round(loadavg_1m(), 2),
+        "gate_timed_out": gate_timed_out,
         "bench_passes": 2,
     }
     print(json.dumps(out))

@@ -186,9 +186,15 @@ def main(argv: list[str] | None = None) -> int:
     if args.output_tap:
         reports.write_tap_report(summary, args.output_tap)
     if args.es_bulk_file:
+        # hash the FULL lineage: a prefix truncation would keep only the
+        # fact-table component, so runs differing just in baseline /
+        # meta / snapshot inputs would collide on doc ids and silently
+        # overwrite each other's verdicts in the index
+        import hashlib
         sinks.store_to_elasticsearch(
             summary, args.es_index, path=args.es_bulk_file,
-            run_id=lineage[:64] or "run",
+            run_id=hashlib.md5(lineage.encode()).hexdigest() if lineage
+            else "run",
             input_details={"tag": args.tag, "names": args.names,
                            "groups": args.groups, "lineage": lineage},
         )

@@ -30,9 +30,10 @@ def get_spark(
     ``PYSPARK_GATEWAY_PORT`` (the gateway JVM spark-submit launched before
     this interpreter).  In that case master and driver-memory are never
     overridden — the JVM already exists, so static confs are immutable —
-    and shuffle partitions default from the cluster's real
-    ``sc.defaultParallelism`` (a runtime conf, settable post-launch)
-    instead of the driver host's CPU count.
+    and shuffle partitions are only touched when the submit didn't set
+    them (``--conf`` wins), defaulting to the larger of Spark's 200 and
+    the cluster's real ``sc.defaultParallelism`` (a runtime conf,
+    settable post-launch) instead of the driver host's CPU count.
     """
     # spark-submit launches the gateway JVM before the Python driver runs;
     # its presence means resource config belongs to the submit, not us.
@@ -71,9 +72,16 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
-    if submitted and shuffle_partitions is None:
+    if (submitted and shuffle_partitions is None
+            and not spark.sparkContext.getConf().contains(
+                "spark.sql.shuffle.partitions")):
+        # the operator didn't set it via --conf: scale Spark's 200
+        # default UP to the cluster's parallelism, never below it —
+        # under dynamic allocation defaultParallelism sampled at startup
+        # (before executors register) can be tiny, and AQE only
+        # coalesces DOWN from this number
         spark.conf.set(
             "spark.sql.shuffle.partitions",
-            str(max(8, spark.sparkContext.defaultParallelism)))
+            str(max(200, spark.sparkContext.defaultParallelism)))
     spark.sparkContext.setLogLevel("WARN")
     return spark

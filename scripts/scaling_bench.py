@@ -22,6 +22,8 @@ import time
 from pathlib import Path
 
 REPO = Path(__file__).resolve().parent.parent
+sys.path.insert(0, str(REPO))
+from benchlib import wait_for_quiet  # noqa: E402  (shared load gate)
 
 WORKER = r"""
 import json, sys, time
@@ -67,17 +69,24 @@ n_failed = best_summary.n_failed
 # one-read diagnosis.  Per-check runtimes overlap under the FAIR pool
 # (their sum exceeds the wall); read them as relative weight.  Checks
 # fused into one shared scan report identical (started, runtime) — they
-# collapse to one entry with a xN count so the list stays diagnostic.
+# collapse to one entry so the list stays diagnostic — but the label
+# checks REAL fused membership (row_predicates, the runner's own fusion
+# rule): small pooled checks can land in the same rounded timing bucket
+# by scheduling coincidence and must not masquerade as the fused scan.
+fused_names = {{s.name for s in registry.default_suite()
+                if s.row_predicates is not None}}
 groups = {{}}
 for r in best_summary.results:
     groups.setdefault((round(r.started, 2), round(r.runtime, 2)), []).append(
         r.check_name)
 slowest = sorted(groups.items(), key=lambda kv: -kv[0][1])[:5]
-slowest = {{
-    (names[0] if len(names) == 1 else f"{{names[0]}} x{{len(names)}} fused"):
-        key[1]
-    for key, names in slowest
-}}
+def _label(names):
+    if len(names) == 1:
+        return names[0]
+    kind = ("fused" if all(n in fused_names for n in names)
+            else "co-timed")
+    return f"{{names[0]}} x{{len(names)}} {{kind}}"
+slowest = {{_label(names): key[1] for key, names in slowest}}
 # load_end includes this worker's own threads; read it relative to
 # `cores`, not as ambient
 print(json.dumps({{"wall": wall, "walls": walls, "cores": cores,
@@ -114,20 +123,6 @@ def run_level(data_dir: str, cores: int) -> dict:
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
-def wait_for_quiet(max_load: float = 5.0, timeout_s: int = 240) -> bool:
-    """The sandbox host carries fluctuating external load; gate each
-    measurement on a quiet 1-minute load average so the two levels are
-    compared under comparable conditions.  Returns False when the gate
-    TIMED OUT (measurement proceeds loaded — callers label the result)."""
-    t0 = time.time()
-    while time.time() - t0 < timeout_s:
-        load1 = float(open("/proc/loadavg").read().split()[0])
-        if load1 < max_load:
-            return True
-        time.sleep(10)
-    return False
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rows", type=int, default=4_000_000)
@@ -159,19 +154,21 @@ def main():
             print(f"generating {args.rows:,} rows at {args.data} ...", file=sys.stderr)
             generate(args.data, args.rows)
         if args.one_level:
-            quiet = wait_for_quiet()
+            _, timed_out = wait_for_quiet()
             res = run_level(args.data, args.one_level)
-            res["gate_timed_out"] = not quiet
+            res["gate_timed_out"] = timed_out
             out = json.dumps(res)
             if args.json_out:
                 with open(args.json_out, "w") as f:
                     f.write(out)
             print(out)
             return
-        wait_for_quiet()
+        _, timed_out_n = wait_for_quiet()
         res_n = run_level(args.data, args.n)
-        wait_for_quiet()
+        res_n["gate_timed_out"] = timed_out_n
+        _, timed_out_4n = wait_for_quiet()
         res_4n = run_level(args.data, args.n * 4)
+        res_4n["gate_timed_out"] = timed_out_4n
     thr_n = args.rows / res_n["wall"]
     thr_4n = args.rows / res_4n["wall"]
     eff = (thr_4n / thr_n) / 4
@@ -197,6 +194,10 @@ regime of a long-running 100 TB validation job.
 | throughput @ N | {thr_n:,.0f} seqs/sec |
 | throughput @ 4N | {thr_4n:,.0f} seqs/sec |
 | **scaling efficiency (T_4N/T_N)/4** | **{eff:.3f}** (target ≥ 0.8) |
+| measurement window @ N | loadavg_start {res_n.get('loadavg_start', '?')}, \
+gate {'TIMED OUT (loaded)' if res_n.get('gate_timed_out') else 'opened clean'} |
+| measurement window @ 4N | loadavg_start {res_4n.get('loadavg_start', '?')}, \
+gate {'TIMED OUT (loaded)' if res_4n.get('gate_timed_out') else 'opened clean'} |
 
 Spark conf deltas from defaults: shuffle.partitions = max(cores, 16),
 AQE on (coalesce + skewJoin), broadcast threshold 64 MB, Arrow enabled.
