@@ -94,11 +94,17 @@ def run_fleet(
 
             return target.name, None, traceback.format_exc(limit=8)
 
-    if max_parallel_dbs > 1 and len(targets) > 1:
-        with ThreadPoolExecutor(max_workers=max_parallel_dbs) as pool:
-            outs = list(pool.map(one, targets))
-    else:
-        outs = [one(t) for t in targets]
+    try:
+        if max_parallel_dbs > 1 and len(targets) > 1:
+            with ThreadPoolExecutor(max_workers=max_parallel_dbs) as pool:
+                outs = list(pool.map(one, targets))
+        else:
+            outs = [one(t) for t in targets]
+    finally:
+        # the fleet owns the shared memo (runners received it injected,
+        # so Runner.run left it alone): free the per-table cube blocks
+        # once the whole fan-out is done
+        fleet_shared.release()
     for name, summary, err in outs:
         if err is not None:
             fleet.errors[name] = err

@@ -90,6 +90,28 @@ class SharedComputations:
         with self._meta:
             return self._vals.get(key)
 
+    def release(self) -> None:
+        """Unpersist cached DataFrame values and reset the memo.  Called
+        by whoever OWNS the memo once every consumer is done (Runner.run
+        for a private memo, run_fleet for a fleet-shared one): persisted
+        values (the fact-profile cube) otherwise hold CacheManager
+        entries for the SparkSession's lifetime — one InMemoryRelation
+        per distinct table, accumulating without bound in a long-lived
+        session.  Downstream plans built FROM a released value stay
+        correct: persist() keeps recomputable lineage, so a late
+        consumer recomputes rather than fails."""
+        with self._meta:
+            vals = list(self._vals.values())
+            self._vals.clear()
+            self._locks.clear()
+        for v in vals:
+            unpersist = getattr(v, "unpersist", None)
+            if callable(unpersist):
+                try:
+                    unpersist(False)
+                except Exception:
+                    pass  # session already stopped: nothing to free
+
 
 class CheckContext:
     """What a check body sees: tables, config, assertion recorder.  The
@@ -198,6 +220,12 @@ def run_check(
         ctx.result.skip_reason = s.reason
     except Exception:
         ctx.result.error = traceback.format_exc(limit=8)
+    if shared is None:
+        # private memo nobody else can consume: free its persisted
+        # values now (repeated standalone run_check calls otherwise each
+        # leave a cube in the CacheManager until session end); returned
+        # violation frames stay valid — persist lineage is recomputable
+        ctx.shared.release()
     return ctx.result.finish(), ctx.violations
 
 
@@ -235,6 +263,7 @@ class Runner:
         # SAME table share one cube build while distinct tables can never
         # collide.  Default: private per-run memo, today's behavior.
         self.shared = shared if shared is not None else SharedComputations()
+        self._owns_shared = shared is None
         self._rows_per_bucket: dict[int, int] | None = None
         self._rpb_lock = threading.Lock()
         self._cc_lock = threading.Lock()
@@ -356,6 +385,35 @@ class Runner:
         violations_sink: Callable[[DataFrame], None] | None = None,
         parallelism: int = 1,
     ) -> RunSummary:
+        """See _run_impl.  This wrapper releases the run's OWN shared
+        memo (cached cube blocks, CacheManager entries) once the run —
+        including its violation funnel write — completes or fails: a
+        persist() without a paired unpersist() accumulates one
+        InMemoryRelation per distinct fact table for the SparkSession's
+        lifetime, a storage-memory leak under a long-lived session
+        running many targets.  A memo INJECTED by a fleet is left alone
+        (siblings on the same table still need it); run_fleet releases
+        it after the whole fan-out."""
+        try:
+            return self._run_impl(
+                specs,
+                fuse_row_checks=fuse_row_checks,
+                write_checkpoints=write_checkpoints,
+                violations_sink=violations_sink,
+                parallelism=parallelism,
+            )
+        finally:
+            if self._owns_shared:
+                self.shared.release()
+
+    def _run_impl(
+        self,
+        specs: list[CheckSpec],
+        fuse_row_checks: bool = True,
+        write_checkpoints: bool = True,
+        violations_sink: Callable[[DataFrame], None] | None = None,
+        parallelism: int = 1,
+    ) -> RunSummary:
         """``parallelism`` > 1 runs the non-fused checks concurrently from
         a thread pool (one Spark job per check in flight, FAIR-pool
         scheduled) — the in-session analogue of the reference's per-check
@@ -372,8 +430,20 @@ class Runner:
         # build instead iff co-consumers make that build a sunk cost —
         # without this signal a peek() racing the in-flight cube build
         # launches a duplicate full fact scan.
+        # Only checks that will actually RUN against the full table count
+        # as consumers: a checkpoint-complete sibling skips before
+        # touching ctx.shared, and a partially-pending one runs against a
+        # resume-filtered scan with shared=None (see exec_one) — counting
+        # either would make a lone pending check "join" a cube build
+        # nobody else pays for, re-introducing the duplicate-scan cost on
+        # resume that the sunk-cost rule exists to avoid.
+        # _pending_buckets is one cached checkpoint-table load per run.
         consumer_counts: dict[str, int] = {}
         for s in specs:
+            if not s.shared_uses:
+                continue
+            if self._pending_buckets(s) is not None:
+                continue
             for kind in s.shared_uses:
                 consumer_counts[kind] = consumer_counts.get(kind, 0) + 1
         run_config = dict(self.config)

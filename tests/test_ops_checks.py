@@ -399,3 +399,98 @@ def test_ntok_quantile_drift_exact_tier_below_threshold(spark):
     [a] = res.assertions
     assert "exact-histogram" in a.expected, a.expected
     assert a.status == Status.OK, a.diag
+
+
+def test_resume_lone_quantile_consumer_takes_probe_path(spark, tmp_path,
+                                                        monkeypatch):
+    """Resume-aware consumer counting: siblings that are
+    checkpoint-complete skip before touching ctx.shared, so they must
+    not count as fact_profile consumers — a lone pending
+    NTokQuantileDrift on a resume run takes its own one-scan combined
+    probe instead of paying a cube build nobody else consumes."""
+    import ensembl_datacheck_spark.checks.core as core
+    from ensembl_datacheck_spark.plans.checkpoint import CheckpointStore
+    from ensembl_datacheck_spark.sources.io import Catalog
+
+    calls = {"fact_profile": 0, "probe": 0}
+    origs = {"fact_profile": core.P.fact_profile,
+             "probe": core.D.quantile_sketch_probe}
+
+    def counted(key):
+        def wrap(*a, **kw):
+            calls[key] += 1
+            return origs[key](*a, **kw)
+        return wrap
+
+    monkeypatch.setattr(core.P, "fact_profile", counted("fact_profile"))
+    monkeypatch.setattr(core.D, "quantile_sketch_probe", counted("probe"))
+
+    tables = _ntok_quantile_tables(spark)
+    store = CheckpointStore(Catalog(spark, str(tmp_path / "wh")))
+    cfg = {"quantile_exact_max_card": 100}  # sketch tier
+
+    # run 1: only the sibling consumers -> one shared cube build,
+    # checkpointed ok
+    r1 = Runner(spark, tables, n_buckets=8, checkpoint_store=store,
+                lineage="L1", config=cfg)
+    s1 = r1.run(registry.select(names=["SequencesStats", "RowTotals"]),
+                parallelism=4)
+    assert s1.n_failed == 0
+    assert calls == {"fact_profile": 1, "probe": 0}
+
+    # run 2: full family; siblings skip via checkpoint, quantile is the
+    # only real consumer -> standalone combined probe, NO cube build
+    for k in calls:
+        calls[k] = 0
+    r2 = Runner(spark, tables, n_buckets=8, checkpoint_store=store,
+                lineage="L1", config=cfg)
+    s2 = r2.run(registry.select(
+        names=["SequencesStats", "RowTotals", "NTokQuantileDrift"]),
+        parallelism=4)
+    by_name = {r.check_name: r for r in s2.results}
+    assert by_name["SequencesStats"].status == Status.SKIP
+    assert by_name["RowTotals"].status == Status.SKIP
+    assert by_name["NTokQuantileDrift"].status == Status.OK
+    assert calls == {"fact_profile": 0, "probe": 1}
+
+
+def test_shared_profile_cube_released_after_run(spark, monkeypatch):
+    """The memo owner unpersists the profile cube once the run is done:
+    without the paired unpersist every distinct table leaves an
+    InMemoryRelation in the CacheManager for the session's lifetime
+    (round-5 review finding).  Covers all three owners: Runner.run
+    (private memo), standalone run_check (private memo), and run_fleet
+    (fleet-shared memo)."""
+    import ensembl_datacheck_spark.checks.core as core
+    from ensembl_datacheck_spark.plans.fleet import DbTarget, run_fleet
+    from ensembl_datacheck_spark.plans.runner import run_check
+
+    captured = []
+    orig = core.P.fact_profile
+
+    def capturing(*a, **kw):
+        df = orig(*a, **kw)
+        captured.append(df)
+        return df
+
+    monkeypatch.setattr(core.P, "fact_profile", capturing)
+
+    def all_released():
+        return all(
+            not d.storageLevel.useMemory and not d.storageLevel.useDisk
+            for d in captured)
+
+    tables = _ntok_quantile_tables(spark)
+    specs = registry.select(names=["SequencesStats", "RowTotals"])
+
+    Runner(spark, tables, n_buckets=8).run(specs, write_checkpoints=False,
+                                           parallelism=4)
+    assert len(captured) == 1 and all_released()
+
+    run_check(specs[0], spark, tables)  # private memo, owned by run_check
+    assert len(captured) == 2 and all_released()
+
+    run_fleet(spark, [DbTarget("db1", tables), DbTarget("db2", tables)],
+              specs, n_buckets=8)
+    # same table object -> same memo key -> ONE build for the fleet
+    assert len(captured) == 3 and all_released()
