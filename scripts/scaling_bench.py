@@ -134,6 +134,11 @@ def main():
     ap.add_argument("--json-out", default=None)
     ap.add_argument("--report-from", nargs=2, metavar=("N_JSON", "FOURN_JSON"),
                     help="assemble BENCH/BASELINE.md from two saved level JSONs")
+    ap.add_argument("--append-section", metavar="TITLE", default=None,
+                    help="append the pair as a dated '## TITLE' section to "
+                    "BENCH/BASELINE.md instead of overwriting the file — "
+                    "the file accumulates measurement history across "
+                    "rounds and a full rewrite would erase it")
     args = ap.parse_args()
 
     if args.report_from:
@@ -173,7 +178,12 @@ def main():
     thr_4n = args.rows / res_4n["wall"]
     eff = (thr_4n / thr_n) / 4
 
-    report = f"""# BENCH/BASELINE.md — scaling-efficiency measurement
+    if args.append_section:
+        header = (f"## {args.append_section} "
+                  f"({time.strftime('%Y-%m-%d %H:%M')})")
+    else:
+        header = "# BENCH/BASELINE.md — scaling-efficiency measurement"
+    report = f"""{header}
 
 Protocol (BASELINE.md): identical full check suite (10-check registry,
 fused row scan + uniqueness + referential + drift) on the identical
@@ -207,7 +217,11 @@ BASELINE.md sandbox protocol).
 """
     out_path = REPO / "BENCH" / "BASELINE.md"
     out_path.parent.mkdir(exist_ok=True)
-    out_path.write_text(report)
+    if args.append_section:
+        with open(out_path, "a") as f:
+            f.write("\n" + report)
+    else:
+        out_path.write_text(report)
     print(report)
     print(json.dumps({"throughput_N": thr_n, "throughput_4N": thr_4n,
                       "efficiency": eff}))
