@@ -59,13 +59,17 @@ def _consume(df):
         df.count()
 
 
-def bench_queries(spark, sf_dir: str, passes: int = 2) -> dict[str, float]:
+def bench_queries(spark, sf_dir: str, passes: int = 3) -> dict[str, float]:
     """Best-of-``passes`` wall per headline query (same steady-state
     protocol as the sequences suite below and scripts/scaling_bench.py).
     A single-pass protocol let one transient ambient-load spike
     permanently inflate whichever query it hit — the committed BENCH_r03
     and BENCH_r04 artifacts both showed phantom regressions that cost a
-    full investigation each (BENCH/BASELINE.md rounds 3-4)."""
+    full investigation each (BENCH/BASELINE.md rounds 3-4).  Three passes,
+    not two: the host's load bursts last 20-60 s (round-5 interleaved
+    probes, BENCH/BASELINE.md), so one burst can straddle both sweeps of
+    a 2-pass run; a third sweep (~25 s) makes a fully-contaminated
+    minimum require three independent hits."""
     from ensembl_datacheck_spark.plans.entry_queries import QUERIES
 
     times: dict[str, float] = {}
@@ -111,14 +115,14 @@ def bench_sequences_suite(spark, n_rows: int, n_buckets: int = 64):
             "sources": synth.gen_sources(spark),
             "baseline_stats": spark.read.parquet(f"{tmp}/baseline"),
         }
-        # one untimed warm-up (JIT + page cache), then best-of-2 timed
+        # one untimed warm-up (JIT + page cache), then best-of-3 timed
         # runs — steady-state throughput with ambient-load spikes
         # absorbed, same protocol as scripts/scaling_bench.py
         Runner(spark, tables, n_buckets=n_buckets).run(
             registry.default_suite(), write_checkpoints=False, parallelism=4
         )
         walls = []
-        for _ in range(2):
+        for _ in range(3):
             runner = Runner(spark, tables, n_buckets=n_buckets)
             t0 = time.perf_counter()
             summary = runner.run(registry.default_suite(),
@@ -185,7 +189,7 @@ def main():
         "loadavg_start": round(loadavg_start, 2),
         "loadavg_end": round(loadavg_1m(), 2),
         "gate_timed_out": gate_timed_out,
-        "bench_passes": 2,
+        "bench_passes": 3,
     }
     print(json.dumps(out))
 
