@@ -171,3 +171,105 @@ def test_es_documents_fleet_fans_out_per_database():
     p = sinks.es_bulk_payload(fleet, "idx", run_id="r9")
     assert p == sinks.es_bulk_payload(fleet, "idx", run_id="r9")
     assert len(p.strip().split("\n")) == 2 * len(docs)
+
+
+# ---------------------------------------------------------------------------
+# live HTTP arm (StoreResultToES.pm run() over a real socket)
+# ---------------------------------------------------------------------------
+
+import socket
+import threading
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+
+class _EsStub(ThreadingHTTPServer):
+    """Minimal ES _bulk endpoint: records requests, replies with a
+    canned JSON body."""
+
+    def __init__(self, response: dict):
+        self.requests: list[tuple[str, str, bytes]] = []
+        self.response = json.dumps(response).encode()
+        stub = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def do_POST(self):  # noqa: N802 (http.server API)
+                body = self.rfile.read(int(self.headers["Content-Length"]))
+                stub.requests.append(
+                    (self.path, self.headers.get("Content-Type", ""), body)
+                )
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(stub.response)))
+                self.end_headers()
+                self.wfile.write(stub.response)
+
+            def log_message(self, *a):  # silence test output
+                pass
+
+        super().__init__(("127.0.0.1", 0), Handler)
+        self.url = f"http://127.0.0.1:{self.server_address[1]}"
+        threading.Thread(target=self.serve_forever, daemon=True).start()
+
+
+def _dead_host() -> str:
+    # a port that was bound then closed: connection refused, never a
+    # live service
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return f"http://127.0.0.1:{port}"
+
+
+def test_store_to_elasticsearch_http_posts_bulk_body():
+    stub = _EsStub({"errors": False, "items": []})
+    try:
+        s = _summary()
+        payload = sinks.store_to_elasticsearch(
+            s, "idx", hosts=[stub.url], run_id="r3"
+        )
+        path, ctype, body = stub.requests[0]
+        assert path == "/_bulk"
+        assert ctype == "application/x-ndjson"
+        assert body.decode() == payload
+        assert body.endswith(b"\n")  # bulk API requires trailing newline
+    finally:
+        stub.shutdown()
+
+
+def test_store_to_elasticsearch_fails_over_to_next_host():
+    stub = _EsStub({"errors": False})
+    try:
+        payload = sinks.store_to_elasticsearch(
+            _summary(), "idx", hosts=[_dead_host(), stub.url], run_id="r4"
+        )
+        assert len(stub.requests) == 1  # dead node skipped, live one hit
+        assert stub.requests[0][2].decode() == payload
+    finally:
+        stub.shutdown()
+
+
+def test_store_to_elasticsearch_partial_bulk_failure_raises():
+    # errors:true is an HTTP-200 response — the client must read the
+    # body to notice (the reference's ES client does the same); a
+    # partial failure is NOT retried on the next node (dup upserts)
+    stub = _EsStub(
+        {"errors": True, "items": [{"index": {"error": {"reason": "boom"}}}]}
+    )
+    fallback = _EsStub({"errors": False})
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            sinks.store_to_elasticsearch(
+                _summary(), "idx", hosts=[stub.url, fallback.url], run_id="r5"
+            )
+        assert len(fallback.requests) == 0
+    finally:
+        stub.shutdown()
+        fallback.shutdown()
+
+
+def test_store_to_elasticsearch_all_hosts_dead_raises_connectionerror():
+    with pytest.raises(ConnectionError, match="all ES hosts failed"):
+        sinks.store_to_elasticsearch(
+            _summary(), "idx", hosts=[_dead_host(), _dead_host()], run_id="r6"
+        )
