@@ -273,3 +273,72 @@ def test_store_to_elasticsearch_all_hosts_dead_raises_connectionerror():
         sinks.store_to_elasticsearch(
             _summary(), "idx", hosts=[_dead_host(), _dead_host()], run_id="r6"
         )
+
+
+# ---------------------------------------------------------------------------
+# live SMTP arm (DataCheckSummary.pm email delivery)
+# ---------------------------------------------------------------------------
+
+
+class _SmtpStub:
+    """Just enough SMTP to accept one message: 220 greeting, 250 to
+    every command, 354 for DATA, records the DATA payload."""
+
+    def __init__(self):
+        self.messages: list[bytes] = []
+        self._srv = socket.socket()
+        self._srv.bind(("127.0.0.1", 0))
+        self._srv.listen(1)
+        self.host = f"127.0.0.1:{self._srv.getsockname()[1]}"
+        threading.Thread(target=self._serve, daemon=True).start()
+
+    def _serve(self):
+        conn, _ = self._srv.accept()
+        f = conn.makefile("rb")
+        conn.sendall(b"220 stub ESMTP\r\n")
+        data_mode = False
+        buf = []
+        for line in f:
+            if data_mode:
+                if line.rstrip(b"\r\n") == b".":
+                    self.messages.append(b"".join(buf))
+                    conn.sendall(b"250 OK\r\n")
+                    data_mode = False
+                else:
+                    buf.append(line)
+            elif line.upper().startswith(b"DATA"):
+                conn.sendall(b"354 go ahead\r\n")
+                data_mode = True
+            elif line.upper().startswith(b"QUIT"):
+                conn.sendall(b"221 bye\r\n")
+                break
+            elif line.upper().startswith(b"EHLO"):
+                # no extensions: plain 250, so smtplib stays on basic SMTP
+                conn.sendall(b"250 stub\r\n")
+            else:
+                conn.sendall(b"250 OK\r\n")
+        conn.close()
+        self._srv.close()
+
+
+def test_email_summary_smtp_delivery():
+    stub = _SmtpStub()
+    msg = sinks.email_summary(
+        _summary(n_fail=0),
+        to=["dba@example.org"],
+        smtp_host=stub.host,
+        tag="rel42",
+    )
+    assert msg["Subject"] == "PASS: Datacheck Summary (rel42)"
+    # the stub accepted exactly one DATA payload carrying the message
+    for _ in range(100):
+        if stub.messages:
+            break
+        import time
+
+        time.sleep(0.02)
+    assert len(stub.messages) == 1
+    wire = stub.messages[0]
+    assert b"Subject: PASS: Datacheck Summary (rel42)" in wire
+    assert b"To: dba@example.org" in wire
+    assert b"All datachecks have completed." in wire
