@@ -50,6 +50,20 @@ def test_registry_selection_and_index(tmp_path):
         "regenerate with: python -m ensembl_datacheck_spark.cli --write-index "
         "ensembl_datacheck_spark/index.json"
     )
+    # CHECKS.md is generated from that index; it must not go stale either
+    import subprocess
+    import sys
+
+    rc = subprocess.run(
+        [sys.executable, "scripts/gen_checks_md.py", "--check"],
+        cwd=committed.parent.parent,
+        capture_output=True,
+        text=True,
+    )
+    assert rc.returncode == 0, (
+        rc.stdout + rc.stderr
+        + "\nregenerate with: python scripts/gen_checks_md.py"
+    )
 
 
 def test_full_suite_verdicts_on_dirty_fixture(spark, seq_fixture):
