@@ -2754,3 +2754,163 @@ def quantile_drift_halves(spark, sf_dir):
         group_col="l_returnflag",
     )
     return quantile_drift_violations(cur, base, group_cols=["l_returnflag"])
+
+
+# ---------------------------------------------------------------------------
+# PII detection + redaction (training-data tier; operators/pii.py)
+# ---------------------------------------------------------------------------
+
+# The synthetic documents text carries no PII, so the query plants
+# deterministic identifiers derived from doc_id IN THE QUERY ITSELF —
+# identically on both engines — then sweeps them back out.  That makes
+# the oracle comparison exercise the actual match/replace behavior
+# (non-zero hits on every row) instead of vacuously hashing unchanged
+# text.  Patterns are the operator's defaults, written in the common
+# Java-regex/RE2 subset (operators/pii.py docstring).
+
+
+@q(
+    "pii_redaction_documents",
+    r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact '
+                  || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                  || '@example.com from 10.'
+                  || CAST(doc_id % 250 AS VARCHAR) || '.0.'
+                  || CAST(doc_id % 100 AS VARCHAR)
+                  || ' tel 555-'
+                  || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-'
+                  || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS etext
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+      CAST(len(regexp_extract_all(etext,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+        AS n_email,
+      CAST(len(regexp_extract_all(etext,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+      CAST(len(regexp_extract_all(etext,
+        '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+      CAST(len(regexp_extract_all(etext,
+        '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(etext,
+              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+              '[EMAIL]', 'g'),
+            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
+          '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+        '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted_text
+    FROM enriched
+    """,
+)
+def pii_redaction_documents(spark, sf_dir):
+    """PII sweep (operators/pii.redact_pii): per-category hit counts on
+    the original text + category-placeholder rewrite, one codegen
+    projection, zero shuffle.  The per-row content-conformance shape of
+    the reference (GeneStableID.pm kin) applied to the text payload."""
+    from ensembl_datacheck_spark.operators import pii
+
+    t = _t(spark, sf_dir)
+    enriched = (
+        t["documents"]
+        .filter(F.col("doc_id") < 200)
+        .select(
+            "doc_id",
+            F.concat(
+                F.col("text"), F.lit(" contact "),
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                F.lit("@example.com from 10."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit(".0."),
+                (F.col("doc_id") % 100).cast("string"),
+                F.lit(" tel 555-"),
+                F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                F.lit("-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ).alias("etext"),
+        )
+    )
+    return pii.redact_pii(enriched, "etext").select(
+        "doc_id", "n_email", "n_ipv4", "n_ssn", "n_phone", "redacted_text"
+    )
+
+
+@q(
+    "pii_summary_documents",
+    r"""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || CASE WHEN doc_id % 10 = 0
+                          THEN ' mail '
+                               || substring(md5(CAST(doc_id AS VARCHAR)), 1, 6)
+                               || '@example.org'
+                          ELSE '' END
+                  || CASE WHEN doc_id % 25 = 0
+                          THEN ' host 192.168.'
+                               || CAST(doc_id % 200 AS VARCHAR) || '.1'
+                          ELSE '' END AS etext
+      FROM documents
+    ),
+    counted AS (
+      SELECT
+        CAST(len(regexp_extract_all(etext,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+          AS n_email,
+        CAST(len(regexp_extract_all(etext,
+          '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
+        CAST(len(regexp_extract_all(etext,
+          '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
+        CAST(len(regexp_extract_all(etext,
+          '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
+      FROM enriched
+    )
+    SELECT CAST(SUM(n_email) AS BIGINT) AS total_email,
+           CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_email,
+           CAST(SUM(n_ipv4) AS BIGINT) AS total_ipv4,
+           CAST(SUM(CASE WHEN n_ipv4 > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_ipv4,
+           CAST(SUM(n_ssn) AS BIGINT) AS total_ssn,
+           CAST(SUM(CASE WHEN n_ssn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_ssn,
+           CAST(SUM(n_phone) AS BIGINT) AS total_phone,
+           CAST(SUM(CASE WHEN n_phone > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS docs_with_phone
+    FROM counted
+    """,
+)
+def pii_summary_documents(spark, sf_dir):
+    """Corpus-level PII pressure (operators/pii.pii_summary): one
+    map-side-combinable aggregation over the whole corpus — the triage
+    query that decides whether a 100 TB redaction rewrite is warranted.
+    Sparse deterministic planting (every 10th doc an email, every 25th
+    an IP) so totals and affected-doc counts are both non-trivial."""
+    from ensembl_datacheck_spark.operators import pii
+
+    t = _t(spark, sf_dir)
+    enriched = t["documents"].select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 == 0,
+                F.concat(
+                    F.lit(" mail "),
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 6),
+                    F.lit("@example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 25 == 0,
+                F.concat(
+                    F.lit(" host 192.168."),
+                    (F.col("doc_id") % 200).cast("string"),
+                    F.lit(".1"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("etext"),
+    )
+    return pii.pii_summary(enriched, "etext")
