@@ -185,7 +185,7 @@ def main():
         # loadavg_end includes this bench's own 32-thread load (a 1-min
         # loadavg cannot decay within the run) — read it as "how hot was
         # the box overall", not as ambient load; ambient is gated at
-        # start and absorbed per-query by the best-of-2 protocol
+        # start and absorbed per-query by the best-of-3 protocol
         "loadavg_start": round(loadavg_start, 2),
         "loadavg_end": round(loadavg_1m(), 2),
         "gate_timed_out": gate_timed_out,

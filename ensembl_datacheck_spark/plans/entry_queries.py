@@ -2914,3 +2914,81 @@ def pii_summary_documents(spark, sf_dir):
         ).alias("etext"),
     )
     return pii.pii_summary(enriched, "etext")
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (operators/sessions.py — S13 family extension)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "sessionize_events",
+    r"""
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL AND user_id < 10
+    ),
+    flagged AS (
+      SELECT event_id, user_id, ts,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    )
+    SELECT event_id, user_id,
+           CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS session_seq
+    FROM flagged
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (operators/sessions.sessionize): 30-min
+    gap rule, one Exchange on user_id, lag flag + running sum — the
+    session-semantics extension of the reference's ordered adjacent-row
+    family (S13, event_gaps kin)."""
+    from ensembl_datacheck_spark.operators import sessions
+
+    t = _t(spark, sf_dir)
+    ev = t["events"].filter(F.col("user_id") < 10)
+    return sessions.sessionize(ev, "user_id", "ts", gap_minutes=30).select(
+        "event_id", "user_id", "session_seq"
+    )
+
+
+@q(
+    "session_stats_events",
+    r"""
+    WITH e AS (
+      SELECT user_id, ts FROM events
+      WHERE user_id IS NOT NULL AND ts IS NOT NULL
+    ),
+    flagged AS (
+      SELECT user_id, ts,
+        CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+             THEN 1 ELSE 0 END AS new_s
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    sess AS (
+      SELECT user_id, ts,
+        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+    FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           CAST(count(*) AS BIGINT) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           CAST(epoch_us(max(ts)) - epoch_us(min(ts)) AS BIGINT) AS span_us
+    FROM sess GROUP BY user_id, session_seq
+    """,
+)
+def session_stats_events(spark, sf_dir):
+    """Per-session rollup (operators/sessions.session_stats): groupBy
+    keys superset of the window partition key, so the rollup reuses
+    sessionize's shuffle — no second Exchange of the fact rows."""
+    from ensembl_datacheck_spark.operators import sessions
+
+    t = _t(spark, sf_dir)
+    return sessions.session_stats(t["events"], "user_id", "ts",
+                                  gap_minutes=30)

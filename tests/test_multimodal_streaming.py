@@ -321,3 +321,112 @@ def test_snapshot_equality_stream_matches_batch(spark, tmp_path, seq_fixture):
     assert got == batch_expected
     kinds = {k for _, k in got}
     assert kinds == {SN.CHANGED, SN.NEW_IN_CURRENT}
+
+
+# ---------------------------------------------------------------------------
+# gap-based sessionization (operators/sessions.py)
+# ---------------------------------------------------------------------------
+
+
+def _session_fixture(spark):
+    """Two users; user 1 has a 31-min gap after event 3 (new session),
+    user 2's events all within gaps (one session), plus a NULL user row
+    that must be dropped."""
+    rows = [
+        (1, 1, "2024-01-01 10:00:00"),
+        (2, 1, "2024-01-01 10:10:00"),
+        (3, 1, "2024-01-01 10:39:00"),
+        (4, 1, "2024-01-01 11:10:00.000001"),  # 31:00.000001 after #3
+        (5, 1, "2024-01-01 11:20:00"),
+        (6, 2, "2024-01-01 09:00:00"),
+        (7, 2, "2024-01-01 09:30:00"),  # exactly 30:00 -> same session
+        (8, None, "2024-01-01 09:00:00"),
+    ]
+    return spark.createDataFrame(
+        [(e, u, t) for e, u, t in rows],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+
+
+def test_sessionize_gap_rule_and_boundaries(spark):
+    from ensembl_datacheck_spark.operators import sessions
+
+    df = _session_fixture(spark)
+    out = {r["event_id"]: r["session_seq"]
+           for r in sessions.sessionize(df, "user_id", "ts", 30).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 4: 2, 5: 2, 6: 1, 7: 1}
+    assert 8 not in out  # NULL user dropped, not funneled into a session
+
+
+def test_session_stats_rollup(spark):
+    from ensembl_datacheck_spark.operators import sessions
+
+    df = _session_fixture(spark)
+    stats = {
+        (r["user_id"], r["session_seq"]): r
+        for r in sessions.session_stats(df, "user_id", "ts", 30).collect()
+    }
+    assert stats[(1, 1)]["n_events"] == 3
+    assert stats[(1, 2)]["n_events"] == 2
+    assert stats[(2, 1)]["n_events"] == 2
+    assert stats[(1, 1)]["span_us"] == 39 * 60 * 1_000_000
+    assert stats[(2, 1)]["span_us"] == 30 * 60 * 1_000_000
+
+
+def test_sessionize_single_exchange(spark):
+    """One hash Exchange on the user key — the whole cost model."""
+    from ensembl_datacheck_spark.operators import sessions
+
+    df = _session_fixture(spark)
+    plan = (
+        sessions.sessionize(df, "user_id", "ts", 30)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 1
+
+
+def test_sessionize_stream_matches_batch(spark, tmp_path):
+    """Streaming session_window boundaries coincide with the batch lag
+    rule: same (user, session_start, n_events) facts."""
+    from ensembl_datacheck_spark.operators import sessions
+
+    batch = _session_fixture(spark)
+    src = tmp_path / "sess_src"
+    batch.write.parquet(str(src))
+
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = sessions.sessionize_stream(stream, "user_id", "ts", 30,
+                                     watermark_minutes=240)
+    q = (
+        out.writeStream.format("memory").queryName("sess_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        # append mode emits a session only once the watermark passes it,
+        # and the watermark advances at the END of a batch — so ship a
+        # second micro-batch with one far-future sentinel event to close
+        # every fixture session
+        spark.createDataFrame(
+            [(99, 999, "2024-01-02 12:00:00")],
+            "event_id long, user_id long, ts_s string",
+        ).select(
+            "event_id", "user_id",
+            F.col("ts_s").cast("timestamp").alias("ts"),
+        ).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.sql("select * from sess_stream").collect()
+        if r["user_id"] != 999  # sentinel stays open — not a fixture fact
+    }
+    want = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in sessions.session_stats(batch, "user_id", "ts", 30).collect()
+    }
+    # the sentinel closed every fixture session, so the emitted set must
+    # equal the batch facts exactly
+    assert got == want
