@@ -515,8 +515,14 @@ def _resolve_band_bits(
     ladder: tuple[int, ...],
 ) -> int:
     """band_bits if given; else adaptive from the hint; else adaptive
-    from a one-time COUNT of the input (a metadata-cheap single-column
-    scan — the price of a default that cannot melt down at scale)."""
+    from a one-time COUNT of ``df``.
+
+    Callers pass the CACHED signature table as ``df``, not the raw
+    input: the count then doubles as the cache materialization, so the
+    upstream plan (which may be an arbitrary derived pipeline — filters,
+    UDF normalization, a JDBC read) executes exactly once per call even
+    on the no-hint default path, instead of once for the count and again
+    for the dedup job."""
     if band_bits is not None:
         return band_bits
     n = corpus_size_hint if corpus_size_hint is not None else df.count()
@@ -539,11 +545,6 @@ def simhash_near_duplicates(
     from a one-time count of ``df`` — so default arguments stay
     linear-candidate-set at any corpus size instead of inheriting a
     width tuned for small corpora."""
-    band_bits = _resolve_band_bits(
-        df, band_bits, corpus_size_hint, sig_bits=64, ladder=(16, 32)
-    )
-    n_bands = 64 // band_bits
-    mask = (1 << band_bits) - 1
     # signatures are reused three times (banding + two join-backs);
     # cache the (id, simhash) table — 16 bytes/doc, the standard LSH
     # signature-store pattern — instead of recomputing the UDF per use
@@ -551,6 +552,13 @@ def simhash_near_duplicates(
         F.col(id_col).alias("id"),
         simhash64(words(F.col(text_col))).alias("simhash"),
     ))
+    # resolve AFTER caching: the no-hint count runs on sh, warming the
+    # same cache the banding reads — upstream executes exactly once
+    band_bits = _resolve_band_bits(
+        sh, band_bits, corpus_size_hint, sig_bits=64, ladder=(16, 32)
+    )
+    n_bands = 64 // band_bits
+    mask = (1 << band_bits) - 1
     banded = sh.select(
         "id",
         F.explode(
@@ -706,17 +714,19 @@ def portable_simhash_near_duplicates(
     selection over the 60-bit divisor ladder (15/20/30 → 4/3/2 bands) —
     oracle callers pin it explicitly so SQL twins stay band-for-band
     reproducible."""
-    band_bits = _resolve_band_bits(
-        df, band_bits, corpus_size_hint,
-        sig_bits=PORTABLE_SIMHASH_BITS, ladder=(15, 20, 30),
-    )
-    n_bands = PORTABLE_SIMHASH_BITS // band_bits
-    mask = (1 << band_bits) - 1
     # cache: the 60-aggregate signature subplan would otherwise run
     # three times (banding + two join-backs)
     sh = _cache_signatures(
         "portable_simhash", portable_simhash_signatures(df, id_col, text_col)
     )
+    # resolve AFTER caching: the no-hint count runs on sh, warming the
+    # same cache the banding reads — upstream executes exactly once
+    band_bits = _resolve_band_bits(
+        sh, band_bits, corpus_size_hint,
+        sig_bits=PORTABLE_SIMHASH_BITS, ladder=(15, 20, 30),
+    )
+    n_bands = PORTABLE_SIMHASH_BITS // band_bits
+    mask = (1 << band_bits) - 1
     banded = sh.select(
         "id",
         F.explode(

@@ -55,6 +55,8 @@ def sessionize(
     # with the engine's pinned UTC session timezone (session.py:54) the
     # NTZ wall-clock maps 1:1 to epoch micros, same as DuckDB.
     gap_us = int(gap_minutes * 60 * 1_000_000)
+    if gap_us <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     prev_us = F.lag(us).over(w)
     new_session = (
@@ -115,8 +117,15 @@ def sessionize_stream(
     The batch ordinal is replaced by the window struct, which is what
     downstream joins key on in a streaming context.
     """
-    gap = f"{int(gap_minutes * 60)} seconds"
-    wm = f"{int(watermark_minutes * 60)} seconds"
+    # interval strings in MICROSECONDS, matching the batch tier's
+    # integer-microsecond gap rule bit for bit — whole-second rounding
+    # here would silently break the documented batch parity for
+    # fractional gaps and degenerate to a '0 seconds' window below 1 s
+    gap_us = int(gap_minutes * 60 * 1_000_000)
+    if gap_us <= 0:
+        raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
+    gap = f"{gap_us} microseconds"
+    wm = f"{max(0, int(watermark_minutes * 60 * 1_000_000))} microseconds"
     return (
         stream_df.filter(
             F.col(user_col).isNotNull() & F.col(ts_col).isNotNull()

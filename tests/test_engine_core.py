@@ -711,3 +711,29 @@ def test_shared_fact_profile_one_scan_and_parity(spark, seq_fixture, monkeypatch
     ge = P.profile_global(orig(empty))
     assert ge["n_rows"] == 0 and ge["doc_id__n_null"] == 0
     assert ge["n_tok__min"] is None
+
+
+def test_gen_checks_md_check_mode_reports_missing_file(tmp_path, capsys, monkeypatch):
+    """--check on a tree without CHECKS.md reports stale (exit 1), not a
+    FileNotFoundError traceback."""
+    import importlib.util
+    import pathlib
+    import shutil
+    import sys as _sys
+
+    repo = pathlib.Path(__file__).parent.parent
+    spec = importlib.util.spec_from_file_location(
+        "gen_checks_md", repo / "scripts" / "gen_checks_md.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    (tmp_path / "ensembl_datacheck_spark").mkdir()
+    shutil.copy(
+        repo / "ensembl_datacheck_spark" / "index.json",
+        tmp_path / "ensembl_datacheck_spark" / "index.json",
+    )
+    monkeypatch.setattr(mod, "REPO", str(tmp_path))
+    monkeypatch.setattr(_sys, "argv", ["gen_checks_md.py", "--check"])
+    assert mod.main() == 1
+    assert "stale" in capsys.readouterr().out

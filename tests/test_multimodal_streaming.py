@@ -430,3 +430,61 @@ def test_sessionize_stream_matches_batch(spark, tmp_path):
     # the sentinel closed every fixture session, so the emitted set must
     # equal the batch facts exactly
     assert got == want
+
+
+def test_sessionize_fractional_second_gap_parity(spark, tmp_path):
+    """A 0.5 s gap rule must NOT be rounded to whole seconds in the
+    streaming tier: batch and stream must split/merge the same 0.4 s
+    and 0.6 s gaps (review finding on the int()-seconds truncation)."""
+    import pytest as _pytest
+
+    from ensembl_datacheck_spark.operators import sessions
+
+    gap_min = 0.5 / 60  # 500_000 us
+    batch = spark.createDataFrame(
+        [
+            (1, 1, "2024-01-01 10:00:00.000000"),
+            (2, 1, "2024-01-01 10:00:00.400000"),  # +0.4s -> same session
+            (3, 1, "2024-01-01 10:00:01.000001"),  # +0.600001s -> new
+        ],
+        "event_id long, user_id long, ts_s string",
+    ).select("event_id", "user_id",
+             F.col("ts_s").cast("timestamp").alias("ts"))
+    want = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in sessions.session_stats(batch, "user_id", "ts",
+                                        gap_min).collect()
+    }
+    assert sorted(want.values()) == [1, 2]  # the batch rule itself
+
+    src = tmp_path / "frac_src"
+    batch.write.parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    q = (
+        sessions.sessionize_stream(stream, "user_id", "ts", gap_min,
+                                   watermark_minutes=240)
+        .writeStream.format("memory").queryName("frac_stream")
+        .outputMode("append").start()
+    )
+    try:
+        q.processAllAvailable()
+        spark.createDataFrame(
+            [(99, 999, "2024-01-02 12:00:00")],
+            "event_id long, user_id long, ts_s string",
+        ).select("event_id", "user_id",
+                 F.col("ts_s").cast("timestamp").alias("ts")) \
+            .write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {
+        (r["user_id"], str(r["session_start"])): r["n_events"]
+        for r in spark.sql("select * from frac_stream").collect()
+        if r["user_id"] != 999
+    }
+    assert got == want
+
+    with _pytest.raises(ValueError, match="positive"):
+        sessions.sessionize(batch, "user_id", "ts", 0)
+    with _pytest.raises(ValueError, match="positive"):
+        sessions.sessionize_stream(stream, "user_id", "ts", 0)

@@ -831,3 +831,25 @@ def test_pii_custom_patterns_and_token_fmt(pii_docs):
     # only the supplied category is swept or counted
     assert "555-123-4567" in out["redacted_text"]
     assert out["n_email"] == 1 and "n_phone" not in out.asDict()
+
+
+def test_simhash_default_band_bits_executes_upstream_once(spark):
+    """The no-hint adaptive band-bits count runs on the CACHED signature
+    table, so an expensive derived upstream executes exactly once per
+    call — not once for the sizing count and again for the dedup job
+    (review finding on _resolve_band_bits)."""
+    from ensembl_datacheck_spark.operators import dedup
+
+    acc = spark.sparkContext.accumulator(0)
+    texts = [(i, f"some shared prefix text body number {i}") for i in range(40)]
+
+    def tag(row):
+        acc.add(1)
+        return row
+
+    rdd = spark.sparkContext.parallelize(texts, 4).map(tag)
+    df = spark.createDataFrame(rdd, "doc_id long, text string")
+    dedup.simhash_near_duplicates(df, "doc_id", "text").count()
+    assert acc.value == len(texts), (
+        f"upstream executed {acc.value / len(texts):.1f}x, expected 1x"
+    )
