@@ -36,11 +36,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # (rolling_fingerprints_portable ≈ content_fingerprints,
 # minhash_candidates_portable ≈ token_minhash_candidates_portable,
 # hash_split_documents ≈ stratified_sample_documents — same md5-bucket
-# projection shape).  Oracle-backed near-duplicates of shapes already in
-# the window (also e.g. fk_customer_nation ≈ fk_lineitem_orders,
-# tpch_q6 ≈ tpch_q1, ann_l2_topk_exact ≈ ann_bruteforce_topk) sit just
-# past it — still verified by the identical protocol in
-# tests/test_oracle_parity.py.
+# projection shape).  Late round 5 rotated in the round's own four new
+# operators the same way — pii_redaction_documents,
+# pii_summary_documents, sessionize_events, session_stats_events — in
+# place of four entries whose shape a remaining window row still proves:
+# regex_documents (regexp scan ⊂ pii_redaction's sweep),
+# token_counts_documents (per-doc counts ⊂ quality_features_by_lang),
+# event_gaps (lag-over-window S13 ⊂ sessionize's lag + running sum),
+# content_fingerprints (digest projection ⊂ dedup_exact_documents).
+# Oracle-backed near-duplicates of shapes already in the window (also
+# e.g. fk_customer_nation ≈ fk_lineitem_orders, tpch_q6 ≈ tpch_q1,
+# ann_l2_topk_exact ≈ ann_bruteforce_topk) sit just past it — still
+# verified by the identical protocol in tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     "fk_lineitem_orders",
     "uniqueness_orders",
@@ -56,17 +63,17 @@ DRIVER_WINDOW = [
     "key_diff_customer_orders",
     "union_part_screens",
     "linenumber_integrity",
-    "event_gaps",
+    "sessionize_events",
     "topk_orders_per_priority",
-    "regex_documents",
+    "pii_redaction_documents",
     "priority_drift_halves",
     "json_props_events",
     "aggregate_tolerance_part_retail",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
-    "token_counts_documents",
+    "pii_summary_documents",
     "quality_features_by_lang",
-    "content_fingerprints",
+    "session_stats_events",
     "cube_lineitem_counts",
     "id_prefix_conformance",
     "pivot_returnflag_by_status",
