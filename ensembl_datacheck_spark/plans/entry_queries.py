@@ -2992,3 +2992,38 @@ def session_stats_events(spark, sf_dir):
     t = _t(spark, sf_dir)
     return sessions.session_stats(t["events"], "user_id", "ts",
                                   gap_minutes=30)
+
+
+@q(
+    "windowed_event_counts_batch",
+    r"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    WHERE ts IS NOT NULL
+    GROUP BY date_trunc('hour', ts), event_type
+    """,
+)
+def windowed_event_counts_batch(spark, sf_dir):
+    """Tumbling-window counts per category — the batch/backfill twin of
+    streaming/validate.windowed_event_counts (same F.window bucketing;
+    for whole-hour windows F.window.start == date_trunc('hour'), which
+    the oracle replays).  One map-side-combinable aggregation; the
+    window struct is a pure projection, so this is the plain
+    groupBy-count shape at any scale."""
+    t = _t(spark, sf_dir)
+    return (
+        t["events"]
+        .filter(F.col("ts").isNotNull())
+        .groupBy(
+            F.window(F.col("ts"), "1 hour").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n",
+        )
+    )
