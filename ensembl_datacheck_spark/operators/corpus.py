@@ -307,3 +307,95 @@ def reassemble_text_passages(
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce("text_deduped", F.lit("")).alias("text_deduped"),
     )
+
+
+def source_budget_mix(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight_col: str,
+    budgets: dict[str, float],
+    default_budget: float | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Mix a training corpus to per-source weight budgets (chars/tokens)
+    by THRESHOLD SAMPLING: each source keeps a deterministic id-hash
+    fraction rate = min(1, budget / total_weight), so the expected kept
+    weight hits the budget without ordering or ranking any rows.  This
+    is the mixture-building step of web-scale pipelines (per-domain /
+    per-source token quotas a la Dolma / RedPajama mixing); sources
+    absent from ``budgets`` use ``default_budget`` (None = keep all).
+
+    Scale shape, sized for 10^12 rows: ONE map-side-combinable
+    aggregation produces the per-source totals (#sources rows — tiny),
+    rates join back as a BROADCAST, and the keep decision is a pure
+    projection+filter on the md5 bucket (split_bucket — engine-portable,
+    reproducible, and nested: raising a budget only ever ADDS rows).
+    No wide shuffle of the fact table, no per-source sort, no skew
+    exposure — a 10^11-row mega-source costs the same one partial-agg
+    pass as a tiny one.  For exact (not expected-value) budgets see
+    source_budget_trim — the audit-scale path.
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    for name, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {name!r} is negative: {b}")
+    totals = df.groupBy(source_col).agg(F.sum(weight_col).alias("__total"))
+    budget = F.lit(None).cast("double") if default_budget is None else F.lit(
+        float(default_budget)
+    )
+    for name, b in budgets.items():
+        budget = F.when(F.col(source_col) == name, float(b)).otherwise(budget)
+    # NULL budget (no quota) keeps everything: cut = buckets.
+    cut = F.when(
+        budget.isNull() | (F.col("__total") <= 0), F.lit(buckets)
+    ).otherwise(
+        F.floor(F.least(F.lit(1.0), budget / F.col("__total")) * buckets)
+    )
+    rates = totals.select(source_col, cut.cast("long").alias("__cut"))
+    return (
+        df.join(F.broadcast(rates), source_col)
+        .filter(split_bucket(id_col, buckets) < F.col("__cut"))
+        .drop("__cut")
+    )
+
+
+def source_budget_trim(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    weight_col: str,
+    budget: float,
+) -> DataFrame:
+    """EXACT per-source budget trim: keep each source's documents in
+    deterministic md5(id) order while the running weight total (cumsum
+    INCLUDING the current row) stays <= ``budget`` — the kept set never
+    exceeds the budget, unlike the expected-value guarantee of
+    source_budget_mix.  The hash order makes the kept set a uniform
+    sample that is reproducible across engines and runs, and nested:
+    a larger budget keeps a strict superset.
+
+    Scale note: the cumulative sum is a per-source window sort — the
+    right tool at audit scale or with bounded per-source cardinality,
+    but at 10^12 rows a mega-source serializes into one task's sort.
+    At that scale use source_budget_mix (shuffle-free threshold
+    sampling) or pre-bucket by source and trim per bucket.  Reference
+    kin: the quota/threshold semantics of row_subtotals with a
+    max-total constraint (Test/DataCheck.pm row_subtotals direction).
+    """
+    from pyspark.sql.window import Window
+
+    if budget < 0:
+        raise ValueError(f"budget is negative: {budget}")
+    ident = F.col(id_col)
+    w = (
+        Window.partitionBy(source_col)
+        .orderBy(F.md5(ident.cast("string")), ident)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.withColumn("__cum", F.sum(weight_col).over(w))
+        .filter(F.col("__cum") <= budget)
+        .drop("__cum")
+    )

@@ -2350,6 +2350,93 @@ def stratified_sample_documents(spark, sf_dir):
 
 
 @q(
+    "source_budget_mix_documents",
+    """
+    WITH tot AS (
+      SELECT source, SUM(n_chars) AS total FROM documents GROUP BY source
+    ),
+    rates AS (
+      SELECT source,
+             CAST(floor(least(1.0,
+               (CASE WHEN source = 'src0' THEN 4000.0
+                     WHEN source = 'src1' THEN 2000.0
+                     ELSE 6000.0 END) / total) * 10000) AS BIGINT) AS cut
+      FROM tot
+    )
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(d.n_chars) AS BIGINT) AS chars_kept
+    FROM documents d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < r.cut
+    GROUP BY d.source
+    ORDER BY d.source
+    """,
+)
+def source_budget_mix_documents(spark, sf_dir):
+    """Per-source token/char quota mixing by threshold sampling
+    (operators/corpus.source_budget_mix): keep rate min(1, budget/total)
+    per source, decided by the engine-portable md5 id-bucket — one tiny
+    totals aggregation broadcast back, then a pure projection+filter.
+    The mixture-building step of a web-scale training pipeline; no wide
+    shuffle, no per-source sort, skew-immune."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    mixed = corpus.source_budget_mix(
+        t["documents"], "doc_id", "source", "n_chars",
+        budgets={"src0": 4000.0, "src1": 2000.0}, default_budget=6000.0,
+    )
+    return (
+        mixed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
+    "source_budget_trim_documents",
+    """
+    WITH ordered AS (
+      SELECT source, n_chars,
+             SUM(n_chars) OVER (
+               PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM documents
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs_kept,
+           CAST(sum(n_chars) AS BIGINT) AS chars_kept
+    FROM ordered WHERE cum <= 3000
+    GROUP BY source ORDER BY source
+    """,
+)
+def source_budget_trim_documents(spark, sf_dir):
+    """Exact per-source budget trim (operators/corpus.source_budget_trim):
+    keep documents in deterministic md5(id) order while the running char
+    total stays <= 3000 — the kept set never exceeds the budget (the
+    audit-exact twin of source_budget_mix's expected-value sampling)."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    trimmed = corpus.source_budget_trim(
+        t["documents"], "doc_id", "source", "n_chars", budget=3000,
+    )
+    return (
+        trimmed.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_kept"),
+            F.sum("n_chars").cast("long").alias("chars_kept"),
+        )
+        .orderBy("source")
+    )
+
+
+@q(
     "normalized_documents",
     r"""
     SELECT CAST(doc_id AS BIGINT) AS doc_id,

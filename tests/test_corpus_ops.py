@@ -229,3 +229,85 @@ def test_passage_dedup_matches_python_reference_on_random_corpus(spark, seed):
             for r in passage_dedup(frame, passage_words=4).collect()
         }
         assert got == expected
+
+
+@pytest.fixture(scope="module")
+def weighted(spark, ids):
+    """(doc_id, source, w): 4 sources, deterministic weights 1..50."""
+    return ids.limit(800).select(
+        "doc_id",
+        F.concat(F.lit("s"), (F.col("doc_id") % 4).cast("string")).alias("source"),
+        (F.pmod(F.col("doc_id") * 37, 50) + 1).alias("w"),
+    ).cache()
+
+
+def test_source_budget_mix_expectation_nesting_determinism(spark, weighted):
+    totals = {r["source"]: r["t"] for r in
+              weighted.groupBy("source").agg(F.sum("w").alias("t")).collect()}
+    half = {s: t / 2 for s, t in totals.items()}
+    out = corpus.source_budget_mix(weighted, "doc_id", "source", "w", half)
+    kept = {r["source"]: r["k"] for r in
+            out.groupBy("source").agg(F.sum("w").alias("k")).collect()}
+    for s, t in totals.items():
+        # expected-value guarantee: within sampling noise of the budget
+        assert 0.3 * t < kept[s] < 0.7 * t, (s, kept[s], t)
+    # budget >= total keeps everything (rate clamps at 1)
+    full = corpus.source_budget_mix(
+        weighted, "doc_id", "source", "w", {s: t * 2 for s, t in totals.items()}
+    )
+    assert full.count() == weighted.count()
+    # nesting: half-budget sample is a subset of the full set and of a
+    # 75%-budget sample (raising a budget only adds rows)
+    bigger = corpus.source_budget_mix(
+        weighted, "doc_id", "source", "w", {s: 0.75 * t for s, t in totals.items()}
+    )
+    assert out.select("doc_id").join(
+        bigger.select("doc_id"), "doc_id", "left_anti").count() == 0
+    # deterministic under re-partitioning
+    again = corpus.source_budget_mix(
+        weighted.repartition(7), "doc_id", "source", "w", half)
+    assert sorted(r["doc_id"] for r in out.select("doc_id").collect()) == \
+        sorted(r["doc_id"] for r in again.select("doc_id").collect())
+
+
+def test_source_budget_mix_default_and_missing_budget(spark, weighted):
+    # default_budget=None: unnamed sources keep everything
+    out = corpus.source_budget_mix(weighted, "doc_id", "source", "w", {"s0": 1.0})
+    others = weighted.filter(F.col("source") != "s0").count()
+    assert out.filter(F.col("source") != "s0").count() == others
+    # a tiny budget floors the rate toward zero but never errors
+    assert out.filter(F.col("source") == "s0").count() < 10
+    with pytest.raises(ValueError):
+        corpus.source_budget_mix(weighted, "doc_id", "source", "w", {"s0": -1})
+
+
+def test_source_budget_mix_plan_broadcasts_rates(spark, weighted):
+    """Scale contract: the rates side joins as a broadcast (no
+    SortMergeJoin of the fact table against its own aggregate)."""
+    out = corpus.source_budget_mix(
+        weighted, "doc_id", "source", "w", {"s0": 100.0}, default_budget=200.0)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_source_budget_trim_exact_and_maximal(spark, weighted):
+    budget = 500
+    out = corpus.source_budget_trim(weighted, "doc_id", "source", "w", budget)
+    kept = {r["source"]: r["k"] for r in
+            out.groupBy("source").agg(F.sum("w").alias("k")).collect()}
+    # never exceeds the budget
+    assert all(k <= budget for k in kept.values()), kept
+    # maximal: the first dropped doc (hash order) would push past budget
+    ranked = weighted.withColumn(
+        "h", F.md5(F.col("doc_id").cast("string"))
+    ).orderBy("source", "h", "doc_id").collect()
+    kept_ids = {r["doc_id"] for r in out.collect()}
+    cum: dict[str, int] = {}
+    for r in ranked:
+        cum[r["source"]] = cum.get(r["source"], 0) + r["w"]
+        assert (r["doc_id"] in kept_ids) == (cum[r["source"]] <= budget), r
+    # nesting: bigger budget keeps a superset
+    bigger = corpus.source_budget_trim(weighted, "doc_id", "source", "w", 800)
+    assert out.select("doc_id").join(
+        bigger.select("doc_id"), "doc_id", "left_anti").count() == 0
