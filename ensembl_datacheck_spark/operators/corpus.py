@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from ensembl_datacheck_spark.operators.dedup import word_ngrams
+from ensembl_datacheck_spark.operators.dedup import content_hash, word_ngrams
 
 
 def split_bucket(id_col, buckets: int = 100):
@@ -399,3 +399,61 @@ def source_budget_trim(
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )
+
+
+def leakage_safe_split(
+    df: DataFrame,
+    id_col: str,
+    fractions: dict[str, float],
+    text_col: str | None = None,
+    pairs: DataFrame | None = None,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    buckets: int = 100,
+) -> DataFrame:
+    """hash_split that can never leak duplicates across splits: every
+    member of a duplicate cluster is assigned the split of its cluster
+    REPRESENTATIVE (lowest id), so a document and its (near-)copies
+    always land in the same split — the eval set stays honest even when
+    the corpus carries boilerplate replicated across shards.  Plain
+    per-doc hash splitting puts two byte-identical docs in train and
+    test with probability 2·p·(1-p); this closes that leak by
+    construction.
+
+    Exactly one cluster source must be given:
+
+    * ``text_col`` — exact-content clusters: the representative is
+      min(id) over each md5(text) group, computed as an UNORDERED window
+      aggregate (a streaming per-key min: a hot digest concentrates its
+      copies in one task but pays O(1) per row — no row_number sort
+      rank, no join back, one shuffle total);
+    * ``pairs`` — arbitrary candidate pairs (MinHash/SimHash/semantic
+      output): representatives come from connected_components
+      (pointer-doubled min-label propagation, O(log diameter) rounds);
+      docs in no pair are their own representative via one left join.
+
+    The split decision reuses hash_split's md5-bucket boundaries on the
+    representative id, so it inherits determinism, engine portability,
+    and grow-only boundary migration.
+    """
+    from pyspark.sql.window import Window
+
+    if (text_col is None) == (pairs is None):
+        raise ValueError("give exactly one of text_col or pairs")
+    if text_col is not None:
+        rep = F.min(id_col).over(
+            Window.partitionBy(content_hash(F.col(text_col)))
+        )
+        labeled = df.withColumn("__rep", rep)
+    else:
+        from ensembl_datacheck_spark.operators.clusters import (
+            connected_components,
+        )
+
+        labels = connected_components(pairs, id_a, id_b).select(
+            F.col("node").alias(id_col), F.col("component").alias("__comp")
+        )
+        labeled = df.join(labels, id_col, "left").withColumn(
+            "__rep", F.coalesce("__comp", F.col(id_col))
+        ).drop("__comp")
+    return hash_split(labeled, "__rep", fractions, buckets).drop("__rep")

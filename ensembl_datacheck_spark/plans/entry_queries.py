@@ -2350,6 +2350,52 @@ def stratified_sample_documents(spark, sf_dir):
 
 
 @q(
+    "leakage_safe_split_documents",
+    """
+    WITH u AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000, text FROM documents
+    ),
+    rep AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS rep
+      FROM u
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CASE WHEN b < 80 THEN 'train'
+                WHEN b < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(rep AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM rep
+    )
+    """,
+)
+def leakage_safe_split_documents(spark, sf_dir):
+    """Leakage-safe train/val/test split (operators/corpus.
+    leakage_safe_split): every member of an exact-duplicate cluster gets
+    the split of its min-id representative, so duplicated boilerplate
+    can never straddle train and eval.  The fixture has no duplicate
+    texts, so the query plants one copy of every document at
+    doc_id+100000 — each (doc, copy) pair must land in the same split,
+    which the oracle recomputes via min-over-md5(text) + the portable
+    md5 bucket."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].select("doc_id", "text")
+    u = d.unionByName(
+        d.select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+    )
+    return corpus.leakage_safe_split(
+        u, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1},
+        text_col="text",
+    ).select("doc_id", "split")
+
+
+@q(
     "source_budget_mix_documents",
     """
     WITH tot AS (

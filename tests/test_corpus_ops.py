@@ -311,3 +311,50 @@ def test_source_budget_trim_exact_and_maximal(spark, weighted):
     bigger = corpus.source_budget_trim(weighted, "doc_id", "source", "w", 800)
     assert out.select("doc_id").join(
         bigger.select("doc_id"), "doc_id", "left_anti").count() == 0
+
+
+@pytest.fixture(scope="module")
+def texts(spark):
+    """200 docs: ids 0..99 distinct texts; 100..149 duplicate ids 0..49."""
+    base = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), F.col("id").cast("string")).alias("text"),
+    )
+    dups = spark.range(100, 150).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text "), (F.col("id") - 100).cast("string")).alias("text"),
+    )
+    return base.unionByName(dups).cache()
+
+
+def test_leakage_safe_split_exact_mode(spark, texts):
+    out = corpus.leakage_safe_split(
+        texts, "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2},
+        text_col="text",
+    )
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    # every duplicate pair shares its representative's split
+    for i in range(50):
+        assert rows[i + 100] == rows[i], (i, rows[i], rows[i + 100])
+    # docs with unique text follow plain hash_split on their own id
+    plain = {r["doc_id"]: r["split"] for r in corpus.hash_split(
+        texts.filter(F.col("doc_id") >= 50).filter(F.col("doc_id") < 100),
+        "doc_id", {"train": 0.6, "val": 0.2, "test": 0.2}).collect()}
+    for i in range(50, 100):
+        assert rows[i] == plain[i]
+
+
+def test_leakage_safe_split_pairs_mode(spark, texts):
+    # chain 10-11-12 is one cluster: all three must share split
+    pairs = spark.createDataFrame(
+        [(10, 11), (11, 12), (30, 31)], "id_a long, id_b long")
+    out = corpus.leakage_safe_split(
+        texts, "doc_id", {"train": 0.5, "val": 0.5}, pairs=pairs)
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    assert rows[10] == rows[11] == rows[12]
+    assert rows[30] == rows[31]
+    with pytest.raises(ValueError):
+        corpus.leakage_safe_split(texts, "doc_id", {"train": 1.0})
+    with pytest.raises(ValueError):
+        corpus.leakage_safe_split(
+            texts, "doc_id", {"train": 1.0}, text_col="text", pairs=pairs)
