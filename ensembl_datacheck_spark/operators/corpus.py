@@ -457,3 +457,55 @@ def leakage_safe_split(
             "__rep", F.coalesce("__comp", F.col(id_col))
         ).drop("__comp")
     return hash_split(labeled, "__rep", fractions, buckets).drop("__rep")
+
+
+def upsample_sources(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    epochs: dict[str, float],
+    default_epochs: float = 1.0,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Repeat each source's rows a FRACTIONAL number of epochs — the
+    upsampling half of training-mix construction ("2.5 epochs of
+    wikipedia, 0.5 of commoncrawl").  Every row gains an ``epoch``
+    column (0-based copy index): floor(e) full copies for everyone,
+    plus one extra copy for the deterministic id-hash fraction frac(e)
+    of rows — so expected row count is exactly e x input, the kept set
+    is reproducible across runs/engines/partitionings, and raising an
+    epoch count only ADDS copies (nested, like the samplers above).
+
+    Scale shape: a PURE PROJECTION + row generator — the copy count is
+    a literal when-chain on the source column plus one md5-bucket
+    comparison, and the copies come from explode(sequence(0, n-1)).
+    Zero shuffle, zero aggregation, no skew exposure; 10^12 rows cost
+    one map pass regardless of the epoch mix.  Downstream global
+    shuffling of the repeated stream is the training loader's job (or
+    one repartition on a hash of (id, epoch)).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    for name, e in {**epochs, "default": default_epochs}.items():
+        if e < 0:
+            raise ValueError(f"epochs for {name!r} is negative: {e}")
+
+    def _parts(e: float) -> tuple[int, int]:
+        whole = int(e)
+        return whole, int(round((e - whole) * buckets))
+
+    n_whole, n_cut = map(F.lit, _parts(default_epochs))
+    for name, e in epochs.items():
+        whole, cut = _parts(e)
+        here = F.col(source_col) == name
+        n_whole = F.when(here, whole).otherwise(n_whole)
+        n_cut = F.when(here, cut).otherwise(n_cut)
+    n_copies = n_whole + (split_bucket(id_col, buckets) < n_cut).cast("int")
+    return (
+        df.withColumn("__n", n_copies)
+        .filter(F.col("__n") > 0)
+        .withColumn(
+            "epoch", F.explode(F.sequence(F.lit(0), F.col("__n") - 1))
+        )
+        .drop("__n")
+    )

@@ -2350,6 +2350,46 @@ def stratified_sample_documents(spark, sf_dir):
 
 
 @q(
+    "upsample_sources_documents",
+    """
+    WITH base AS (
+      SELECT doc_id, source,
+             (CASE WHEN source = 'src0' THEN 2
+                   WHEN source = 'src1' THEN 0
+                   ELSE 1 END)
+             + (CASE WHEN (CAST(('0x' ||
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                     AS BIGINT) % 10000)
+                   < (CASE WHEN source IN ('src0', 'src1') THEN 5000
+                           ELSE 0 END)
+                THEN 1 ELSE 0 END) AS n
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+           CAST(e AS BIGINT) AS epoch
+    FROM (
+      SELECT doc_id, source, unnest(range(n)) AS e FROM base WHERE n > 0
+    )
+    """,
+)
+def upsample_sources_documents(spark, sf_dir):
+    """Fractional-epoch upsampling for training-mix construction
+    (operators/corpus.upsample_sources): 2.5 epochs of src0, 0.5 of
+    src1, 1.0 of everything else — floor(e) full copies plus one extra
+    for the deterministic md5-bucket fraction frac(e) of ids, each copy
+    tagged with its 0-based ``epoch``.  Pure projection + generator:
+    zero shuffle, reproducible, nested across epoch increases."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    up = corpus.upsample_sources(
+        t["documents"], "doc_id", "source",
+        epochs={"src0": 2.5, "src1": 0.5}, default_epochs=1.0,
+    )
+    return up.select("doc_id", "source", F.col("epoch").cast("long").alias("epoch"))
+
+
+@q(
     "leakage_safe_split_documents",
     """
     WITH u AS (

@@ -358,3 +358,34 @@ def test_leakage_safe_split_pairs_mode(spark, texts):
     with pytest.raises(ValueError):
         corpus.leakage_safe_split(
             texts, "doc_id", {"train": 1.0}, text_col="text", pairs=pairs)
+
+
+def test_upsample_sources_counts_nesting_zero_shuffle(spark, weighted):
+    per_src = {r["source"]: r["n"] for r in
+               weighted.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    out = corpus.upsample_sources(
+        weighted, "doc_id", "source",
+        epochs={"s0": 2.5, "s1": 0.0}, default_epochs=1.0)
+    got = {r["source"]: r["n"] for r in
+           out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    # expected-value row counts: 2.5x for s0 (within hash-sampling
+    # noise), 0 for s1, exactly 1x elsewhere
+    assert abs(got["s0"] / per_src["s0"] - 2.5) < 0.3, got
+    assert "s1" not in got
+    assert got["s2"] == per_src["s2"] and got["s3"] == per_src["s3"]
+    # every row carries a dense 0-based epoch index
+    mx = out.filter(F.col("source") == "s0").agg(
+        F.min("epoch").alias("lo"), F.max("epoch").alias("hi")).collect()[0]
+    assert mx["lo"] == 0 and mx["hi"] == 2
+    # nesting: raising an epoch count only ADDS (id, epoch) copies
+    bigger = corpus.upsample_sources(
+        weighted, "doc_id", "source",
+        epochs={"s0": 3.0, "s1": 0.0}, default_epochs=1.0)
+    lost = out.select("doc_id", "epoch").join(
+        bigger.select("doc_id", "epoch"), ["doc_id", "epoch"], "left_anti")
+    assert lost.count() == 0
+    # scale contract: pure projection + generator — no Exchange at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
+    with pytest.raises(ValueError):
+        corpus.upsample_sources(weighted, "doc_id", "source", {"s0": -1.0})
