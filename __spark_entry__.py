@@ -48,6 +48,16 @@ def entry(spark: SparkSession) -> DataFrame:
 # e.g. fk_customer_nation ≈ fk_lineitem_orders, tpch_q6 ≈ tpch_q1,
 # ann_l2_topk_exact ≈ ann_bruteforce_topk) sit just past it — still
 # verified by the identical protocol in tests/test_oracle_parity.py.
+# Final round-5 rotation: the four training-mix operators added at the
+# end of the round — source_budget_mix_documents,
+# source_budget_trim_documents, leakage_safe_split_documents,
+# upsample_sources_documents — replace four entries whose shape a
+# remaining window row still proves: stratified_sample_documents
+# (md5-bucket filter ⊂ source_budget_mix's bucket filter + broadcast
+# rates), normalized_documents (normalization ⊂ corpus_prep_pipeline's
+# first stage), pii_summary_documents (detection core ⊂
+# pii_redaction_documents), session_stats_events (session assignment ⊂
+# sessionize_events).
 DRIVER_WINDOW = [
     "fk_lineitem_orders",
     "uniqueness_orders",
@@ -71,9 +81,9 @@ DRIVER_WINDOW = [
     "aggregate_tolerance_part_retail",
     "dedup_exact_documents",
     "ngram_jaccard_pairs",
-    "pii_summary_documents",
+    "source_budget_trim_documents",
     "quality_features_by_lang",
-    "session_stats_events",
+    "upsample_sources_documents",
     "cube_lineitem_counts",
     "id_prefix_conformance",
     "pivot_returnflag_by_status",
@@ -92,8 +102,8 @@ DRIVER_WINDOW = [
     "validation_summary",
     "semantic_dedup_embeddings",
     "contamination_eval_vs_train",
-    "stratified_sample_documents",
-    "normalized_documents",
+    "source_budget_mix_documents",
+    "leakage_safe_split_documents",
     "corpus_prep_pipeline",
     "incremental_dedup_documents",
     "repetition_signals_documents",

@@ -117,13 +117,19 @@ def test_driver_window_is_oracle_backed_and_covers_new_operators():
         # round-5 rotation (VERDICT r4 next-round item 2)
         "token_unigram_drift_halves", "token_snapshot_diff_documents",
         "semantic_dedup_embeddings",
+        # final round-5 rotation: the training-mix operators
+        "source_budget_mix_documents", "source_budget_trim_documents",
+        "leakage_safe_split_documents", "upsample_sources_documents",
     }
-    # the three thin shape-duplicates rotated out in round 5 — their
-    # window twins are noted in __spark_entry__.py; all stay
-    # oracle-backed (parity-tested above)
+    # thin shape-duplicates rotated out during round 5 — their window
+    # twins are noted in __spark_entry__.py; all stay oracle-backed
+    # (parity-tested above)
     demoted = {
         "hash_split_documents", "rolling_fingerprints_portable",
         "minhash_candidates_portable",
+        # replaced by the training-mix rotation
+        "stratified_sample_documents", "normalized_documents",
+        "pii_summary_documents", "session_stats_events",
     }
     promoted -= demoted
     assert promoted <= set(win)
