@@ -509,3 +509,55 @@ def upsample_sources(
         )
         .drop("__n")
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    seq_len: int,
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Concat-packing placement metadata for LM pretraining: documents
+    are concatenated in a deterministic order and sliced into
+    fixed-``seq_len`` training sequences; this emits, per document,
+    WHERE its tokens land — ``bucket`` (independent packing stream),
+    ``bin`` (0-based training-sequence index within the bucket at which
+    the document STARTS), and ``offset`` (token position within that
+    bin).  A document with weight w starting at offset o occupies
+    [o, o+w) of the bucket's concatenated stream, spilling into
+    subsequent bins exactly as a training loader slicing the stream
+    into seq_len windows would place it — so the loader needs no
+    further coordination, just this table.
+
+    Scale shape: documents first hash into ``n_buckets`` independent
+    md5-bucket streams (a pure projection), then ONE per-bucket window
+    cumulative sum in md5(id) order yields start positions; bin and
+    offset are start // seq_len and start % seq_len — projections.
+    One shuffle total, and the window sort is bounded by corpus/
+    n_buckets per task: n_buckets is the scale knob (raise it with the
+    corpus; buckets are md5-uniform so there is no skew).  Determinism:
+    the same corpus packs identically across runs, partitionings, and
+    engines, and each bucket's stream is gapless — sum(weights) ==
+    final cum — which the tests assert.
+    """
+    from pyspark.sql.window import Window
+
+    if seq_len < 1:
+        raise ValueError(f"seq_len must be >= 1, got {seq_len}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    ident = F.col(id_col)
+    bkt = split_bucket(id_col, n_buckets)
+    w = (
+        Window.partitionBy(bkt)
+        .orderBy(F.md5(ident.cast("string")), ident)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    start = (F.sum(weight_col).over(w) - F.col(weight_col)).alias("__start")
+    return (
+        df.select("*", bkt.alias("bucket"), start)
+        .withColumn("bin", F.floor(F.col("__start") / seq_len))
+        .withColumn("offset", F.pmod(F.col("__start"), F.lit(seq_len)))
+        .drop("__start")
+    )

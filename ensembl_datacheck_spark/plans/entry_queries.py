@@ -2350,6 +2350,43 @@ def stratified_sample_documents(spark, sf_dir):
 
 
 @q(
+    "pack_sequences_documents",
+    """
+    WITH placed AS (
+      SELECT doc_id,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 4 AS bucket,
+             SUM(n_chars) OVER (
+               PARTITION BY CAST(('0x' ||
+                 substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                 AS BIGINT) % 4
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+               ROWS UNBOUNDED PRECEDING) - n_chars AS start
+      FROM documents
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CAST(floor(start / 512.0) AS BIGINT) AS bin,
+           CAST(start % 512 AS BIGINT) AS "offset"
+    FROM placed
+    """,
+)
+def pack_sequences_documents(spark, sf_dir):
+    """Concat-packing placement for LM pretraining
+    (operators/corpus.pack_sequences): each document's (bucket, bin,
+    offset) in 512-char training sequences over 4 independent md5-bucket
+    streams — one bounded per-bucket window cumsum, bin/offset pure
+    projections, reproducible by the SQL oracle position-for-position."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    return corpus.pack_sequences(
+        t["documents"], "doc_id", "n_chars", seq_len=512, n_buckets=4,
+    ).select("doc_id", F.col("bucket").cast("long").alias("bucket"),
+             "bin", F.col("offset").cast("long").alias("offset"))
+
+
+@q(
     "upsample_sources_documents",
     """
     WITH base AS (

@@ -389,3 +389,36 @@ def test_upsample_sources_counts_nesting_zero_shuffle(spark, weighted):
     assert "Exchange" not in plan, plan
     with pytest.raises(ValueError):
         corpus.upsample_sources(weighted, "doc_id", "source", {"s0": -1.0})
+
+
+def test_pack_sequences_gapless_deterministic(spark, weighted):
+    L, B = 64, 8
+    out = corpus.pack_sequences(weighted, "doc_id", "w", seq_len=L,
+                                n_buckets=B).collect()
+    # reconstruct every bucket's stream: in hash order the starts must
+    # be gapless (each doc starts where the previous one ended) and
+    # bin/offset must decompose the start exactly
+    import hashlib
+
+    def h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    by_bucket: dict[int, list] = {}
+    for r in out:
+        assert 0 <= r["bucket"] < B
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    assert len(by_bucket) == B
+    for rows in by_bucket.values():
+        rows.sort(key=lambda r: (h(r["doc_id"]), r["doc_id"]))
+        pos = 0
+        for r in rows:
+            assert r["bin"] == pos // L and r["offset"] == pos % L, r
+            pos += r["w"]
+    # deterministic under re-partitioning
+    again = corpus.pack_sequences(weighted.repartition(11), "doc_id", "w",
+                                  seq_len=L, n_buckets=B)
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again.collect()))
+    with pytest.raises(ValueError):
+        corpus.pack_sequences(weighted, "doc_id", "w", seq_len=0)
+    with pytest.raises(ValueError):
+        corpus.pack_sequences(weighted, "doc_id", "w", seq_len=8, n_buckets=0)
