@@ -57,7 +57,9 @@ def entry(spark: SparkSession) -> DataFrame:
 # rates), normalized_documents (normalization ⊂ corpus_prep_pipeline's
 # first stage), pii_summary_documents (detection core ⊂
 # pii_redaction_documents), session_stats_events (session assignment ⊂
-# sessionize_events).
+# sessionize_events).  pack_sequences_documents stays outside for the
+# same reason: its bucketed window-cumsum shape is already in-window
+# via source_budget_trim_documents.
 DRIVER_WINDOW = [
     "fk_lineitem_orders",
     "uniqueness_orders",
