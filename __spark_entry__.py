@@ -60,6 +60,11 @@ def entry(spark: SparkSession) -> DataFrame:
 # sessionize_events).  pack_sequences_documents stays outside for the
 # same reason: its bucketed window-cumsum shape is already in-window
 # via source_budget_trim_documents.
+# Late round-5 swap: token_contamination_eval_vs_train (the payload-
+# axis decontamination — k-token shingles over derived tokens) replaces
+# contamination_eval_vs_train, whose word-shingle shape it strictly
+# generalizes (same distinct-train-set → single-left-join plan; the
+# text twin stays oracle-green in tests/test_oracle_parity.py).
 DRIVER_WINDOW = [
     "fk_lineitem_orders",
     "uniqueness_orders",
@@ -103,7 +108,7 @@ DRIVER_WINDOW = [
     "asof_purchase_click",
     "validation_summary",
     "semantic_dedup_embeddings",
-    "contamination_eval_vs_train",
+    "token_contamination_eval_vs_train",
     "source_budget_mix_documents",
     "leakage_safe_split_documents",
     "corpus_prep_pipeline",

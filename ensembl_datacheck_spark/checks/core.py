@@ -763,6 +763,51 @@ def token_passage_redundancy(ctx):
 
 
 @register(
+    "TokenEvalContamination",
+    "Held-out eval sources are not leaked into the training sources: "
+    "per eval doc, the fraction of its distinct config[contamination_k]"
+    "-token shingles (default 8, the GPT-3/PaLM decontamination "
+    "convention) found anywhere in the train side stays under "
+    "config[max_contamination] (default 0.05).  The check-suite face of "
+    "operators/token_dedup.token_contamination: train collapses to its "
+    "distinct xxhash64 shingle-key set before ONE left join (map-side "
+    "combinable — linear in shingles, no doc x doc pairing); violation "
+    "rows are the leaked eval docs with their overlap counts, "
+    "is_rows_zero diagnostics semantics (Test/DataCheck.pm:283-318 "
+    "kin).  Skips with a reason when no row carries an eval source "
+    "(Manager.pm skip-with-reason semantics).",
+    # whole-corpus shingle scan: on-demand like the other dedup-family
+    # checks, never dragged into routine --groups sequences runs
+    groups=("dedup",),
+    severity="advisory",
+    tables=("sequences",),
+    on_demand=True,
+)
+def token_eval_contamination(ctx):
+    from ensembl_datacheck_spark.operators.token_dedup import token_contamination
+
+    seq = ctx.table("sequences").filter(
+        F.col("tokens").isNotNull() & (F.size("tokens") > 0)
+    )
+    eval_sources = list(ctx.config.get("eval_sources", ["src_19"]))
+    k = int(ctx.config.get("contamination_k", 8))
+    max_frac = float(ctx.config.get("max_contamination", 0.05))
+    ev = seq.filter(F.col("source").isin(eval_sources))
+    if not ev.take(1):  # LIMIT-1 probe, never a count
+        ctx.skip(f"no rows with eval source(s) {eval_sources}")
+        return
+    train = seq.filter(~F.col("source").isin(eval_sources))
+    overlap = token_contamination(train, ev, "doc_id", "tokens", k=k)
+    breach = overlap.filter(F.col("contamination") > F.lit(max_frac)).select(
+        F.col("id"), "n_shingles", "n_contaminated", "contamination"
+    )
+    ctx.record(
+        A.is_rows_zero(breach, f"eval_contamination_<=_{max_frac}"),
+        key_col="id",
+    )
+
+
+@register(
     "TokenUnigramDrift",
     "Token CONTENT distribution vs baseline — the drift axis the "
     "length/source/quantile checks cannot see (a tokenizer or filter "

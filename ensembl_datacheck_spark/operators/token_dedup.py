@@ -355,3 +355,101 @@ def token_passage_dedup(
             F.lit(""),
         ).alias("dedup_sig"),
     )
+
+
+def token_contamination(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Benchmark-leakage measurement over the input_hint payload shape
+    (`tokens: array<int>`): per EVAL document, the fraction of its
+    distinct k-token shingles that appear anywhere in the TRAIN corpus
+    — corpus.contamination_overlap's semantics at token granularity,
+    the form decontamination actually runs in an LLM pipeline (leakage
+    is defined over what the model sees, not over surface text; cf.
+    GPT-3 appendix C / PaLM-style 8-gram decontamination).
+
+    Scale shape (identical to the text variant): the train side
+    collapses to its DISTINCT shingle-key set before the join — a
+    map-side-combinable aggregation, so the hot shingle occurring 10^9
+    times crosses the shuffle once — then ONE left join marks eval
+    shingle hits and a final per-doc aggregation emits counts.  Linear
+    in total shingles; no doc x doc pairing; no Python anywhere
+    (shingles are JVM slice HOFs, keys are codegen hashes post-explode
+    — hashing inside the HOF lambda would evaluate interpreted).
+
+    Tiers: default keys shingles with native ``xxhash64`` over the
+    slice array (cheapest; 64-bit, collision odds negligible at any
+    realistic shingle count).  ``portable=True`` keys with
+    md5-of-joined-tokens — injective and reproducible in any SQL
+    engine, used by the DuckDB oracle query; both tiers return
+    identical counts (pytest-pinned).
+
+    Returns (id, n_shingles, n_contaminated, contamination) — one row
+    per eval doc with >=1 token.
+
+    Reference kin: the reference validates corpus hygiene as named
+    per-row checks with violation diagnostics (Test/DataCheck.pm
+    is_rows_zero semantics); a contamination threshold check composes
+    this with cmp_rows.
+    """
+
+    def keyed(df: DataFrame) -> DataFrame:
+        toks = F.col(tokens_col)
+        sh = (
+            df.filter(toks.isNotNull() & (F.size(toks) > 0))
+            .select(
+                F.col(id_col).alias("id"),
+                F.explode(token_shingle_slices_jvm(tokens_col, k)).alias("s"),
+            )
+        )
+        key = (
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("s"), lambda x: x.cast("string")), "_"
+                )
+            )
+            if portable
+            else F.xxhash64("s")
+        )
+        return sh.select("id", key.alias("shingle"))
+
+    tr = keyed(train).select("shingle").distinct().withColumn("__hit", F.lit(1))
+    ev = keyed(eval_df).distinct()
+    # one pass over the eval shingles: left join against the unique
+    # train set (no fan-out), count-all vs count-hits in one aggregation
+    marked = ev.join(tr, "shingle", "left")
+    return marked.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.count("__hit").alias("n_contaminated"),
+        (F.count("__hit") / F.count(F.lit(1))).alias("contamination"),
+    )
+
+
+def token_decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    max_contamination: float = 0.0,
+    portable: bool = False,
+) -> DataFrame:
+    """Scrub the TRAIN corpus against held-out eval token sequences:
+    drop train documents whose distinct k-token-shingle overlap with
+    the eval corpus exceeds ``max_contamination`` (the mirrored
+    direction of token_contamination — eval plays the reference set).
+    The eval corpus is small by contract, so its distinct shingle set
+    broadcasts; the final id anti-join removes flagged rows without
+    touching surviving rows' payloads."""
+    overlap = token_contamination(
+        eval_df, train, id_col, tokens_col, k=k, portable=portable
+    )
+    bad = overlap.filter(F.col("contamination") > max_contamination).select(
+        F.col("id").alias(id_col)
+    )
+    return train.join(bad, id_col, "left_anti")

@@ -1992,6 +1992,67 @@ def token_passage_dedup_documents(spark, sf_dir):
 
 
 @q(
+    "token_contamination_eval_vs_train",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents
+      WHERE doc_id < 300 AND text IS NOT NULL AND text <> ''
+    ),
+    sh AS (
+      SELECT doc_id,
+             unnest(CASE WHEN len(toks) >= 4 THEN
+                      list_transform(range(1, len(toks) - 2),
+                                     i -> md5(array_to_string(toks[i:i+3], '_')))
+                    ELSE [md5(array_to_string(toks, '_'))] END) AS shingle
+      FROM docs WHERE len(toks) > 0
+    ),
+    tr AS (SELECT DISTINCT shingle FROM sh WHERE doc_id % 5 <> 0),
+    ev AS (SELECT DISTINCT doc_id, shingle FROM sh WHERE doc_id % 5 = 0),
+    tot AS (SELECT doc_id, count(*) AS n FROM ev GROUP BY doc_id),
+    hit AS (
+      SELECT doc_id, count(*) AS h FROM ev
+      WHERE shingle IN (SELECT shingle FROM tr) GROUP BY doc_id
+    )
+    SELECT CAST(t.doc_id AS BIGINT) AS id,
+           CAST(t.n AS BIGINT) AS n_shingles,
+           CAST(coalesce(h.h, 0) AS BIGINT) AS n_contaminated,
+           coalesce(h.h, 0) / t.n AS contamination
+    FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+    """,
+)
+def token_contamination_eval_vs_train(spark, sf_dir):
+    """Decontamination at TOKEN granularity — the form LLM pipelines
+    actually run it in (leakage is defined over what the model sees) —
+    via token_dedup.token_contamination: tokens DERIVED in-query under
+    the shared md5-bigint convention, eval = doc_id % 5 == 0, train =
+    the other four fifths, k=4-token shingles.  Train collapses to its
+    distinct shingle-key set before the single left join (map-side
+    combinable; linear in shingles, no doc x doc pairing); the portable
+    md5 key tier here is value-for-value against the oracle, and the
+    xxhash64 scale tier returns identical counts (pytest-pinned)."""
+    from ensembl_datacheck_spark.operators import token_dedup
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(
+        (F.col("doc_id") < 300)
+        & F.col("text").isNotNull() & (F.col("text") != "")
+    )
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    train = toks.filter(F.col("doc_id") % 5 != 0)
+    ev = toks.filter(F.col("doc_id") % 5 == 0)
+    res = token_dedup.token_contamination(
+        train, ev, "doc_id", "tokens", k=4, portable=True
+    )
+    return res.select(
+        F.col("id").cast("long").alias("id"),
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.col("n_contaminated").cast("long").alias("n_contaminated"),
+        F.col("contamination"),
+    )
+
+
+@q(
     "token_unigram_drift_halves",
     f"""
     WITH docs AS (

@@ -241,3 +241,71 @@ class TestTokenPassageDedup:
 
         with _pytest.raises(ValueError):
             token_passage_dedup(df, passage_tokens=0)
+
+
+class TestTokenContamination:
+    """token_dedup.token_contamination / token_decontaminate: per-eval-doc
+    distinct k-shingle overlap against the train corpus, both key tiers."""
+
+    @pytest.fixture(scope="class")
+    def contam_docs(self, spark):
+        # train: two docs sharing a long run; eval: one doc fully inside
+        # train's token space, one half-overlapping, one disjoint, plus
+        # degenerate short/empty/null rows
+        t1 = list(range(0, 40))
+        t2 = list(range(100, 140))
+        rows_tr = [(1, t1), (2, t2), (3, [7, 8])]          # 3: shorter than k
+        rows_ev = [
+            (10, list(range(5, 25))),      # every 8-shingle inside t1
+            (11, list(range(30, 50))),     # windows 30..42 hit, 33+ windows miss
+            (12, list(range(900, 940))),   # disjoint
+            (13, [7, 8]),                  # whole-array shingle, matches train doc 3
+            (14, []),                      # dropped
+            (15, None),                    # dropped
+        ]
+        tr = spark.createDataFrame(rows_tr, "doc_id long, tokens array<int>")
+        ev = spark.createDataFrame(rows_ev, "doc_id long, tokens array<int>")
+        return tr.cache(), ev.cache()
+
+    def _as_map(self, df):
+        return {
+            r["id"]: (r["n_shingles"], r["n_contaminated"], r["contamination"])
+            for r in df.collect()
+        }
+
+    def test_counts_and_edges(self, contam_docs):
+        tr, ev = contam_docs
+        got = self._as_map(TD.token_contamination(tr, ev, k=8))
+        # doc 10: 20 tokens -> 13 windows, all contained in t1's windows
+        assert got[10] == (13, 13, 1.0)
+        # doc 11: tokens 30..49 -> 13 windows; windows starting at 30..32
+        # lie fully within t1 (end <= 39); the rest cross past 39 -> miss
+        assert got[11][0] == 13 and got[11][1] == 3
+        assert got[12] == (33, 0, 0.0)  # 40 tokens -> 33 windows, disjoint
+        # doc 13 shorter than k: single whole-array shingle == train doc 3's
+        assert got[13] == (1, 1, 1.0)
+        assert 14 not in got and 15 not in got
+
+    def test_tier_parity(self, contam_docs):
+        tr, ev = contam_docs
+        fast = self._as_map(TD.token_contamination(tr, ev, k=8))
+        portable = self._as_map(TD.token_contamination(tr, ev, k=8, portable=True))
+        assert fast == portable
+
+    def test_decontaminate_drops_leaked_train_rows(self, contam_docs):
+        tr, ev = contam_docs
+        # scrub the EVAL set's shingles out of train: doc 1 leaks into
+        # eval docs 10/11, doc 3 into 13; doc 2 is untouched
+        kept = TD.token_decontaminate(tr, ev, k=8, max_contamination=0.0)
+        assert {r["doc_id"] for r in kept.collect()} == {2}
+        # a permissive threshold keeps docs whose overlap stays under it
+        kept_all = TD.token_decontaminate(tr, ev, k=8, max_contamination=1.0)
+        assert {r["doc_id"] for r in kept_all.collect()} == {1, 2, 3}
+
+    def test_single_shuffle_per_side_plan(self, contam_docs):
+        # the train side must collapse via distinct (map-side combinable
+        # partial aggregate) BEFORE the join -- no window, no doc x doc
+        tr, ev = contam_docs
+        plan = TD.token_contamination(tr, ev, k=8)._jdf.queryExecution().executedPlan().toString()
+        assert "Window" not in plan
+        assert "CartesianProduct" not in plan

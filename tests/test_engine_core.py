@@ -33,7 +33,7 @@ def test_registry_selection_and_index(tmp_path):
     sel = registry.select(patterns=["^Token"])
     assert {s.name for s in sel} == {
         "TokenInvariants", "TokenContentDuplicates", "TokenPassageRedundancy",
-        "TokenUnigramDrift", "TokenSnapshotEquality",
+        "TokenUnigramDrift", "TokenSnapshotEquality", "TokenEvalContamination",
     }
     sel = registry.select(names=["DocIdUnique"], severity="critical")
     assert len(sel) == 1
@@ -648,6 +648,38 @@ def test_token_passage_redundancy_check(spark):
         n_buckets=4,
     )
     assert res3.status.value == "ok"
+
+
+def test_token_eval_contamination_check(spark):
+    """Leakage check: an eval-source doc whose 2-token shingles all occur
+    in the train sources breaches the default threshold (FAIL with the
+    leaked doc as the violation row); a disjoint eval passes; a corpus
+    with no eval-source rows skips with a reason."""
+    spec = registry.get("TokenEvalContamination")
+    rows = [
+        ("t1", [1, 2, 3, 4, 5], 5, "src_00"),
+        ("t2", [9, 9, 9, 9], 4, "src_01"),
+        ("leaked", [1, 2, 3, 4], 4, "src_19"),     # every 2-shingle in t1
+        ("clean", [70, 80, 90], 3, "src_19"),      # disjoint from train
+    ]
+    seq = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, n_tok int, source string"
+    )
+    res, _ = run_check(spec, spark, {"sequences": seq},
+                       config={"contamination_k": 2}, n_buckets=4)
+    assert res.status == Status.FAIL
+    [a] = res.assertions
+    assert a.got == 1  # exactly the leaked doc
+    res2, _ = run_check(
+        spec, spark, {"sequences": seq.filter("doc_id <> 'leaked'")},
+        config={"contamination_k": 2}, n_buckets=4,
+    )
+    assert res2.status == Status.OK
+    res3, _ = run_check(
+        spec, spark, {"sequences": seq.filter("source <> 'src_19'")},
+        config={"contamination_k": 2}, n_buckets=4,
+    )
+    assert res3.skip_reason is not None and "src_19" in res3.skip_reason
 
 
 def test_shared_fact_profile_one_scan_and_parity(spark, seq_fixture, monkeypatch):

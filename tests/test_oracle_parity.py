@@ -120,6 +120,8 @@ def test_driver_window_is_oracle_backed_and_covers_new_operators():
         # final round-5 rotation: the training-mix operators
         "source_budget_mix_documents", "source_budget_trim_documents",
         "leakage_safe_split_documents", "upsample_sources_documents",
+        # late round-5 swap: payload-axis decontamination
+        "token_contamination_eval_vs_train",
     }
     # thin shape-duplicates rotated out during round 5 — their window
     # twins are noted in __spark_entry__.py; all stay oracle-backed
@@ -130,6 +132,8 @@ def test_driver_window_is_oracle_backed_and_covers_new_operators():
         # replaced by the training-mix rotation
         "stratified_sample_documents", "normalized_documents",
         "pii_summary_documents", "session_stats_events",
+        # word-shingle twin of token_contamination_eval_vs_train
+        "contamination_eval_vs_train",
     }
     promoted -= demoted
     assert promoted <= set(win)
