@@ -20,7 +20,7 @@ corpus hygiene):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from ensembl_datacheck_spark.operators.dedup import content_hash, word_ngrams
@@ -36,6 +36,21 @@ def split_bucket(id_col, buckets: int = 100):
     return F.pmod(h, F.lit(buckets))
 
 
+def _md5_order_cumsum_window(partition_key, ident: Column):
+    """The deterministic-order running-total window shared by
+    source_budget_trim and pack_sequences: partition by
+    ``partition_key``, rows ordered by (md5(id), id) — engine-portable,
+    reproducible across runs and partitionings — cumulative frame
+    INCLUDING the current row.  One definition so the ordering contract
+    cannot drift between the two operators (their oracles replay it
+    verbatim)."""
+    return (
+        Window.partitionBy(partition_key)
+        .orderBy(F.md5(ident.cast("string")), ident)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+
+
 def hash_split(
     df: DataFrame,
     id_col: str,
@@ -49,6 +64,16 @@ def hash_split(
     (a split boundary only moves forward through the bucket space)."""
     if not fractions:
         raise ValueError("fractions must name at least one split")
+    if buckets < 1:
+        # pmod(h, 0) is NULL under non-ANSI eval — every row would fall
+        # to the NULL remainder split with no error
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    for name, frac in fractions.items():
+        if frac <= 0:
+            # caught here, not at the granularity check below, whose
+            # "raise buckets" advice divides by min(fractions) — no
+            # bucket count fixes a zero fraction
+            raise ValueError(f"split {name!r} has non-positive fraction {frac}")
     total = sum(fractions.values())
     if total > 1.0 + 1e-9:
         raise ValueError(f"fractions sum to {total} > 1")
@@ -89,13 +114,26 @@ def contamination_overlap(
     combinable aggregation — the hot shingle that appears 10^9 times
     becomes one row BEFORE the join), then one semi-join keyed by
     shingle marks eval shingle hits; per-doc counts are a final small
-    aggregation.  Linear in total shingles; no doc×doc pairing."""
+    aggregation.  Linear in total shingles; no doc×doc pairing.
+
+    NULL and whitespace-only documents carry no shingles and are
+    excluded on BOTH sides (they produce no output row): word_ngrams'
+    short-document fallback would otherwise collapse every empty doc to
+    the single shingle '', making one empty train doc mark every empty
+    eval doc 100% contaminated (and, via decontaminate's mirrored
+    direction, drop every empty train doc for one empty eval doc)."""
+
+    def _nonempty(d: DataFrame) -> DataFrame:
+        t = F.col(text_col)
+        return d.filter(t.isNotNull() & (F.trim(t) != ""))
+
     tr = (
-        train.select(F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"))
+        _nonempty(train)
+        .select(F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"))
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    ev = eval_df.select(
+    ev = _nonempty(eval_df).select(
         F.col(id_col).alias("id"),
         F.explode(word_ngrams(F.col(text_col), ngram)).alias("shingle"),
     ).distinct()
@@ -347,17 +385,30 @@ def source_budget_mix(
     )
     for name, b in budgets.items():
         budget = F.when(F.col(source_col) == name, float(b)).otherwise(budget)
-    # NULL budget (no quota) keeps everything: cut = buckets.
+    # NULL budget (no quota) keeps everything: cut = buckets.  So does a
+    # NULL or non-positive total: a source whose weights are all NULL
+    # has no computable rate, and budget/NULL would otherwise make cut
+    # NULL — silently dropping the whole source.
     cut = F.when(
-        budget.isNull() | (F.col("__total") <= 0), F.lit(buckets)
+        budget.isNull() | F.col("__total").isNull() | (F.col("__total") <= 0),
+        F.lit(buckets),
     ).otherwise(
         F.floor(F.least(F.lit(1.0), budget / F.col("__total")) * buckets)
     )
-    rates = totals.select(source_col, cut.cast("long").alias("__cut"))
+    rates = totals.select(
+        F.col(source_col).alias("__mix_src"), cut.cast("long").alias("__cut")
+    )
+    # null-SAFE equi-join: rows with a NULL source must meet their own
+    # NULL-key totals row (plain equality never matches NULL = NULL and
+    # would silently drop them); they take default_budget like any
+    # source not named in `budgets`
     return (
-        df.join(F.broadcast(rates), source_col)
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__mix_src")),
+        )
         .filter(split_bucket(id_col, buckets) < F.col("__cut"))
-        .drop("__cut")
+        .drop("__mix_src", "__cut")
     )
 
 
@@ -384,16 +435,9 @@ def source_budget_trim(
     kin: the quota/threshold semantics of row_subtotals with a
     max-total constraint (Test/DataCheck.pm row_subtotals direction).
     """
-    from pyspark.sql.window import Window
-
     if budget < 0:
         raise ValueError(f"budget is negative: {budget}")
-    ident = F.col(id_col)
-    w = (
-        Window.partitionBy(source_col)
-        .orderBy(F.md5(ident.cast("string")), ident)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = _md5_order_cumsum_window(source_col, F.col(id_col))
     return (
         df.withColumn("__cum", F.sum(weight_col).over(w))
         .filter(F.col("__cum") <= budget)
@@ -436,14 +480,22 @@ def leakage_safe_split(
     representative id, so it inherits determinism, engine portability,
     and grow-only boundary migration.
     """
-    from pyspark.sql.window import Window
-
     if (text_col is None) == (pairs is None):
         raise ValueError("give exactly one of text_col or pairs")
     if text_col is not None:
-        rep = F.min(id_col).over(
-            Window.partitionBy(content_hash(F.col(text_col)))
+        # NULL text is NOT duplicate content: md5(NULL) is NULL and
+        # Window.partitionBy groups all NULL keys together, which would
+        # fuse every NULL-text doc into one mega-cluster — a single
+        # split for all of them (broken fractions) and a single hot
+        # window task.  Key NULL-text rows by their own id instead
+        # (distinct 'n:' / 't:' prefixes so an id string can never
+        # collide with a content hash); empty-STRING docs stay clustered
+        # — they really are byte-identical content.
+        key = F.coalesce(
+            F.concat(F.lit("t:"), content_hash(F.col(text_col))),
+            F.concat(F.lit("n:"), F.col(id_col).cast("string")),
         )
+        rep = F.min(id_col).over(Window.partitionBy(key))
         labeled = df.withColumn("__rep", rep)
     else:
         from ensembl_datacheck_spark.operators.clusters import (
@@ -541,19 +593,12 @@ def pack_sequences(
     engines, and each bucket's stream is gapless — sum(weights) ==
     final cum — which the tests assert.
     """
-    from pyspark.sql.window import Window
-
     if seq_len < 1:
         raise ValueError(f"seq_len must be >= 1, got {seq_len}")
     if n_buckets < 1:
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
-    ident = F.col(id_col)
     bkt = split_bucket(id_col, n_buckets)
-    w = (
-        Window.partitionBy(bkt)
-        .orderBy(F.md5(ident.cast("string")), ident)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
+    w = _md5_order_cumsum_window(bkt, F.col(id_col))
     start = (F.sum(weight_col).over(w) - F.col(weight_col)).alias("__start")
     return (
         df.select("*", bkt.alias("bucket"), start)

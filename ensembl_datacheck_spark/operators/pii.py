@@ -54,15 +54,37 @@ def redact_expr(
     return out
 
 
+def staged_exprs(
+    col: Column,
+    patterns: dict[str, str] | None = None,
+    token_fmt: str = "[{name}]",
+) -> tuple[list[Column], Column]:
+    """(per-category count columns, fully-redacted column), where each
+    category's ``n_{name}`` is counted on the text AFTER all earlier
+    categories were redacted — i.e. exactly the number of ``{NAME}``
+    placeholders the sequential redaction inserts for that category.
+    Counting every pattern on the original text instead would break the
+    precedence the pattern order promises: an email's host
+    'user@192.168.1.1.example.com' would report n_ipv4=1 while the
+    redacted text carries only [EMAIL].  (Placeholder tokens are
+    letters/brackets, so a rewrite can never CREATE a later match.)"""
+    counts: list[Column] = []
+    cur = col
+    for name, pat in (patterns or DEFAULT_PATTERNS).items():
+        counts.append(
+            F.regexp_count(cur, F.lit(pat)).cast("long").alias(f"n_{name}")
+        )
+        cur = F.regexp_replace(cur, pat, token_fmt.format(name=name.upper()))
+    return counts, cur
+
+
 def hit_count_exprs(
     col: Column, patterns: dict[str, str] | None = None
 ) -> list[Column]:
-    """One ``regexp_count`` column per category, aliased ``n_{name}``
-    and cast to BIGINT for oracle parity."""
-    return [
-        F.regexp_count(col, F.lit(pat)).cast("long").alias(f"n_{name}")
-        for name, pat in (patterns or DEFAULT_PATTERNS).items()
-    ]
+    """The staged per-category count columns alone (``n_{name}``,
+    BIGINT) — see staged_exprs for the precedence semantics."""
+    counts, _ = staged_exprs(col, patterns)
+    return counts
 
 
 def redact_pii(
@@ -74,15 +96,18 @@ def redact_pii(
     with_counts: bool = True,
 ) -> DataFrame:
     """documents(text) -> documents + redacted text (+ per-category hit
-    counts).  Counts are taken on the ORIGINAL text before redaction in
-    the same projection, so one scan yields both the audit numbers and
-    the cleaned payload.  NULL text passes through as NULL (regexp
+    counts).  One scan, one projection, yields both the audit numbers
+    and the cleaned payload; each count equals the number of
+    placeholders the redaction inserted for that category (staged
+    counting — staged_exprs), so the audit columns always agree with
+    the rewritten text.  NULL text passes through as NULL (regexp
     functions are null-safe); empty text costs nothing.
     """
+    counts, redacted = staged_exprs(F.col(text_col), patterns, token_fmt)
     cols = [df["*"]]
     if with_counts:
-        cols += hit_count_exprs(F.col(text_col), patterns)
-    cols.append(redact_expr(F.col(text_col), patterns, token_fmt).alias(out_col))
+        cols += counts
+    cols.append(redacted.alias(out_col))
     return df.select(*cols)
 
 
@@ -96,10 +121,16 @@ def pii_summary(
     pats = patterns or DEFAULT_PATTERNS
     counted = df.select(hit_count_exprs(F.col(text_col), pats))
     aggs: list[Column] = []
+    # coalesce(.., 0): sum over an EMPTY corpus is NULL — the triage row
+    # must read zeros, not missing values, for a clean pass
     for name in pats:
-        aggs.append(F.sum(f"n_{name}").cast("long").alias(f"total_{name}"))
         aggs.append(
-            F.sum((F.col(f"n_{name}") > 0).cast("long"))
+            F.coalesce(F.sum(f"n_{name}"), F.lit(0))
+            .cast("long")
+            .alias(f"total_{name}")
+        )
+        aggs.append(
+            F.coalesce(F.sum((F.col(f"n_{name}") > 0).cast("long")), F.lit(0))
             .cast("long")
             .alias(f"docs_with_{name}")
         )

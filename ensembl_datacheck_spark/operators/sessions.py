@@ -48,7 +48,6 @@ def sessionize(
     they belong to the completeness checks, and a NULL user would
     otherwise funnel into one giant window partition.
     """
-    w = Window.partitionBy(user_col).orderBy(ts_col)
     # integer microsecond arithmetic: exact, and replayable verbatim by
     # the DuckDB oracle's epoch_us() — no float-seconds rounding edge.
     # The cast("timestamp") lifts TIMESTAMP_NTZ columns for unix_micros;
@@ -57,13 +56,24 @@ def sessionize(
     gap_us = int(gap_minutes * 60 * 1_000_000)
     if gap_us <= 0:
         raise ValueError(f"gap_minutes must be positive, got {gap_minutes}")
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # try_cast, not cast: under ANSI (Spark 4 default) a malformed ts
+    # STRING would fail the whole job; here it becomes NULL and the row
+    # is dropped by the filter below
+    us = F.unix_micros(F.col(ts_col).try_cast("timestamp"))
+    # order by the SAME micros expression the gap arithmetic uses — a
+    # raw string ts_col in a non-lexicographic format (e.g. unpadded
+    # '2024-1-2 9:05') would otherwise hand lag() the wrong neighbor
+    # and sessionize silently wrong
+    w = Window.partitionBy(user_col).orderBy(us)
     prev_us = F.lag(us).over(w)
     new_session = (
         prev_us.isNull() | (us - prev_us > F.lit(gap_us))
     ).cast("long")
     return (
-        df.filter(F.col(user_col).isNotNull() & F.col(ts_col).isNotNull())
+        # us.isNotNull() also drops rows whose ts string cannot cast to
+        # a timestamp — those belong to the format checks, and NULL
+        # micros would corrupt every later gap in the user's stream
+        df.filter(F.col(user_col).isNotNull() & us.isNotNull())
         .withColumn(
             session_col,
             F.sum(new_session).over(
@@ -88,13 +98,16 @@ def session_stats(
     for exact oracle parity.
     """
     s = sessionize(df, user_col, ts_col, gap_minutes)
+    # min/max over the CAST timestamp (no-op for timestamp columns):
+    # chronological, not lexicographic, for string ts inputs — matches
+    # the micros ordering sessionize itself uses
+    ts = F.col(ts_col).try_cast("timestamp")
     return s.groupBy(user_col, "session_seq").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.min(ts_col).alias("session_start"),
-        F.max(ts_col).alias("session_end"),
+        F.min(ts).alias("session_start"),
+        F.max(ts).alias("session_end"),
         (
-            F.unix_micros(F.max(ts_col).cast("timestamp"))
-            - F.unix_micros(F.min(ts_col).cast("timestamp"))
+            F.unix_micros(F.max(ts)) - F.unix_micros(F.min(ts))
         ).cast("long").alias("span_us"),
     )
 

@@ -2337,7 +2337,9 @@ _CONTAM_GRAMS = """
              ELSE [array_to_string(ws, ' ')] END AS gs
       FROM (SELECT doc_id,
                    string_split_regex(lower(trim(text)), '\\s+') AS ws
-            FROM documents WHERE doc_id < 200)
+            FROM documents
+            WHERE doc_id < 200
+              AND text IS NOT NULL AND trim(text) <> '')
 """
 
 
@@ -3055,33 +3057,44 @@ def quantile_drift_halves(spark, sf_dir):
                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS etext
       FROM documents WHERE doc_id < 200
     )
+    , s1 AS (
+      SELECT doc_id, etext,
+             regexp_replace(etext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g') AS t1
+      FROM enriched
+    ), s2 AS (
+      SELECT *, regexp_replace(t1,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS t2
+      FROM s1
+    ), s3 AS (
+      SELECT *, regexp_replace(t2,
+        '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t3
+      FROM s2
+    )
     SELECT doc_id,
       CAST(len(regexp_extract_all(etext,
         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
         AS n_email,
-      CAST(len(regexp_extract_all(etext,
+      CAST(len(regexp_extract_all(t1,
         '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-      CAST(len(regexp_extract_all(etext,
+      CAST(len(regexp_extract_all(t2,
         '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
-      CAST(len(regexp_extract_all(etext,
+      CAST(len(regexp_extract_all(t3,
         '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone,
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(
-            regexp_replace(etext,
-              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-              '[EMAIL]', 'g'),
-            '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g'),
-          '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g'),
+      regexp_replace(t3,
         '\b\d{3}[-.]\d{3}[-.]\d{4}\b', '[PHONE]', 'g') AS redacted_text
-    FROM enriched
+    FROM s3
     """,
 )
 def pii_redaction_documents(spark, sf_dir):
-    """PII sweep (operators/pii.redact_pii): per-category hit counts on
-    the original text + category-placeholder rewrite, one codegen
-    projection, zero shuffle.  The per-row content-conformance shape of
-    the reference (GeneStableID.pm kin) applied to the text payload."""
+    """PII sweep (operators/pii.redact_pii): per-category hit counts +
+    category-placeholder rewrite, one codegen projection, zero shuffle.
+    Counts are STAGED — each category counted on the text after earlier
+    categories' redaction, so n_{name} equals the placeholders inserted
+    and the audit always agrees with redacted_text (the oracle replays
+    the same staging via CTEs).  The per-row content-conformance shape
+    of the reference (GeneStableID.pm kin) applied to the text payload."""
     from ensembl_datacheck_spark.operators import pii
 
     t = _t(spark, sf_dir)
@@ -3125,18 +3138,35 @@ def pii_redaction_documents(spark, sf_dir):
                           ELSE '' END AS etext
       FROM documents
     ),
+    staged AS (
+      SELECT etext,
+             regexp_replace(etext,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+               '[EMAIL]', 'g') AS t1
+      FROM enriched
+    ),
+    staged2 AS (
+      SELECT *, regexp_replace(t1,
+        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IPV4]', 'g') AS t2
+      FROM staged
+    ),
+    staged3 AS (
+      SELECT *, regexp_replace(t2,
+        '\b\d{3}-\d{2}-\d{4}\b', '[SSN]', 'g') AS t3
+      FROM staged2
+    ),
     counted AS (
       SELECT
         CAST(len(regexp_extract_all(etext,
           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
           AS n_email,
-        CAST(len(regexp_extract_all(etext,
+        CAST(len(regexp_extract_all(t1,
           '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ipv4,
-        CAST(len(regexp_extract_all(etext,
+        CAST(len(regexp_extract_all(t2,
           '\b\d{3}-\d{2}-\d{4}\b')) AS BIGINT) AS n_ssn,
-        CAST(len(regexp_extract_all(etext,
+        CAST(len(regexp_extract_all(t3,
           '\b\d{3}[-.]\d{3}[-.]\d{4}\b')) AS BIGINT) AS n_phone
-      FROM enriched
+      FROM staged3
     )
     SELECT CAST(SUM(n_email) AS BIGINT) AS total_email,
            CAST(SUM(CASE WHEN n_email > 0 THEN 1 ELSE 0 END) AS BIGINT)

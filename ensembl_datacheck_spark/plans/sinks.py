@@ -100,7 +100,10 @@ def es_documents(
         doc = r.to_dict()
         doc["doc_kind"] = "check_result"
         doc["run_id"] = rid
-        docs.append((f"{rid}:{r.check_name}", doc))
+        # reserved-prefix scheme: per-check ids live under ':check/' so a
+        # check literally named 'summary' can never collide with the run
+        # document's '{rid}:summary' id (ES upserts silently on _id ties)
+        docs.append((f"{rid}:check/{r.check_name}", doc))
     return docs
 
 

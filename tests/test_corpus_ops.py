@@ -422,3 +422,74 @@ def test_pack_sequences_gapless_deterministic(spark, weighted):
         corpus.pack_sequences(weighted, "doc_id", "w", seq_len=0)
     with pytest.raises(ValueError):
         corpus.pack_sequences(weighted, "doc_id", "w", seq_len=8, n_buckets=0)
+
+
+def test_hash_split_rejects_zero_fraction_and_zero_buckets(spark, ids):
+    # a 0.0 fraction must raise the explicit ValueError, not the
+    # ZeroDivisionError the granularity hint used to hit
+    with pytest.raises(ValueError, match="non-positive fraction"):
+        corpus.hash_split(ids, "doc_id", {"train": 1.0, "test": 0.0})
+    # buckets=0: pmod(h, 0) is NULL row-for-row — refuse loudly
+    with pytest.raises(ValueError, match="buckets"):
+        corpus.hash_split(ids, "doc_id", {"train": 1.0}, buckets=0)
+
+
+def test_contamination_ignores_null_and_empty_docs(spark):
+    """NULL/whitespace-only docs carry no shingles: one empty train doc
+    must not mark empty eval docs contaminated, and decontaminate must
+    not drop empty train docs over an empty eval doc."""
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox"), (2, None), (3, "   ")],
+        "doc_id long, text string",
+    )
+    ev = spark.createDataFrame(
+        [(10, ""), (11, None), (12, "genuinely novel eval content here")],
+        "doc_id long, text string",
+    )
+    got = {r["id"]: r for r in corpus.contamination_overlap(
+        train, ev, "doc_id", "text", ngram=3).collect()}
+    assert set(got) == {12}          # empty/NULL eval docs emit no row
+    assert got[12]["n_contaminated"] == 0
+    kept = corpus.decontaminate(train, ev, "doc_id", "text", ngram=3,
+                                max_contamination=0.0)
+    # nothing leaks: all three train docs survive, including the empties
+    assert {r["doc_id"] for r in kept.collect()} == {1, 2, 3}
+
+
+def test_source_budget_mix_null_source_and_null_weights(spark):
+    """Rows with a NULL source ride the null-safe join (default budget
+    applies); a source whose weights are all NULL keeps all its rows
+    instead of silently vanishing from the mix."""
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 10.0),
+         (3, None, 5.0), (4, None, 7.0),
+         (5, "b", None), (6, "b", None)],
+        "doc_id long, source string, w double",
+    )
+    out = corpus.source_budget_mix(df, "doc_id", "source", "w", {"a": 100.0})
+    got = {r["doc_id"] for r in out.collect()}
+    # default_budget=None keeps ALL rows of unnamed sources — including
+    # the NULL source and the all-NULL-weight source
+    assert got == {1, 2, 3, 4, 5, 6}
+    # naming the NULL-weight source keeps it too (no computable rate ->
+    # keep-all, never drop-all)
+    out2 = corpus.source_budget_mix(df, "doc_id", "source", "w",
+                                    {"a": 100.0, "b": 1.0})
+    assert {r["doc_id"] for r in out2.collect()} == {1, 2, 3, 4, 5, 6}
+
+
+def test_leakage_safe_split_null_text_not_one_cluster(spark):
+    """NULL-text docs are their own singleton clusters: they spread over
+    splits like any unique doc instead of all landing in the split of
+    one global representative."""
+    n = 400
+    rows = [(i, None) for i in range(n)] + [(n, "dup"), (n + 1, "dup")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = corpus.leakage_safe_split(
+        df, "doc_id", {"train": 0.5, "test": 0.5}, text_col="text"
+    )
+    by_null = {r["split"] for r in out.filter(F.col("text").isNull()).collect()}
+    assert by_null == {"train", "test"}  # spread, not funneled
+    # identical non-null content still clusters: both 'dup' docs share a split
+    dup_splits = {r["split"] for r in out.filter(F.col("text") == "dup").collect()}
+    assert len(dup_splits) == 1

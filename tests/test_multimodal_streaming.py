@@ -488,3 +488,26 @@ def test_sessionize_fractional_second_gap_parity(spark, tmp_path):
         sessions.sessionize(batch, "user_id", "ts", 0)
     with _pytest.raises(ValueError, match="positive"):
         sessions.sessionize_stream(stream, "user_id", "ts", 0)
+
+
+def test_sessionize_orders_chronologically_for_string_ts(spark):
+    """A raw STRING ts column in a non-lexicographic format (unpadded
+    month/hour) must still sessionize in chronological order: the window
+    orders by the same epoch-micros expression the gap rule uses."""
+    from ensembl_datacheck_spark.operators import sessions
+
+    rows = [
+        (1, 1, "2024-1-2 9:05:00"),    # 09:05
+        (2, 1, "2024-1-2 13:00:00"),   # 13:00 — lexicographically BEFORE '9:05'
+        (3, 1, "2024-1-2 9:15:00"),    # 09:15, same session as event 1
+        (4, 1, "bogus"),               # uncastable -> dropped, not corrupting
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts string")
+    out = {r["event_id"]: r["session_seq"]
+           for r in sessions.sessionize(df, "user_id", "ts", 30).collect()}
+    assert out == {1: 1, 3: 1, 2: 2}
+    stats = {r["session_seq"]: r for r in
+             sessions.session_stats(df, "user_id", "ts", 30).collect()}
+    # chronological, not lexicographic, session bounds
+    assert str(stats[1]["session_start"]).startswith("2024-01-02 09:05")
+    assert str(stats[1]["session_end"]).startswith("2024-01-02 09:15")

@@ -853,3 +853,31 @@ def test_simhash_default_band_bits_executes_upstream_once(spark):
     assert acc.value == len(texts), (
         f"upstream executed {acc.value / len(texts):.1f}x, expected 1x"
     )
+
+
+def test_pii_staged_counts_match_redaction(spark):
+    """Precedence holds for the AUDIT COUNTS, not just the rewrite: a
+    category consumed by an earlier redaction must not be counted (an
+    email host is not an IPv4; a phone-shaped email local part is not a
+    phone)."""
+    from ensembl_datacheck_spark.operators import pii
+
+    df = spark.createDataFrame(
+        [(1, "mail user@192.168.1.1.example.com end"),
+         (2, "call 555-123-4567@relay.net now")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in pii.redact_pii(df, "text").collect()}
+    assert out[1]["n_email"] == 1 and out[1]["n_ipv4"] == 0
+    assert out[1]["redacted_text"] == "mail [EMAIL] end"
+    assert out[2]["n_email"] == 1 and out[2]["n_phone"] == 0
+    assert out[2]["redacted_text"] == "call [EMAIL] now"
+
+
+def test_pii_summary_empty_corpus_reads_zeros(spark):
+    from ensembl_datacheck_spark.operators import pii
+
+    df = spark.createDataFrame([], "doc_id long, text string")
+    row = pii.pii_summary(df, "text").collect()[0]
+    for n in pii.DEFAULT_PATTERNS:
+        assert row[f"total_{n}"] == 0 and row[f"docs_with_{n}"] == 0

@@ -161,7 +161,9 @@ def test_es_documents_fleet_fans_out_per_database():
     # per-db: summary + per-check docs, namespaced ids; plus the error doc
     assert "r9/core_db:summary" in docs and "r9/ft_db:summary" in docs
     assert docs["r9/core_db:summary"]["failed"] == 1
-    assert docs["r9/core_db:fail_0"]["status"] == "fail"
+    # reserved-prefix ids: per-check docs live under ':check/' so a
+    # check named 'summary' (or 'error') can never shadow the run docs
+    assert docs["r9/core_db:check/fail_0"]["status"] == "fail"
     assert docs["r9/core_db:summary"]["input_details"] == {
         "tag": "t", "dbname": "core_db"
     }
