@@ -74,6 +74,13 @@ def run_fleet(
     fan-out whose targets validate the same fact table pays one profile
     cube per TABLE for the whole fleet, while targets with distinct
     tables still build (and can never cross-consume) their own."""
+    names = [t.name for t in targets]
+    if len(set(names)) != len(names):
+        # by_db is keyed by name and checkpoint lineage is namespaced by
+        # name — a duplicate would silently drop one target's verdicts
+        # AND cross-contaminate the other's resume buckets
+        dupes = sorted({n for n in names if names.count(n) > 1})
+        raise ValueError(f"duplicate fleet target name(s): {dupes}")
     fleet = FleetSummary()
     fleet_shared = SharedComputations()
 

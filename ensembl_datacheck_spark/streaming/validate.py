@@ -149,8 +149,13 @@ def windowed_subtotals_drift(
     base = baseline_props.select("category", "prop").collect()
     cats = [r["category"] for r in base]
     props = {r["category"]: float(r["prop"]) for r in base}
+    # when/otherwise(0), not sum(bool cast): a window whose rows ALL have
+    # a NULL category would sum NULLs to NULL, and 'NULL < threshold'
+    # silently suppresses the alert for exactly the total-category-
+    # collapse case this monitor exists to catch
     counters = [
-        F.sum((F.col(category_col) == c).cast("long")).alias(f"__c_{i}")
+        F.sum(F.when(F.col(category_col) == c, 1).otherwise(0))
+        .alias(f"__c_{i}")
         for i, c in enumerate(cats)
     ]
     agg = (

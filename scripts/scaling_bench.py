@@ -48,8 +48,9 @@ tables = {{
 # the regime a long-running validation job lives in
 Runner(spark, tables, n_buckets=64).run(registry.default_suite(), write_checkpoints=False,
                                         parallelism=4)
-def _load1():
-    return float(open("/proc/loadavg").read().split()[0])
+# the shared gate helper, not a re-inlined /proc read: benchlib exists
+# precisely because duplicated copies of this code diverged once
+from benchlib import loadavg_1m as _load1
 
 load_start = _load1()
 walls, best_summary = [], None
@@ -118,8 +119,16 @@ synth.gen_baseline_stats(spark, clean).write.mode("overwrite").parquet(
 def run_level(data_dir: str, cores: int) -> dict:
     code = WORKER.format(repo=REPO, cores=cores, data=data_dir)
     out = subprocess.run(
-        [sys.executable, "-c", code], check=True, capture_output=True, text=True
+        [sys.executable, "-c", code], capture_output=True, text=True
     )
+    if out.returncode != 0:
+        # surface the worker's actual Spark traceback — a bare
+        # CalledProcessError hides the captured stderr behind the huge
+        # '-c' command string and costs a multi-minute rerun to rediagnose
+        sys.exit(
+            f"worker (cores={cores}) exited {out.returncode}; stderr tail:\n"
+            + "\n".join(out.stderr.strip().splitlines()[-30:])
+        )
     return json.loads(out.stdout.strip().splitlines()[-1])
 
 
@@ -148,14 +157,16 @@ def main():
         if res_4n["cores"] != 4 * res_n["cores"]:
             sys.exit(f"not an N/4N pair: cores {res_n['cores']} vs "
                      f"{res_4n['cores']}")
-        measured = res_n.get("rows") or res_4n.get("rows")
-        if measured:
-            if res_n.get("rows") and res_4n.get("rows") \
-                    and res_n["rows"] != res_4n["rows"]:
-                sys.exit("level JSONs measured different row counts")
-            args.rows = measured
     else:
-        if not args.skip_gen or not os.path.exists(f"{args.data}/sequences"):
+        # generation completeness = Spark's _SUCCESS markers in BOTH
+        # outputs: sequences is written first, so an interrupted
+        # generation can leave sequences present but baseline missing —
+        # --skip-gen must regenerate, not crash the worker mid-bench
+        complete = all(
+            os.path.exists(f"{args.data}/{d}/_SUCCESS")
+            for d in ("sequences", "baseline")
+        )
+        if not args.skip_gen or not complete:
             print(f"generating {args.rows:,} rows at {args.data} ...", file=sys.stderr)
             generate(args.data, args.rows)
         if args.one_level:
@@ -174,6 +185,20 @@ def main():
         _, timed_out_4n = wait_for_quiet()
         res_4n = run_level(args.data, args.n * 4)
         res_4n["gate_timed_out"] = timed_out_4n
+    # throughput from the MEASURED row count the workers report, never
+    # the --rows flag: --skip-gen against a dir generated with a
+    # different --rows would otherwise commit wrong seqs/sec to the
+    # report (applies to live runs and --report-from alike)
+    measured = res_n.get("rows") or res_4n.get("rows")
+    if measured:
+        if res_n.get("rows") and res_4n.get("rows") \
+                and res_n["rows"] != res_4n["rows"]:
+            sys.exit("level JSONs measured different row counts")
+        if measured != args.rows:
+            print(f"note: using measured row count {measured:,} "
+                  f"(--rows {args.rows:,} does not match the data dir)",
+                  file=sys.stderr)
+        args.rows = measured
     thr_n = args.rows / res_n["wall"]
     thr_4n = args.rows / res_4n["wall"]
     eff = (thr_4n / thr_n) / 4

@@ -2,6 +2,8 @@
 
 from __future__ import annotations
 
+import pytest
+
 import ensembl_datacheck_spark.checks  # noqa: F401
 from ensembl_datacheck_spark.plans.checkpoint import CheckpointStore
 from ensembl_datacheck_spark.plans.fleet import DbTarget, run_fleet
@@ -141,3 +143,16 @@ def test_pooled_fused_scan_matches_serial(spark, seq_fixture, tmp_path):
     assert {n for n, (s, _, _) in r4.items() if s == Status.FAIL} == {
         n for n, (s, _, _) in v4.items() if s == Status.FAIL
     }
+
+
+def test_fleet_rejects_duplicate_target_names(spark, seq_fixture):
+    """by_db is keyed by target name and checkpoint lineage is namespaced
+    by it — a duplicate would silently drop one target's verdicts and
+    cross-contaminate the other's resume buckets, so run_fleet refuses."""
+    t = {"sequences": seq_fixture["sequences_clean"],
+         "sources": seq_fixture["sources"]}
+    targets = [DbTarget("core", t, lineage="v1"),
+               DbTarget("core", t, lineage="v2")]
+    with pytest.raises(ValueError, match="duplicate fleet target"):
+        run_fleet(spark, targets, registry.select(names=["DocIdUnique"]),
+                  n_buckets=8)

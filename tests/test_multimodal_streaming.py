@@ -511,3 +511,40 @@ def test_sessionize_orders_chronologically_for_string_ts(spark):
     # chronological, not lexicographic, session bounds
     assert str(stats[1]["session_start"]).startswith("2024-01-02 09:05")
     assert str(stats[1]["session_end"]).startswith("2024-01-02 09:15")
+
+
+def test_windowed_subtotals_drift_alerts_on_all_null_category_window(spark, tmp_path):
+    """A window whose rows ALL have a NULL category is the total-collapse
+    case: every baseline category's count is 0 there and must alert (a
+    NULL counter would make 'NULL < threshold' silently drop the row)."""
+    from ensembl_datacheck_spark.streaming.validate import (
+        windowed_subtotals_drift,
+    )
+
+    src = tmp_path / "sd_null"
+    rows = [(f"2024-01-01 00:00:{i:02d}", None) for i in range(10)]
+    batch = spark.createDataFrame(rows, "ts_s string, event_type string") \
+        .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+    batch.coalesce(1).write.mode("append").parquet(str(src))
+    baseline = spark.createDataFrame([("a", 0.5), ("b", 0.5)],
+                                     "category string, prop double")
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    alerts = windowed_subtotals_drift(stream, baseline, window="1 minute",
+                                      watermark="10 minutes",
+                                      min_proportion=0.5)
+    q = (alerts.writeStream.format("memory").queryName("sd_null_alerts")
+         .outputMode("append").start())
+    try:
+        late = spark.createDataFrame([("2024-01-01 01:00:00", "a")],
+                                     "ts_s string, event_type string") \
+            .withColumn("ts", F.col("ts_s").cast("timestamp")).drop("ts_s")
+        late.coalesce(1).write.mode("append").parquet(str(src))
+        q.processAllAvailable()
+        got = spark.sql("SELECT * FROM sd_null_alerts").collect()
+        cats = {(str(r["window_start"]), r["category"]) for r in got}
+        assert ("2024-01-01 00:00:00", "a") in cats, cats
+        assert ("2024-01-01 00:00:00", "b") in cats, cats
+        assert all(r["n"] == 0 for r in got
+                   if str(r["window_start"]) == "2024-01-01 00:00:00")
+    finally:
+        q.stop()
