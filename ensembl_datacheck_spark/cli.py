@@ -117,12 +117,13 @@ def main(argv: list[str] | None = None) -> int:
 
         specs = [replace(s, force=True) for s in specs]
 
-    from ensembl_datacheck_spark.sources.io import read_table
+    from ensembl_datacheck_spark.sources.io import manifest_lineage, read_table
 
-    spark = get_spark("dcheck-cli", cores=args.cores)
+    # argument validation BEFORE the multi-second JVM spin-up
     if args.fmt == "jdbc" and not args.jdbc_table:
         print("--format jdbc needs --jdbc-table", file=sys.stderr)
         return 2
+    spark = get_spark("dcheck-cli", cores=args.cores)
 
     def fmt_kw(relation: str | None) -> dict:
         # each table argument names ITS OWN relation: the fact table from
@@ -156,8 +157,14 @@ def main(argv: list[str] | None = None) -> int:
     # the resume lineage must cover EVERY input a check reads: a changed
     # sources/baseline table invalidates referential/drift checkpoints
     # even when the fact table is untouched
-    inputs = [args.sequences, args.sources, args.baseline, args.meta,
-              args.snapshot]
+    # every component is SLOT-LABELED ("sources=<hash>"): a bare
+    # positional join with empty slots dropped would make different
+    # assignments of the same files collide (--sources X --baseline Y vs
+    # --baseline X --meta Y) and resume a stale pass against the wrong
+    # table
+    slots = [("sequences", args.sequences), ("sources", args.sources),
+             ("baseline", args.baseline), ("meta", args.meta),
+             ("snapshot", args.snapshot)]
     if args.fmt == "jdbc":
         # no files to fingerprint: lineage = url+table identity only (a
         # changed remote table is NOT detected — document-level caveat;
@@ -166,9 +173,10 @@ def main(argv: list[str] | None = None) -> int:
                 args.jdbc_baseline_table, args.jdbc_meta_table,
                 args.jdbc_snapshot_table]
         lineage = "|".join(
-            f"jdbc:{p}:{r}" for p, r in zip(inputs, rels) if p)
+            f"{s}=jdbc:{p}:{r}" for (s, p), r in zip(slots, rels) if p)
     else:
-        lineage = "|".join(_lineage_of(p) for p in inputs if p)
+        lineage = "|".join(
+            f"{s}={manifest_lineage(p)}" for s, p in slots if p)
     runner = Runner(
         spark, tables, n_buckets=args.n_buckets,
         checkpoint_store=CheckpointStore(catalog),
@@ -207,29 +215,6 @@ def main(argv: list[str] | None = None) -> int:
     for name in reports.failed_names(summary):
         print(f"  FAILED: {name}", file=sys.stderr)
     return reports.exit_code(summary, failures_fatal=not args.no_failures_fatal)
-
-
-def _lineage_of(path: str) -> str:
-    import hashlib
-    from pathlib import Path
-
-    h = hashlib.md5()
-    root = Path(path)
-    # hash every data file (any format), not just parquet — otherwise
-    # csv/json inputs would all share one empty lineage and resume's
-    # freshness gate could skip work against a changed table.  Keyed by
-    # RELATIVE PATH (not basename): moving a file between hive-partition
-    # directories changes its rows' partition-column values
-    files = (
-        sorted(p for p in root.rglob("*") if p.is_file() and not p.name.startswith(("_", ".")))
-        if root.is_dir()
-        else [root]
-    )
-    for p in files:
-        st = p.stat()
-        rel = p.relative_to(root) if root.is_dir() else p.name
-        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}\n".encode())
-    return h.hexdigest()
 
 
 if __name__ == "__main__":

@@ -95,8 +95,13 @@ class CheckpointStore:
     def load(self) -> DataFrame | None:
         if not self.catalog.exists(self.table):
             return None
-        # appends live in per-batch subdirectories (see append); a
-        # recursive lookup reads them all as one flat table
+        if self.catalog.use_iceberg:
+            # append() committed to one Iceberg table — read THAT arm; a
+            # recursive parquet read of its directory would choke on the
+            # metadata .avro files and double-count expired snapshots
+            return self.catalog.load(self.table)
+        # parquet arm: appends live in per-batch subdirectories (see
+        # append); a recursive lookup reads them all as one flat table
         return (
             self.catalog.spark.read.option("recursiveFileLookup", "true")
             .schema(CHECKPOINT_SCHEMA)

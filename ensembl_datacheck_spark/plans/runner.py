@@ -250,8 +250,10 @@ class Runner:
         self.store = checkpoint_store
         # bucket count participates in the checkpoint namespace: resuming
         # under a different n_buckets would reinterpret old partition ids
-        # and skip rows that were never checked
-        self.lineage = f"{lineage}#nb{n_buckets}" if lineage else lineage
+        # and skip rows that were never checked.  Unconditional — an
+        # EMPTY input lineage still resumes against the store, so it
+        # needs the bucket-count namespace just as much
+        self.lineage = f"{lineage}#nb{n_buckets}"
         self.config = config or {}
         # per-run view of config (run() adds _shared_consumers); default
         # for any exec path reached outside run()

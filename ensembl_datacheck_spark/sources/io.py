@@ -66,13 +66,18 @@ class Catalog:
 
     def exists(self, name: str) -> bool:
         p = Path(self.path(name))
-        return p.exists() and any(p.iterdir())
+        # is_dir, not exists: a stray plain FILE at a table path must
+        # answer False, not raise NotADirectoryError from iterdir
+        return p.is_dir() and any(p.iterdir())
 
     def load(self, name: str, recursive: bool = False) -> DataFrame:
-        """``recursive=True`` reads tables grown with append_atomic
-        (per-batch subdirectories; parquet arm only — Iceberg appends
-        are commits, not subdirectories)."""
-        if self.use_iceberg and not recursive:
+        """``recursive=True`` reads tables grown with append_atomic.  On
+        the parquet arm those are per-batch subdirectories (recursive
+        file lookup); on the Iceberg arm append_atomic committed to ONE
+        Iceberg table, so the flag is a no-op — a recursive PARQUET read
+        of an Iceberg directory would ingest metadata .avro files and
+        double-count expired snapshots' data files."""
+        if self.use_iceberg:
             return self.spark.read.format("iceberg").load(self.path(name))
         reader = self.spark.read
         if recursive:
@@ -110,20 +115,43 @@ class Catalog:
         self.write(df, f"{name}/batch_{uuid.uuid4().hex}", mode="overwrite")
 
     def lineage(self, name: str) -> str:
-        """Stable fingerprint of the current table state: the Iceberg
-        current snapshot id when ``name`` is an Iceberg-layout table
-        (metadata JSON parsed directly — works with or without the
-        runtime jars), else md5 over sorted (relpath, size, mtime_ns) of
-        parquet data files — the update_time analogue."""
-        root = Path(self.path(name))
+        """Stable fingerprint of the current table state — see
+        manifest_lineage (one shared definition; the CLI fingerprints
+        its input paths with the same helper so the two can never
+        drift)."""
+        return manifest_lineage(self.path(name))
+
+
+def manifest_lineage(path: str | Path) -> str:
+    """Stable fingerprint of a table path (the update_time analogue,
+    DbCheck.pm:767-820 freshness gate): the Iceberg current snapshot id
+    when ``path`` is an Iceberg-layout directory (metadata JSON parsed
+    directly — works with or without the runtime jars, and survives
+    file-level churn like expired-snapshot cleanup that keeps the same
+    current snapshot), else md5 over sorted (relpath, size, mtime_ns) of
+    the DATA files — any format, not just parquet, so csv/json inputs
+    don't all share one empty lineage; keyed by RELATIVE PATH (not
+    basename) because moving a file between hive-partition directories
+    changes its rows' partition-column values."""
+    root = Path(path)
+    if root.is_dir():
         snap = _iceberg_snapshot_id(root)
         if snap is not None:
             return f"iceberg-snapshot:{snap}"
-        h = hashlib.md5()
-        for p in sorted(root.rglob("*.parquet")):
-            st = p.stat()
-            h.update(f"{p.relative_to(root)}:{st.st_size}:{st.st_mtime_ns}\n".encode())
-        return h.hexdigest()
+    h = hashlib.md5()
+    files = (
+        sorted(
+            p for p in root.rglob("*")
+            if p.is_file() and not p.name.startswith(("_", "."))
+        )
+        if root.is_dir()
+        else [root]
+    )
+    for p in files:
+        st = p.stat()
+        rel = p.relative_to(root) if root.is_dir() else p.name
+        h.update(f"{rel}:{st.st_size}:{st.st_mtime_ns}\n".encode())
+    return h.hexdigest()
 
 
 def _iceberg_snapshot_id(table_root: Path) -> int | None:
@@ -147,7 +175,10 @@ def _iceberg_snapshot_id(table_root: Path) -> int | None:
             cand = meta_dir / f"v{v}.metadata.json"
             if cand.is_file():
                 meta_file = cand
-        except ValueError:
+        except (ValueError, OSError):
+            # OSError: the hint file can vanish mid-read while an Iceberg
+            # commit rewrites it — fall back to the highest-numbered
+            # metadata file below, same as a malformed hint
             pass
     if meta_file is None:
         versions = []
@@ -276,8 +307,13 @@ def register_database(
     unchanged).  Identifiers and paths are validated/quoted — the DDL is
     assembled textually and a quote in a path must not break or inject
     it."""
-    if fmt not in READABLE_FORMATS:
-        raise ValueError(f"unsupported format {fmt!r}; one of {READABLE_FORMATS}")
+    if fmt not in READABLE_FORMATS or fmt == "jdbc":
+        # jdbc is readable through read_table (url + dbtable OPTIONS) but
+        # has no LOCATION semantics: 'USING jdbc LOCATION <url>' creates
+        # a table whose every SELECT fails (LOCATION maps to 'path', the
+        # JDBC source needs 'url'/'dbtable')
+        ok = tuple(f for f in READABLE_FORMATS if f != "jdbc")
+        raise ValueError(f"unsupported format {fmt!r}; one of {ok}")
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {_sql_ident(db, 'database name')}")
     for name, path in tables.items():
         if "'" in path or "\n" in path:

@@ -89,7 +89,9 @@ class CheckResult:
             # the subtest: the TAP skip_all semantics — partial passes
             # must not masquerade as a full OK, but recorded failures
             # still count as failures
-            if any(not a.ok and a.status != Status.SKIP for a in self.assertions):
+            # (a.ok is already True for SKIP assertions, so this counts
+            # only genuine FAILs)
+            if any(not a.ok for a in self.assertions):
                 return Status.FAIL
             return Status.SKIP
         if not self.assertions:
@@ -134,7 +136,12 @@ class CheckResult:
         sequential, plan-matching test ids (skips included)."""
         num = "" if test_number is None else f" {test_number}"
         lines = [f"# Subtest: {self.check_name}"]
-        if self.skip_reason is not None and not self.assertions:
+        if (self.skip_reason is not None and not self.assertions
+                and self.status == Status.SKIP):
+            # status guard: skip_reason + error together resolve to FAIL
+            # (error wins) — rendering that as 'ok ... # SKIP' would make
+            # TAP consumers count a failing check as a pass, contradicting
+            # the JSON report and the exit code
             lines.append(f"ok{num} - {self.check_name} # SKIP {self.skip_reason}")
         else:
             for i, a in enumerate(self.assertions, 1):

@@ -769,3 +769,77 @@ def test_gen_checks_md_check_mode_reports_missing_file(tmp_path, capsys, monkeyp
     monkeypatch.setattr(_sys, "argv", ["gen_checks_md.py", "--check"])
     assert mod.main() == 1
     assert "stale" in capsys.readouterr().out
+
+
+def test_register_database_rejects_jdbc_format(spark):
+    """jdbc is readable via read_table but has no LOCATION semantics —
+    'USING jdbc LOCATION <url>' creates a table whose every SELECT fails,
+    so register_database refuses it up front."""
+    import pytest as _pytest
+
+    from ensembl_datacheck_spark.sources.io import register_database
+
+    with _pytest.raises(ValueError, match="unsupported format"):
+        register_database(spark, "okdb2", {"t": "jdbc:mysql://h/db"},
+                          fmt="jdbc")
+
+
+def test_catalog_exists_tolerates_stray_file(spark, tmp_path):
+    """A plain FILE at a table path answers False, not
+    NotADirectoryError from iterdir."""
+    wh = tmp_path / "wh_stray"
+    cat = Catalog(spark, wh)
+    (wh / "checkpoints").write_text("not a table")
+    assert cat.exists("checkpoints") is False
+
+
+def test_manifest_lineage_file_churn_and_single_file(tmp_path):
+    from ensembl_datacheck_spark.sources.io import manifest_lineage
+
+    d = tmp_path / "tbl"
+    d.mkdir()
+    (d / "part-0.parquet").write_bytes(b"aaaa")
+    (d / "_SUCCESS").write_text("")          # marker files excluded
+    l1 = manifest_lineage(d)
+    (d / "_SUCCESS").write_text("x")
+    assert manifest_lineage(d) == l1         # marker churn is invisible
+    (d / "part-0.parquet").write_bytes(b"aaaab")
+    assert manifest_lineage(d) != l1         # data churn is not
+    # csv/json data files count too (not just parquet)
+    (d / "part-1.csv").write_text("a,b\n")
+    l3 = manifest_lineage(d)
+    assert l3 != l1
+    # single plain file: hashed directly
+    f = tmp_path / "one.csv"
+    f.write_text("x\n")
+    assert manifest_lineage(f)
+
+
+def test_empty_lineage_still_namespaced_by_bucket_count(spark, seq_fixture):
+    """An EMPTY input lineage still resumes against the checkpoint store,
+    so it carries the bucket-count namespace too: old partition ids from
+    a different n_buckets must never be reinterpreted."""
+    r8 = Runner(spark, {"sequences": seq_fixture["sequences_clean"]},
+                n_buckets=8)
+    r16 = Runner(spark, {"sequences": seq_fixture["sequences_clean"]},
+                 n_buckets=16)
+    assert r8.lineage == "#nb8" and r16.lineage == "#nb16"
+
+
+def test_tap_never_renders_skip_for_a_failing_check():
+    """skip_reason + error together resolve to FAIL (error wins): the TAP
+    line must be 'not ok', never 'ok ... # SKIP' — a SKIP directive would
+    make TAP consumers count the failure as a pass, contradicting the
+    JSON report and the exit code."""
+    from ensembl_datacheck_spark.verdict import CheckResult
+
+    r = CheckResult(check_name="c", skip_reason="waiting on table",
+                    error="boom")
+    assert r.status == Status.FAIL
+    tap = r.to_tap(test_number=1)
+    assert "not ok 1 - c" in tap
+    assert "# SKIP" not in tap
+    assert "# ERROR: boom" in tap
+    # pure skip still renders the SKIP directive
+    s = CheckResult(check_name="c2", skip_reason="no eval source")
+    assert "# SKIP no eval source" in s.to_tap(test_number=2)
