@@ -38,11 +38,6 @@ _OPS: dict[str, Callable[[Any, Any], bool]] = {
 }
 
 
-def _diag_rows(df: DataFrame, n: int = MAX_DIAG_ROWS) -> list[str]:
-    rows = df.limit(n).collect()
-    return [str(r.asDict()) for r in rows]
-
-
 def is_rows(df: DataFrame, expected: int, name: str) -> tuple[AssertionResult, None]:
     """count(df) == expected (Test/DataCheck.pm:90-98)."""
     got = df.count()
@@ -225,7 +220,10 @@ def denormalized(
     b = t2.select(F.col(key2).alias("__k"), F.col(val2).alias("__v2"))
     viol = (
         a.join(b, "__k", "inner")
-        .filter(F.col("__v1") != F.col("__v2"))
+        # null-SAFE inequality: plain != is NULL when either side is
+        # NULL, silently passing a NULL-vs-value disagreement — the same
+        # trap hash_diff documents; both-NULL counts as in sync
+        .filter(~F.col("__v1").eqNullSafe(F.col("__v2")))
         .select(F.col("__k").alias(key1), F.col("__v1").alias(val1),
                 F.col("__v2").alias(val2))
     )
@@ -350,11 +348,17 @@ def array_diff(
     (Utils.pm:217-246).  Returns DataFrame (value, only_in)."""
     a = df1.select(F.col(col).alias("value")).distinct()
     b = df2.select(F.col(col).alias("value")).distinct()
+    # null-SAFE anti joins: a NULL present in BOTH sides is not a
+    # difference — plain equality never matches NULL = NULL and would
+    # report it 'only_in' each side simultaneously
     return (
-        a.join(b, "value", "left_anti")
+        a.join(b.withColumnRenamed("value", "__bv"),
+               F.col("value").eqNullSafe(F.col("__bv")), "left_anti")
         .withColumn("only_in", F.lit(label1))
         .unionByName(
-            b.join(a, "value", "left_anti").withColumn("only_in", F.lit(label2))
+            b.join(a.withColumnRenamed("value", "__av"),
+                   F.col("value").eqNullSafe(F.col("__av")), "left_anti")
+            .withColumn("only_in", F.lit(label2))
         )
     )
 

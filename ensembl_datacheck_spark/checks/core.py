@@ -262,9 +262,15 @@ def doc_id_unique(ctx):
         .collect()
     )
     total = int(sum(r["n_dup_rows"] for r in per_bucket))
-    ctx.result.partition_violations = {
-        r["partition_id"]: int(r["n_dup_rows"]) for r in per_bucket
-    }
+    # per-bucket attribution is sound ONLY when the runner buckets by the
+    # unique key itself (all copies of a doc_id co-hash): under a foreign
+    # bucket_key the copies can straddle buckets, so violations stay
+    # unattributed — the runner then poisons every pending bucket on
+    # failure instead of mapping dup counts onto unrelated partitions
+    if ctx.bucket_key == "doc_id":
+        ctx.result.partition_violations = {
+            r["partition_id"]: int(r["n_dup_rows"]) for r in per_bucket
+        }
     diag = []
     for r in per_bucket:
         diag.extend(f"duplicated doc_id: {k}" for k in r["samples"])

@@ -171,7 +171,17 @@ class CheckContext:
         the funnel write.  Returns ok-ness so bodies can early-out."""
         ar, viol = assertion_and_violations
         self.result.assertions.append(ar)
-        if ar.status == Status.FAIL and isinstance(ar.got, int):
+        # only zero-expected counts ARE violation counts: a failing
+        # comparison assertion (row_totals, cmp_rows) carries the
+        # OBSERVED total in `got` — adding a 10^9 row count would claim a
+        # billion violations for one failed count comparison.  bool is
+        # excluded (isinstance(True, int) is True in Python).
+        if (
+            ar.status == Status.FAIL
+            and isinstance(ar.got, int)
+            and not isinstance(ar.got, bool)
+            and ar.expected == 0
+        ):
             self.result.n_violations += ar.got
         if viol is not None:
             key_col = key_col or viol.columns[0]
@@ -248,12 +258,13 @@ class Runner:
         self.bucket_key = bucket_key
         self.n_buckets = n_buckets
         self.store = checkpoint_store
-        # bucket count participates in the checkpoint namespace: resuming
-        # under a different n_buckets would reinterpret old partition ids
-        # and skip rows that were never checked.  Unconditional — an
-        # EMPTY input lineage still resumes against the store, so it
-        # needs the bucket-count namespace just as much
-        self.lineage = f"{lineage}#nb{n_buckets}"
+        # bucket count AND bucket key participate in the checkpoint
+        # namespace: resuming under a different n_buckets (or a different
+        # hash key) would reinterpret old partition ids as a different
+        # row subset and skip rows that were never checked.
+        # Unconditional — an EMPTY input lineage still resumes against
+        # the store, so it needs the namespace just as much
+        self.lineage = f"{lineage}#nb{n_buckets}#bk{bucket_key}"
         self.config = config or {}
         # per-run view of config (run() adds _shared_consumers); default
         # for any exec path reached outside run()
@@ -345,10 +356,15 @@ class Runner:
             buckets = pending if pending is not None else list(range(self.n_buckets))
         else:
             buckets = [-1]
-        # a failure that carries no per-bucket attribution (error, or an
-        # assertion counted only globally) must poison every pending
-        # bucket, not mark them 'ok'
-        unattributed_fail = result.status is not Status.OK and not viol_counts
+        # a failure that carries no per-bucket attribution (error, an
+        # assertion counted only globally, or counts keyed -1 because the
+        # violation frame had no bucket column) must poison every pending
+        # bucket, not mark them 'ok' — {-1: n} on a per-partition check
+        # previously checkpointed every bucket 'ok' and the failure was
+        # skipped forever on resume
+        unattributed_fail = result.status is not Status.OK and (
+            not viol_counts or -1 in viol_counts
+        )
         rows = []
         for b in buckets:
             nv = viol_counts.get(b, 0)
@@ -482,6 +498,12 @@ class Runner:
                 # resume-filtered scan must not consume (or poison) them
                 shared=self.shared if pending is None else None,
             )
+            if self.store is None or not write_checkpoints:
+                # no checkpoint rows will be written — skip the extra
+                # Spark jobs that exist only to build them (re-executing
+                # violation plans for per-bucket counts + the full-table
+                # rows_per_bucket scan inside _checkpoint_rows)
+                return result, violations, [], None
             viol_counts: dict[int, int] = {}
             if result.partition_violations:
                 viol_counts = dict(result.partition_violations)
@@ -608,11 +630,20 @@ class Runner:
         if union_pending is not None:
             scan = scan.filter(self._bucket().isin(sorted(union_pending)))
 
+        # same context protocol as exec_one/run_check: the per-run config
+        # view (carries _shared_consumers) and the run-shared memo —
+        # handed over only on a full-table scan; a resume-filtered scan
+        # must not consume (or poison) shared values computed from the
+        # full fact table.  A private memo created here is released at
+        # the end of _run_fused (run_check's discipline), not leaked.
         ctx = CheckContext(
-            self.spark, {**self.tables, self.fact_table: scan}, self.config,
+            self.spark, {**self.tables, self.fact_table: scan},
+            self._run_config,
             bucket_key=self.bucket_key, n_buckets=self.n_buckets,
             fact_table=self.fact_table,
+            shared=self.shared if union_pending is None else None,
         )
+        ctx_shared_private = union_pending is not None
         preds: list[RowPredicate] = []
         pred_owner: dict[str, CheckSpec] = {}
         scan2 = scan
@@ -658,6 +689,8 @@ class Runner:
             healthy.append(s)
         todo = healthy
         if not todo:
+            if ctx_shared_private:
+                ctx.shared.release()
             return
 
         bucket = self._bucket()
@@ -710,15 +743,32 @@ class Runner:
                 self._checkpoint_rows(s, res, viol_counts, my_pending, started)
             )
         own_assertions = [p.assertion for p in preds]
-        all_violations.append(
-            viol_rows.withColumn(
-                "check_name",
-                F.element_at(
-                    F.map_from_arrays(
-                        F.array(*[F.lit(a) for a in own_assertions]),
-                        F.array(*[F.lit(pred_owner[a].name) for a in own_assertions]),
-                    ),
-                    F.col("assertion"),
+        tagged = viol_rows.withColumn(
+            "check_name",
+            F.element_at(
+                F.map_from_arrays(
+                    F.array(*[F.lit(a) for a in own_assertions]),
+                    F.array(*[F.lit(pred_owner[a].name) for a in own_assertions]),
                 ),
-            ).select("check_name", "assertion", "partition_id", "key", "detail")
-        )
+                F.col("assertion"),
+            ),
+        ).select("check_name", "assertion", "partition_id", "key", "detail")
+        # the union scan covers EVERY fused check's pending buckets; a
+        # check must persist violations only for ITS OWN pending set —
+        # otherwise a row in a sibling's bucket is written under this
+        # check's name while its counts/verdict/checkpoints exclude that
+        # bucket (violations table contradicting the verdict on resume)
+        out_of_scope = None
+        for s in todo:
+            p = pending_by_check[s.name]
+            if p is None:
+                continue
+            cond = (F.col("check_name") == s.name) & ~F.col(
+                "partition_id"
+            ).isin(sorted(p))
+            out_of_scope = cond if out_of_scope is None else (out_of_scope | cond)
+        if out_of_scope is not None:
+            tagged = tagged.filter(~out_of_scope)
+        all_violations.append(tagged)
+        if ctx_shared_private:
+            ctx.shared.release()

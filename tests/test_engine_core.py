@@ -318,9 +318,9 @@ def test_checkpoint_partial_resume(spark, seq_fixture, tmp_path):
     store = CheckpointStore(catalog)
     now = time.time()
     done = [
-        # the runner namespaces lineage with the bucket count
+        # the runner namespaces lineage with bucket count + key
         CheckpointRow("run_pre", "DocIdUnique", b, "ok", now - 10, now,
-                      100, 0, "snap-A#nb16")
+                      100, 0, "snap-A#nb16#bkdoc_id")
         for b in range(10)  # 10 of 16 buckets done
     ]
     store.append(done)
@@ -823,7 +823,8 @@ def test_empty_lineage_still_namespaced_by_bucket_count(spark, seq_fixture):
                 n_buckets=8)
     r16 = Runner(spark, {"sequences": seq_fixture["sequences_clean"]},
                  n_buckets=16)
-    assert r8.lineage == "#nb8" and r16.lineage == "#nb16"
+    assert r8.lineage == "#nb8#bkdoc_id"
+    assert r16.lineage == "#nb16#bkdoc_id"
 
 
 def test_tap_never_renders_skip_for_a_failing_check():
@@ -843,3 +844,91 @@ def test_tap_never_renders_skip_for_a_failing_check():
     # pure skip still renders the SKIP directive
     s = CheckResult(check_name="c2", skip_reason="no eval source")
     assert "# SKIP no eval source" in s.to_tap(test_number=2)
+
+
+def test_unattributed_per_partition_failure_poisons_buckets(spark, seq_fixture, tmp_path):
+    """A per-partition check whose failure carries only a -1-keyed
+    (unattributed) violation count must checkpoint its pending buckets
+    'fail' — {-1: n} previously marked every bucket 'ok' and the failure
+    was skipped forever on the next resume."""
+    from ensembl_datacheck_spark import assertions as A
+    from ensembl_datacheck_spark.registry import CheckSpec
+
+    def body(ctx):
+        # count-style failing assertion, no violation frame: expected=0,
+        # got=3 -> n_violations=3 with no bucket attribution
+        ctx.record(A.is_rows(
+            ctx.table("sequences").limit(3), 0, "three_rows_somewhere"))
+
+    spec = CheckSpec(name="UnattributedFail", description="", body=body,
+                     per_partition=True)
+    store = CheckpointStore(Catalog(spark, tmp_path / "wh_unattr"))
+    r = Runner(spark, {"sequences": seq_fixture["sequences_clean"]},
+               n_buckets=8, checkpoint_store=store, lineage="u1")
+    s = r.run([spec])
+    assert s.results[0].status == Status.FAIL
+    cp = store.load().select("partition_id", "status").collect()
+    assert {row["status"] for row in cp} == {"fail"}
+    # resume re-runs (nothing was falsely marked ok)
+    r2 = Runner(spark, {"sequences": seq_fixture["sequences_clean"]},
+                n_buckets=8, checkpoint_store=store, lineage="u1")
+    s2 = r2.run([spec])
+    assert s2.results[0].skip_reason is None
+    assert s2.results[0].status == Status.FAIL
+
+
+def test_comparison_assertion_does_not_inflate_violation_count(spark, seq_fixture):
+    """A failing COUNT-COMPARISON assertion carries the observed total in
+    `got` (e.g. 10k rows vs expected 5) — that is not a violation count
+    and must not be added to n_violations."""
+    from ensembl_datacheck_spark import assertions as A
+    from ensembl_datacheck_spark.registry import CheckSpec
+
+    def body(ctx):
+        ctx.record(A.is_rows(ctx.table("sequences"), 5, "exactly_five"))
+
+    spec = CheckSpec(name="CmpOnly", description="", body=body)
+    res, _ = run_check(spec, spark,
+                       {"sequences": seq_fixture["sequences_clean"]})
+    assert res.status == Status.FAIL
+    assert res.n_violations == 0   # 10_000 observed rows are not violations
+
+
+def test_denormalized_flags_null_vs_value_disagreement(spark):
+    from ensembl_datacheck_spark import assertions as A
+
+    t1 = spark.createDataFrame([(1, None), (2, "x"), (3, None)],
+                               "k long, v string")
+    t2 = spark.createDataFrame([(1, "x"), (2, "x"), (3, None)],
+                               "k long, v string")
+    ar, viol = A.denormalized(t1, "k", "v", t2, "k", "v", "sync")
+    assert ar.status == Status.FAIL
+    assert ar.got == 1                      # key 1: NULL vs 'x'
+    assert [r["k"] for r in viol.collect()] == [1]
+
+
+def test_array_diff_null_in_both_sides_is_not_a_difference(spark):
+    from ensembl_datacheck_spark import assertions as A
+
+    d1 = spark.createDataFrame([("a",), (None,)], "v string")
+    d2 = spark.createDataFrame([("b",), (None,)], "v string")
+    got = {(r["value"], r["only_in"]) for r in A.array_diff(d1, d2, "v").collect()}
+    assert got == {("a", "left"), ("b", "right")}
+
+
+def test_doc_id_unique_unattributed_under_foreign_bucket_key(spark, seq_fixture):
+    """Bucket attribution requires the runner to bucket by the unique key
+    itself; under bucket_key='source' the dup counts stay unattributed
+    (partition_violations unset) so a failure poisons pending buckets
+    instead of mapping onto unrelated partitions."""
+    spec = registry.get("DocIdUnique")
+    res, _ = run_check(spec, spark, {"sequences": seq_fixture["sequences"]},
+                       bucket_key="source", n_buckets=8)
+    assert res.status == Status.FAIL
+    # empty/falsy: exec_one treats it as unattributed (the {-1: n} path)
+    assert not res.partition_violations
+    # default key: attributed per doc_id-hash bucket as before
+    res2, _ = run_check(spec, spark, {"sequences": seq_fixture["sequences"]},
+                        n_buckets=8)
+    assert res2.partition_violations
+    assert sum(res2.partition_violations.values()) == res2.n_violations
