@@ -82,9 +82,12 @@ def exact_duplicate_groups(
     total.  Output is identical to the uncapped-buffer formulation.
     Reference kin: diagnostics capped at MAX_DIAG_ROWS=10
     (Test/DataCheck.pm:47) for the same transfer-bound reason."""
+    # NULL text is NOT duplicate content (NULL = NULL is not a match —
+    # the same contract incremental.py encodes); a NULL digest group
+    # would otherwise report every NULL-text row as one duplicate family
     keyed = df.select(
         content_hash(F.col(text_col)).alias("content_hash"), F.col(id_col)
-    )
+    ).filter(F.col("content_hash").isNotNull())
     w = Window.partitionBy("content_hash").orderBy(F.col(id_col))
     return (
         keyed.withColumn("__rn", F.row_number().over(w))
@@ -103,8 +106,19 @@ def exact_duplicate_groups(
 
 def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """Keep exactly one row (lowest id) per distinct content.  Window
-    row_number over the digest — one shuffle, no join back."""
-    w = Window.partitionBy(content_hash(F.col(text_col))).orderBy(F.col(id_col))
+    row_number over the digest — one shuffle, no join back.
+
+    NULL text is never duplicate content (incremental.py's contract:
+    NULL = NULL is not a match), so NULL-text rows are all kept — keyed
+    by their own id with distinct 't:'/'n:' prefixes so an id string can
+    never collide with a real digest; Window.partitionBy would otherwise
+    fuse every NULL digest into one partition and silently delete
+    all-but-one NULL-text row."""
+    digest = F.coalesce(
+        F.concat(F.lit("t:"), content_hash(F.col(text_col))),
+        F.concat(F.lit("n:"), F.col(id_col).cast("string")),
+    )
+    w = Window.partitionBy(digest).orderBy(F.col(id_col))
     return (
         df.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
@@ -127,7 +141,12 @@ def word_ngrams_multiset(col: Column, n: int) -> Column:
     Consumers that need set semantics (MinHash/Jaccard shingles) use
     `word_ngrams`; occurrence counters (repetition signals) use this."""
     ws = words(col)
-    return F.when(
+    # NULL text carries NO shingles (the row drops at the explode): the
+    # otherwise-branch would map it to [""] — the same single shingle as
+    # an empty-string doc — making every NULL-text doc a jaccard-1.0
+    # "duplicate" of every empty one.  Empty-string docs keep their [""]
+    # shingle: they really are byte-identical content.
+    return F.when(ws.isNull(), F.array().cast("array<string>")).when(
         F.size(ws) >= n,
         F.transform(
             F.sequence(F.lit(1), F.size(ws) - (n - 1)),
@@ -233,36 +252,19 @@ def minhash_signatures(
     return _min_sig_agg64(sh, n_hashes)
 
 
-def lsh_band_keys(
-    signature: Column | str, n_bands: int, rows_per_band: int
-) -> Column:
+def lsh_band_keys(signature: str, n_bands: int, rows_per_band: int) -> Column:
     """Band the signature: key_i = (i, hash(sig[i*r : (i+1)*r])).  Docs
     sharing any band key are candidate pairs (standard MinHash-LSH
     banding; threshold ≈ (1/b)^(1/r)).  Built as ONE parsed SQL
     expression — n_bands nested builder trees would cost a py4j round
-    trip per node at plan-build time."""
-    sig = signature if isinstance(signature, str) else None
-    if sig is None:
-        # Column input (legacy callers): fall back to the builder path
-        return F.array(
-            *[
-                F.struct(
-                    F.lit(b).alias("band"),
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    signature, b * rows_per_band + 1, rows_per_band
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ).alias("bucket"),
-                )
-                for b in range(n_bands)
-            ]
+    trip per node at plan-build time.  Takes the signature column NAME
+    (all callers pass one; a Column-object builder fallback was dead
+    code kept behaviorally in sync by hand, so it was removed)."""
+    if not isinstance(signature, str):
+        raise TypeError(
+            f"signature must be a column name (str), got {type(signature).__name__}"
         )
+    sig = signature
     entries = ", ".join(
         f"named_struct('band', {b}, 'bucket', "
         f"xxhash64(concat_ws(',', transform(slice({sig}, {b * rows_per_band + 1}, "
@@ -473,7 +475,16 @@ def _simhash64_fn(words_col: pd.Series) -> pd.Series:
             out[i] = np.packbits((acc > 0).astype(np.uint8), bitorder="little").view(
                 np.uint64
             )[0]
-    return pd.Series(out.astype(np.int64))
+    res = pd.Series(out.astype(np.int64))
+    # NULL word array -> NULL signature, matching the portable tier
+    # (which drops NULL-text docs at the explode): the zeros default
+    # would give every NULL-text doc the SAME signature 0 and pair them
+    # all as near-duplicates
+    null_rows = [i for i, arr in enumerate(words_col) if arr is None]
+    if null_rows:
+        res = res.astype(object)
+        res.iloc[null_rows] = None
+    return res
 
 
 def simhash64(col: Column) -> Column:
@@ -551,7 +562,7 @@ def simhash_near_duplicates(
     sh = _cache_signatures("simhash64", df.select(
         F.col(id_col).alias("id"),
         simhash64(words(F.col(text_col))).alias("simhash"),
-    ))
+    ).filter(F.col("simhash").isNotNull()))  # NULL text has no signature
     # resolve AFTER caching: the no-hint count runs on sh, warming the
     # same cache the banding reads — upstream executes exactly once
     band_bits = _resolve_band_bits(

@@ -70,7 +70,20 @@ def drift_statistics(
     ordinal — log2 buckets or category names)."""
     cur = dict(current_hist)
     base = dict(baseline_hist)
-    bins = sorted(set(cur) | set(base), key=lambda b: (len(str(b)), str(b)))
+
+    def _bin_key(b):
+        # numeric labels sort by VALUE (KS needs true ordinal order —
+        # the length-then-lexicographic key put '5' before '-1' before
+        # '-2', corrupting the CDF accumulation for any histogram with
+        # negative bins); non-numeric labels keep the stable
+        # length-then-lex order after every numeric one
+        try:
+            return (0, float(b), "")
+        except (TypeError, ValueError):
+            s = str(b)
+            return (1, float(len(s)), s)
+
+    bins = sorted(set(cur) | set(base), key=_bin_key)
     C = sum(cur.values()) or 1.0
     B = sum(base.values()) or 1.0
     k1, k2 = math.sqrt(B / C), math.sqrt(C / B)

@@ -328,9 +328,14 @@ def ivf_topk(
         for lid in top:
             probes.append((r[id_col], int(lid), [float(x) for x in v]))
     spark = corpus.sparkSession
+    # derive the probe id type from the QUERIES schema like every other
+    # ANN tier (_id_type) — a hardcoded 'long' crashed ivf_topk on the
+    # string ids its siblings support
     qdf = F.broadcast(
         spark.createDataFrame(
-            probes, f"query_id long, list_id int, q_vec array<double>"
+            probes,
+            f"query_id {_id_type(queries, id_col)}, list_id int, "
+            "q_vec array<double>",
         )
     )
     cand = assigned.join(qdf, "list_id").filter(
@@ -501,12 +506,20 @@ def semantic_dedup(
     Zero-norm vectors pair-score NULL (cosine_pairs_arrow convention) —
     never dropped; NULL embeddings get NULL list_id and keep=true.
     """
+    from ensembl_datacheck_spark.operators.dedup import _cache_signatures
+
     cents = (
         centroids
         if centroids is not None
         else deterministic_centroids(corpus, n_lists, id_col, vec_col)
     )
-    assigned = ivf_assign(corpus, cents, id_col, vec_col)
+    # the Arrow assignment matmul feeds BOTH sides of the list_id
+    # self-join and the final output select — cache the assigned table
+    # (the signature-store discipline simhash/embedding LSH already
+    # follow) so the most expensive stage runs once, not three times
+    assigned = _cache_signatures(
+        "semdedup_assign", ivf_assign(corpus, cents, id_col, vec_col)
+    )
     members = assigned.filter(F.col("list_id").isNotNull())
     if cap_per_list is not None:
         w = Window.partitionBy("list_id").orderBy(id_col)

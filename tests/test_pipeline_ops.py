@@ -881,3 +881,93 @@ def test_pii_summary_empty_corpus_reads_zeros(spark):
     row = pii.pii_summary(df, "text").collect()[0]
     for n in pii.DEFAULT_PATTERNS:
         assert row[f"total_{n}"] == 0 and row[f"docs_with_{n}"] == 0
+
+
+class TestNullTextDedupSemantics:
+    """NULL text is never duplicate content (incremental.py's contract,
+    now uniform across every dedup tier); empty-STRING docs remain
+    byte-identical content and may legitimately match each other."""
+
+    @pytest.fixture(scope="class")
+    def null_docs(self, spark):
+        return spark.createDataFrame(
+            [(1, None), (2, None), (3, ""), (4, ""), (5, "real text here"),
+             (6, "real text here")],
+            "doc_id long, text string",
+        ).cache()
+
+    def test_dedup_exact_keeps_all_null_text_rows(self, null_docs):
+        from ensembl_datacheck_spark.operators import dedup
+
+        kept = {r["doc_id"]
+                for r in dedup.dedup_exact(null_docs, "text", "doc_id").collect()}
+        # NULLs all kept; '' pair and the real-text pair each collapse
+        assert kept == {1, 2, 3, 5}
+
+    def test_duplicate_groups_exclude_null_digest(self, null_docs):
+        from ensembl_datacheck_spark.operators import dedup
+
+        groups = dedup.exact_duplicate_groups(null_docs, "text", "doc_id").collect()
+        assert all(g["content_hash"] is not None for g in groups)
+        assert {tuple(sorted(g["doc_ids"])) for g in groups} == {(3, 4), (5, 6)}
+
+    def test_minhash_and_jaccard_never_pair_null_with_empty(self, null_docs):
+        from ensembl_datacheck_spark.operators import dedup
+
+        pairs = {(r["id_a"], r["id_b"]) for r in dedup.minhash_lsh_candidates(
+            null_docs, "doc_id", "text", ngram=3, n_bands=4).collect()}
+        # NULL docs carry no shingles -> absent; '' and 'real' pairs match
+        assert (1, 2) not in pairs and (1, 3) not in pairs and (2, 3) not in pairs
+        assert (3, 4) in pairs and (5, 6) in pairs
+
+    def test_arrow_simhash_null_matches_portable_tier(self, spark, null_docs):
+        from ensembl_datacheck_spark.operators import dedup
+
+        fast = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_duplicates(
+            null_docs, "doc_id", "text", band_bits=16).collect()}
+        portable = {(r["id_a"], r["id_b"])
+                    for r in dedup.portable_simhash_near_duplicates(
+                        null_docs, "doc_id", "text", band_bits=16).collect()}
+        assert fast == portable
+        assert (1, 2) not in fast  # NULL-text docs never pair
+
+
+def test_ivf_topk_supports_string_ids(spark):
+    """ivf_topk derives the probe id type from the queries schema like
+    its siblings — a hardcoded 'long' crashed on string ids."""
+    import numpy as np
+
+    from ensembl_datacheck_spark.operators import similarity as S
+
+    rows = [(f"v{i}", [float(i), 1.0, 0.0]) for i in range(20)]
+    corpus = spark.createDataFrame(rows, "vec_id string, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") == "v3")
+    out = S.ivf_topk(corpus, queries, k=3, n_lists=2, nprobe=2,
+                     centroids=np.array([[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]))
+    got = out.collect()
+    assert got and all(r["query_id"] == "v3" for r in got)
+    assert all(isinstance(r["neighbor_id"], str) for r in got)
+
+
+def test_drift_statistics_orders_negative_numeric_bins(spark):
+    """KS accumulates CDFs in bin order; negative numeric labels must
+    sort by value (-2 < -1 < 5), not by the length-lex fallback."""
+    from ensembl_datacheck_spark.operators.drift import drift_statistics
+
+    # identical distributions -> KS must be 0 regardless of labels
+    h = [("-2", 10.0), ("-1", 20.0), ("5", 30.0)]
+    assert drift_statistics(h, h).ks == 0.0
+    # mass moved from bin -2 to bin 5: with correct ordering the max CDF
+    # gap is at bin -2 (|1/6 - 3/6| = 1/3); the broken order understated it
+    cur = [("-2", 10.0), ("-1", 20.0), ("5", 30.0)]
+    base = [("-2", 30.0), ("-1", 20.0), ("5", 10.0)]
+    assert abs(drift_statistics(cur, base).ks - (1 / 3)) < 1e-9
+
+
+def test_lsh_band_keys_requires_column_name(spark):
+    import pytest as _pytest
+
+    from ensembl_datacheck_spark.operators.dedup import lsh_band_keys
+
+    with _pytest.raises(TypeError, match="column name"):
+        lsh_band_keys(F.col("sig"), 4, 2)
