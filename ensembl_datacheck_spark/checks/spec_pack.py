@@ -254,10 +254,21 @@ def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
 
         def body(ctx, spec=spec):
             t = ctx.table(spec.table).filter(F.col(spec.tag_col) == spec.tag_key)
-            vals = t.select(
-                spec.entity_col,
-                F.col(spec.value_col).cast("double").alias("__v"),
+            # try_cast, not cast: under ANSI (Spark 4 default) a
+            # malformed numeric tag value would abort the check with
+            # CAST_INVALID_INPUT — for exactly the corruption it exists
+            # to flag.  Uncastable values surface as their own violation
+            # rows first (DenormalizedSpec's castability discipline).
+            raw = F.col(spec.value_col)
+            casted = raw.try_cast("double")
+            bad = t.filter(raw.isNotNull() & casted.isNull()).select(
+                spec.entity_col, spec.value_col
             )
+            ctx.record(
+                A.is_rows_zero(bad, f"{spec.name}_{spec.tag_key}_numeric"),
+                key_col=spec.entity_col,
+            )
+            vals = t.select(spec.entity_col, casted.alias("__v"))
             for op, expected in spec.clauses:
                 ctx.record(
                     A.cmp_tag(vals, "__v", op, expected,
@@ -362,8 +373,11 @@ def register_spec(spec, registry=None, fact_table: str = "sequences") -> None:
                 # ITS OWN violation — a plain cast would either error the
                 # whole check (ANSI) or go NULL and silently drop out of
                 # the != comparison.  The table2 side gets the same guard
-                # (A.denormalized's __v1 != __v2 filter skips NULLs, so
-                # an unasserted try_cast-NULL on val2 would vanish).
+                # for DIAGNOSTIC clarity: A.denormalized's null-safe
+                # inequality does flag a try_cast-NULL against a real
+                # value as out-of-sync, but 'uncastable on side 2' is a
+                # different defect than 'values disagree' and deserves
+                # its own named assertion.
                 bad = t1.filter(
                     F.col(spec.val1).isNotNull()
                     & F.col(spec.val1).try_cast(spec.cast).isNull()

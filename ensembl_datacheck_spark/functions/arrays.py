@@ -61,7 +61,10 @@ def l2_norm(a: Column) -> Column:
 
 
 def cosine_similarity(a: Column, b: Column) -> Column:
-    return dot_product(a, b) / (l2_norm(a) * l2_norm(b))
+    # try_divide: a zero-norm vector yields NULL — the Arrow tier's
+    # convention (never NaN) — instead of DIVIDE_BY_ZERO aborting the
+    # whole job under Spark 4's default ANSI mode
+    return F.try_divide(dot_product(a, b), l2_norm(a) * l2_norm(b))
 
 
 # ---------- Arrow tier ----------
@@ -81,13 +84,22 @@ def _flat_segments(s: pd.Series) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
 
 
 def _token_checksum_fn(tokens: pd.Series) -> pd.Series:
-    """Order-sensitive polynomial checksum per row (rolling-hash style,
-    base 1000003 mod 2^61-1), computed batch-vectorized: one
-    segment-prefix pass over the flattened values.  Used for cheap
-    content fingerprints of token arrays (drift of content, not just
-    length)."""
-    MOD = (1 << 61) - 1
-    BASE = 1000003
+    """Order-sensitive polynomial checksum per row:
+    ``sum(token_i * BASE^i) mod 2^64`` (BASE 1000003), computed
+    batch-vectorized in native uint64 WRAPAROUND arithmetic — one
+    segment-prefix pass over the flattened values.  Mod 2^64 is chosen
+    because numpy's uint64 multiply/add implement it exactly (an earlier
+    mod-(2^61-1) formulation silently overflowed the 64-bit product and
+    was NOT the documented polynomial); any engine with wrapping u64
+    arithmetic (or hugeint mod 2^64) reproduces it bit-for-bit.
+
+    NULL rows are masked through a NULLABLE Int64 result — never
+    assigned into the numeric array, which would upcast the whole batch
+    to float64 and round sibling checksums above 2^53 (the checksum of a
+    row then depended on which rows shared its Arrow batch).  Used for
+    cheap content fingerprints of token arrays (drift of content, not
+    just length)."""
+    BASE = np.uint64(1000003)
     flat, lengths, row_idx = _flat_segments(tokens)
     out = np.zeros(len(tokens), dtype=np.uint64)
     if len(flat):
@@ -95,29 +107,37 @@ def _token_checksum_fn(tokens: pd.Series) -> pd.Series:
         starts = np.zeros(len(lengths), dtype=np.int64)
         np.cumsum(lengths[:-1], out=starts[1:]) if len(lengths) > 1 else None
         pos = np.arange(len(flat)) - np.repeat(starts, lengths)
-        # contribution = token * BASE^pos mod MOD; powers via cumprod in
-        # python ints is slow — use modular exponent on unique positions
         max_pos = int(pos.max()) + 1
         powers = np.empty(max_pos, dtype=np.uint64)
-        acc = 1
-        for p in range(max_pos):  # bounded by max array length, not rows
-            powers[p] = acc
-            acc = (acc * BASE) % MOD
-        contrib = (flat.astype(np.uint64) % MOD) * powers[pos] % MOD
-        np.add.at(out, row_idx, contrib % MOD)
-        out %= MOD
-    res = pd.Series(out.astype(np.int64))
-    res[tokens.isna()] = None
-    return res
+        acc = np.uint64(1)
+        with np.errstate(over="ignore"):  # uint64 wrap IS the definition
+            for p in range(max_pos):  # bounded by max array length, not rows
+                powers[p] = acc
+                acc = acc * BASE
+            contrib = flat.astype(np.uint64) * powers[pos]
+            np.add.at(out, row_idx, contrib)
+    null_mask = np.array([v is None for v in tokens], dtype=bool)
+    res = pd.Series(pd.array(out.view(np.int64), dtype="Int64"))
+    return res.mask(null_mask)
 
 
 def _token_stats_fn(tokens: pd.Series) -> pd.DataFrame:
     """Fused per-row min/max/sum/length in one Arrow batch pass —
-    segment-reduce over flattened values (np.minimum.reduceat etc.)."""
+    segment-reduce over flattened values (np.minimum.reduceat etc.).
+
+    JVM-tier parity (the module's 'two tiers, same semantics' contract):
+    a NULL array yields NULL for every field (F.size/token_sum of NULL
+    are NULL — a {sum:0, n:0} row would be indistinguishable from a
+    genuinely empty array, conflating a completeness defect with empty
+    content); an EMPTY array yields min/max NULL, sum 0, n 0.  All-int64
+    masked arrays end to end — routing min/max through a float buffer
+    (the old Int32 coercion) both crashed on tokens beyond int32 (the
+    out-of-range values a datacheck exists to surface) and would round
+    values above 2^53."""
     flat, lengths, _ = _flat_segments(tokens)
     n = len(tokens)
-    mins = np.full(n, np.nan)
-    maxs = np.full(n, np.nan)
+    mins = np.zeros(n, dtype=np.int64)
+    maxs = np.zeros(n, dtype=np.int64)
     sums = np.zeros(n, dtype=np.int64)
     nonzero = lengths > 0
     if len(flat):
@@ -127,14 +147,16 @@ def _token_stats_fn(tokens: pd.Series) -> pd.DataFrame:
         mins[nonzero] = np.minimum.reduceat(flat, idx)
         maxs[nonzero] = np.maximum.reduceat(flat, idx)
         sums[nonzero] = np.add.reduceat(flat, idx)
-    return pd.DataFrame(
+    null_mask = np.array([v is None for v in tokens], dtype=bool)
+    out = pd.DataFrame(
         {
-            "min": pd.array(mins, dtype="Int32"),
-            "max": pd.array(maxs, dtype="Int32"),
-            "sum": sums,
-            "n": lengths.astype(np.int32),
+            "min": pd.Series(pd.array(mins, dtype="Int64")).mask(~nonzero),
+            "max": pd.Series(pd.array(maxs, dtype="Int64")).mask(~nonzero),
+            "sum": pd.Series(pd.array(sums, dtype="Int64")).mask(null_mask),
+            "n": pd.Series(pd.array(lengths, dtype="Int32")).mask(null_mask),
         }
     )
+    return out
 
 
 # UDF registration parses the return-type DDL, which needs a live Spark
@@ -206,7 +228,9 @@ def token_checksum(col: Column) -> Column:
 
 
 def token_stats(col: Column) -> Column:
-    return pandas_udf(_token_stats_fn, "struct<min:int,max:int,sum:long,n:int>")(col)
+    return pandas_udf(
+        _token_stats_fn, "struct<min:bigint,max:bigint,sum:bigint,n:int>"
+    )(col)
 
 
 def token_stats_df(df: DataFrame, tokens_col: str = "tokens") -> DataFrame:

@@ -235,9 +235,16 @@ def repetition_signals(
         ).alias("dup_line_char_frac"),
     )
 
-    grams = df.select(
+    from ensembl_datacheck_spark.operators.dedup import words
+
+    # docs with fewer than `ngram` words have NO n-grams: gate them out
+    # so the left join yields the documented NULL fractions —
+    # word_ngrams_multiset's whole-text fallback gram would otherwise
+    # score every 1..ngram-1-word doc as top_ngram_frac=1.0 (maximally
+    # repetitive), and a Gopher-style threshold filter would reject them
+    grams = df.filter(F.size(words(F.col(text_col))) >= ngram).select(
         ident, F.explode(word_ngrams_multiset(F.col(text_col), ngram)).alias("g")
-    ).filter(F.length("g") > 0)  # empty text yields one '' fallback gram
+    ).filter(F.length("g") > 0)  # ngram=1 edge: '' "word" of empty text
     gc = grams.groupBy("__id", "g").agg(F.count(F.lit(1)).alias("cnt"))
     gchars = F.col("cnt") * F.length("g")
     gram_agg = gc.groupBy("__id").agg(

@@ -2881,16 +2881,17 @@ def incremental_dedup_documents(spark, sf_dir):
       FROM lc GROUP BY 1
     ),
     grams AS (
+      -- docs with < ngram words have NO n-grams (operator gates them
+      -- out; they surface as NULL fractions via the left join)
       SELECT doc_id, g
       FROM (
         SELECT doc_id,
-               CASE WHEN len(ws) >= 2 THEN
-                 list_transform(range(1, len(ws)),
-                                i -> array_to_string(ws[i:i+1], ' '))
-               ELSE [array_to_string(ws, ' ')] END AS gs
+               list_transform(range(1, len(ws)),
+                              i -> array_to_string(ws[i:i+1], ' ')) AS gs
         FROM (SELECT doc_id,
                      string_split_regex(lower(trim(text)), '\s+') AS ws
               FROM docs)
+        WHERE len(ws) >= 2
       ), UNNEST(gs) AS t(g)
       WHERE length(g) > 0
     ),

@@ -131,8 +131,13 @@ class Registry:
             for s in selected:
                 if names and s.name in names:
                     keep.add(s.name)
+                # one pattern, ONE case rule (Manager.pm:246-286 applies
+                # the pattern uniformly): case-insensitive against both
+                # name and description — a lower-case CLI pattern must
+                # not silently match descriptions but skip names
                 if patterns and any(
-                    re.search(p, s.name) or re.search(p, s.description, re.I)
+                    re.search(p, s.name, re.I)
+                    or re.search(p, s.description, re.I)
                     for p in patterns
                 ):
                     keep.add(s.name)

@@ -971,3 +971,82 @@ def test_lsh_band_keys_requires_column_name(spark):
 
     with _pytest.raises(TypeError, match="column name"):
         lsh_band_keys(F.col("sig"), 4, 2)
+
+
+def test_token_checksum_batch_independent_and_documented_formula(spark):
+    """The checksum of a row must not depend on which rows share its
+    Arrow batch (a None assignment used to upcast the batch to float64
+    and round values above 2^53), and must equal the documented
+    polynomial sum(token_i * BASE^i) mod 2^64."""
+    arr = [100000, 200000, 300000, 400000, 500000]
+    with_null = spark.createDataFrame(
+        [(1, arr), (2, None)], "id long, tokens array<int>"
+    ).coalesce(1)  # one batch: the null row shares the batch
+    alone = spark.createDataFrame([(1, arr)], "id long, tokens array<int>")
+    ck1 = with_null.select(AR.token_checksum(F.col("tokens")).alias("ck")) \
+        .collect()
+    ck2 = alone.select(AR.token_checksum(F.col("tokens")).alias("ck")).collect()
+    got = {r["ck"] for r in ck1 if r["ck"] is not None}
+    assert got == {ck2[0]["ck"]}
+    expected = sum(t * pow(1000003, i, 1 << 64) for i, t in enumerate(arr))
+    expected %= 1 << 64
+    if expected >= 1 << 63:
+        expected -= 1 << 64  # int64 view of the uint64 value
+    assert ck2[0]["ck"] == expected
+    assert [r["ck"] for r in ck1 if r["ck"] is None] == [None]
+
+
+def test_token_stats_null_vs_empty_and_beyond_int32(spark):
+    """JVM-tier parity: NULL array -> all-NULL struct (F.size/token_sum
+    of NULL are NULL); empty array -> min/max NULL, sum 0, n 0.  Token
+    values beyond int32 (the out-of-range corruption a datacheck exists
+    to surface) must be reported, not crash the stage."""
+    big = 3_000_000_000
+    df = spark.createDataFrame(
+        [(1, [big, 5]), (2, []), (3, None)],
+        "id long, tokens array<long>",
+    )
+    got = {r["id"]: r["s"] for r in df.select(
+        "id", AR.token_stats(F.col("tokens")).alias("s")).collect()}
+    assert got[1]["max"] == big and got[1]["min"] == 5
+    assert got[1]["sum"] == big + 5 and got[1]["n"] == 2
+    assert got[2]["min"] is None and got[2]["sum"] == 0 and got[2]["n"] == 0
+    assert all(got[3][f] is None for f in ("min", "max", "sum", "n"))
+
+
+def test_jvm_cosine_zero_norm_yields_null_not_error(spark):
+    """ANSI mode: a zero-norm vector must yield NULL (the Arrow tier's
+    convention), not DIVIDE_BY_ZERO aborting the job."""
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0], [1.0, 0.0]), (2, [1.0, 0.0], [1.0, 0.0])],
+        "id long, a array<double>, b array<double>",
+    )
+    got = {r["id"]: r["c"] for r in df.select(
+        "id", AR.cosine_similarity(F.col("a"), F.col("b")).alias("c")
+    ).collect()}
+    assert got[1] is None and abs(got[2] - 1.0) < 1e-12
+
+
+def test_repetition_signals_short_doc_gets_null_fractions(spark):
+    """A document with fewer words than the n-gram order has NO n-grams:
+    fractions are NULL, never the whole-text-fallback 1.0 that a
+    Gopher-style threshold filter would reject."""
+    from ensembl_datacheck_spark.operators import text as T
+
+    df = spark.createDataFrame(
+        [(1, "hello"), (2, "hello world hello world hello world")],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in T.repetition_signals(
+        df, "doc_id", "text", ngram=2).collect()}
+    assert got[1]["top_ngram_frac"] is None
+    assert got[1]["dup_ngram_frac"] is None
+    assert got[2]["top_ngram_frac"] is not None
+
+
+def test_registry_patterns_case_insensitive_on_names():
+    import ensembl_datacheck_spark.checks  # noqa: F401  (registers suite)
+    from ensembl_datacheck_spark.registry import registry
+
+    lower = {s.name for s in registry.select(patterns=["^tokeneval"])}
+    assert "TokenEvalContamination" in lower

@@ -99,3 +99,27 @@ def test_parallel_execution_matches_sequential(spark, seq_fixture):
     a = sorted((r.check_name, r.status.value, r.n_violations) for r in seq_run.results)
     b = sorted((r.check_name, r.status.value, r.n_violations) for r in par_run.results)
     assert a == b
+
+
+def test_generated_specs_skip_under_foreign_fused_scan(spark):
+    """Specs generated for table X must not evaluate their predicates
+    against a Runner whose fused scan is a different table — overlapping
+    column names would silently score the wrong rows."""
+    from ensembl_datacheck_spark.checks.generated import generated_check_specs
+    from ensembl_datacheck_spark.plans.runner import Runner
+    from ensembl_datacheck_spark.verdict import Status
+
+    meta = spark.createDataFrame(
+        [("k", " padded ", "x")], "meta_key string, meta_value string, source string"
+    )
+    seq = spark.createDataFrame(
+        [("d1", "src_00")], "doc_id string, source string"
+    )
+    specs = generated_check_specs("meta", meta)
+    # runner's fused fact table is 'sequences' (has an overlapping
+    # 'source' column) -> the generated specs must SKIP, not mis-score
+    summary = Runner(spark, {"sequences": seq, "meta": meta},
+                     n_buckets=4).run(specs, write_checkpoints=False)
+    for r in summary.results:
+        assert r.status == Status.SKIP, (r.check_name, r.status)
+        assert "fused scan is 'sequences'" in r.skip_reason

@@ -277,9 +277,11 @@ def test_denormalized_val2_castability_guard(spark):
     by = {a.name: a for a in r.assertions}
     assert by["SyncGuard_value2_castable"].status == Status.FAIL
     assert by["SyncGuard_value_castable"].status == Status.OK
-    # the sync comparison itself skipped the NULLed pair (documented),
-    # which is exactly why the explicit castability assertion must exist
-    assert by["SyncGuard_sync"].status == Status.OK
+    # null-safe inequality: the try_cast-NULL vs 2.5 pair IS out of sync
+    # (NULL-vs-value disagreements no longer silently pass); the
+    # castability assertion still names the root cause distinctly
+    assert by["SyncGuard_sync"].status == Status.FAIL
+    assert by["SyncGuard_sync"].got == 1
 
 
 NEW_PACK_NAMES = [
@@ -473,3 +475,33 @@ def test_whitespace_rule_catches_planted(spark):
     ).results
     [r] = res
     assert r.status == Status.FAIL and r.n_violations == 2
+
+
+def test_tag_value_spec_malformed_value_is_violation_not_error(spark):
+    """ANSI mode: a non-numeric tag value must surface as a castability
+    VIOLATION (the corruption the check exists to flag), not abort the
+    check with CAST_INVALID_INPUT."""
+    from ensembl_datacheck_spark.checks.spec_pack import (
+        TagValueSpec,
+        register_spec,
+    )
+    from ensembl_datacheck_spark.registry import Registry
+
+    meta = spark.createDataFrame(
+        [("s1", "source.weight", "0.5"), ("s2", "source.weight", "oops")],
+        "entity_id string, meta_key string, meta_value string",
+    )
+    reg = Registry()
+    register_spec(TagValueSpec(
+        name="WeightRangeT", description="t", table="meta",
+        entity_col="entity_id", tag_col="meta_key", value_col="meta_value",
+        tag_key="source.weight", clauses=(("<=", 1.0),),
+    ), registry=reg)
+    [res] = Runner(spark, {"meta": meta}, n_buckets=4).run(
+        reg.default_suite()
+    ).results
+    assert res.error is None
+    assert res.status.value == "fail"
+    by = {a.name: a for a in res.assertions}
+    [num_name] = [n for n in by if n.endswith("_numeric")]
+    assert by[num_name].got == 1  # the 'oops' row
