@@ -67,27 +67,24 @@ def sequences_completeness(ctx):
 
 
 def _token_invariant_preds(ctx, scan):
-    tok = F.col("tokens")
+    # ONE predicate definition each, shared with the standalone
+    # operators (column_stats.token_length_violations /
+    # token_domain_violations) — hand-synchronized copies had already
+    # begun to diverge on the NULL-n_tok edge
+    from ensembl_datacheck_spark.operators.column_stats import (
+        token_domain_predicate,
+        token_length_predicate,
+    )
+
     preds = [
         RowPredicate(
             "token_length_mismatch",
-            tok.isNotNull() & (F.size(tok) > 0) & (F.size(tok) != F.col("n_tok")),
+            token_length_predicate("tokens", "n_tok"),
             ("n_tok",),
         ),
         RowPredicate(
             "token_out_of_domain",
-            # equivalent to exists(t -> t<0 or t>=vocab) but via
-            # array_min/array_max: higher-order-function lambdas are
-            # interpreted (no codegen) and showed severe thread contention
-            # in local mode; min/max are codegen'd and scale
-            tok.isNotNull()
-            & (
-                (F.array_min(tok) < 0)
-                | (F.array_max(tok) >= VOCAB_SIZE)
-                # null ELEMENTS are skipped by array_min/max — compare
-                # compacted size (codegen-safe, no lambda)
-                | (F.size(F.array_compact(tok)) != F.size(tok))
-            ),
+            token_domain_predicate("tokens", VOCAB_SIZE),
             ("n_tok",),
         ),
     ]

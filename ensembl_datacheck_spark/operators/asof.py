@@ -80,9 +80,33 @@ def asof_join(
         F.lit(None).cast(lv_type).alias("__lv"),
         rv.alias("__rv"),
     )
+    # deterministic tie-break among right rows sharing a timestamp: order
+    # by the ORDERABLE subset of the right struct's fields — a MapType
+    # field anywhere in __rv used to fail window analysis outright
+    # ('expression cannot be used in order specification') even though
+    # the caller never asked for map-based tie-breaking.  With all fields
+    # orderable this equals ordering by __rv itself (struct comparison is
+    # field-by-field in declaration order).
+    def _orderable(dt):
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.MapType):
+            return False
+        if isinstance(dt, T.ArrayType):
+            return _orderable(dt.elementType)
+        if isinstance(dt, T.StructType):
+            return all(_orderable(f.dataType) for f in dt.fields)
+        return True
+
+    ord_fields = [f.name for f in rv_type.fields if _orderable(f.dataType)]
+    tie = (
+        F.struct(*[F.col(f"__rv.{f}") for f in ord_fields])
+        if ord_fields
+        else F.lit(0)
+    )
     w = (
         Window.partitionBy(*by)
-        .orderBy(F.col("__t"), F.col("__side"), F.col("__rv"))
+        .orderBy(F.col("__t"), F.col("__side"), tie)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     matched = (

@@ -27,6 +27,14 @@ def stats_exprs(df: DataFrame, columns: list[str] | None = None) -> list[Column]
     plus min/max/mean for numerics, empty-count for strings, size stats +
     null/empty counts for arrays.  Names: `<col>__<stat>`."""
     exprs: list[Column] = [F.count(F.lit(1)).alias("n_rows")]
+    if columns is not None:
+        # fail fast on misspelled columns (hot_keys' discipline): a
+        # silently-skipped name yields a stats row with no entries and a
+        # KeyError far from the cause — or worse, thresholds verifying
+        # nothing
+        missing = [c for c in columns if c not in df.columns]
+        if missing:
+            raise ValueError(f"unknown column(s) for stats: {missing}")
     fields = [f for f in df.schema.fields if columns is None or f.name in columns]
     for f in fields:
         c, n = F.col(f.name), f.name
@@ -87,35 +95,51 @@ def null_rate_violations(
     return out
 
 
+def token_domain_predicate(
+    tokens_col: str = "tokens", vocab_size: int = 50257
+) -> Column:
+    """THE out-of-domain predicate — one definition shared by the
+    standalone operator below and the fused TokenInvariants RowPredicate
+    (checks/core.py builds from this, so the two can never diverge).
+    `array_min/array_max` instead of `exists(lambda)`: equivalent for a
+    range-domain test, and codegen'd (HOF lambdas are interpreted and
+    contend across threads).  array_min/array_max SKIP null elements, so
+    a null token would pass a pure min/max range test — the
+    array_compact size-compare catches it (still codegen, no lambda)."""
+    c = F.col(tokens_col)
+    return c.isNotNull() & (
+        (F.array_min(c) < 0)
+        | (F.array_max(c) >= vocab_size)
+        | (F.size(F.array_compact(c)) != F.size(c))
+    )
+
+
+def token_length_predicate(
+    tokens_col: str = "tokens", n_tok_col: str = "n_tok"
+) -> Column:
+    """THE length-invariant predicate (input_hint: size(tokens) ==
+    n_tok) — shared by the standalone operator and the fused check.
+    Empty/null arrays belong to completeness; a NULL n_tok against a
+    real array IS a violation ('size != NULL' is NULL and would silently
+    pass the row)."""
+    c = F.col(tokens_col)
+    return (
+        c.isNotNull()
+        & (F.size(c) > 0)
+        & (F.col(n_tok_col).isNull() | (F.size(c) != F.col(n_tok_col)))
+    )
+
+
 def token_domain_violations(
     df: DataFrame, tokens_col: str = "tokens", vocab_size: int = 50257
 ) -> DataFrame:
-    """Rows whose token array contains out-of-domain values.
-    `array_min/array_max` instead of `exists(lambda)`: equivalent for a
-    range-domain test, and codegen'd (HOF lambdas are interpreted and
-    contend across threads)."""
-    c = F.col(tokens_col)
-    # array_min/array_max SKIP null elements, so a null token would pass
-    # a pure min/max range test — array_compact size-compare catches it
-    # (still codegen, no lambda)
-    return df.filter(
-        c.isNotNull()
-        & (
-            (F.array_min(c) < 0)
-            | (F.array_max(c) >= vocab_size)
-            | (F.size(F.array_compact(c)) != F.size(c))
-        )
-    )
+    """Rows whose token array contains out-of-domain values — see
+    token_domain_predicate."""
+    return df.filter(token_domain_predicate(tokens_col, vocab_size))
 
 
 def token_length_violations(
     df: DataFrame, tokens_col: str = "tokens", n_tok_col: str = "n_tok"
 ) -> DataFrame:
-    """Per-row invariant from input_hint: size(tokens) == n_tok (null
-    arrays reported by completeness, not here)."""
-    c = F.col(tokens_col)
-    # empty arrays belong to completeness (same guard as the live fused
-    # predicate in checks/core.py — keep the two in agreement)
-    return df.filter(
-        c.isNotNull() & (F.size(c) > 0) & (F.size(c) != F.col(n_tok_col))
-    )
+    """Per-row invariant from input_hint — see token_length_predicate."""
+    return df.filter(token_length_predicate(tokens_col, n_tok_col))

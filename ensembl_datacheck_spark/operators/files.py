@@ -22,8 +22,24 @@ def listing_df(spark: SparkSession, root: str) -> DataFrame:
     this would enumerate via the Hadoop FileSystem API (executor-side
     parallel listing per prefix); local paths walk on the driver — the
     listing is metadata-sized either way."""
+    if not os.path.isdir(root):
+        # fail fast: os.walk of a nonexistent/unreadable/object-store
+        # root silently yields NOTHING, and an empty listing makes
+        # missing_files flag EVERY registered file — mass false
+        # positives dressed up as a clean run.  s3://... roots need the
+        # Hadoop FS enumeration described above, not this local walk.
+        raise FileNotFoundError(
+            f"listing root {root!r} is not a local directory "
+            "(for hdfs/s3 roots enumerate via the Hadoop FileSystem API)"
+        )
+
+    def _walk_error(err: OSError) -> None:
+        # a permission-denied subdirectory would otherwise silently
+        # truncate the listing — same false-positive trap as a bad root
+        raise err
+
     rows = []
-    for dirpath, _dirs, files in os.walk(root):
+    for dirpath, _dirs, files in os.walk(root, onerror=_walk_error):
         for name in files:
             p = os.path.join(dirpath, name)
             try:

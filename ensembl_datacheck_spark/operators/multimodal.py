@@ -78,6 +78,14 @@ def image_features(
                 "payload_bytes": [], "sha1": [],
             }
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                # MEDIA_SCHEMA declares payload/meta nullable: a NULL row
+                # yields NULL features (payload_features' contract), not
+                # a TypeError that kills the whole stage
+                if payload is None or meta is None:
+                    for k in ("width", "height", "mean_luma",
+                              "payload_bytes", "sha1"):
+                        out[k].append(None)
+                    continue
                 img = decoder(bytes(payload), meta)
                 out["width"].append(img.shape[1])
                 out["height"].append(img.shape[0])
@@ -95,44 +103,54 @@ def resize_images(
     decoder: Callable[[bytes, dict], np.ndarray] = fake_image_decoder,
 ) -> DataFrame:
     """Decode → nearest-neighbor resize → re-encode (raw bytes).  Output
-    schema mirrors the input so stages compose."""
+    IS MEDIA_SCHEMA — modality preserved, meta rewritten with the target
+    dimensions and codec 'raw' — so stages GENUINELY compose:
+    image_features(resize_images(df)) runs (the old output dropped meta
+    and modality, so composition crashed with KeyError('meta')).  NULL
+    payload/meta rows pass through with NULL payload (nothing to decode;
+    the completeness checks own them)."""
     th, tw = target
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            payloads = []
+            payloads, metas = [], []
             for payload, meta in zip(pdf["payload"], pdf["meta"]):
+                if payload is None or meta is None:
+                    payloads.append(None)
+                    metas.append(meta)
+                    continue
                 img = decoder(bytes(payload), meta)
                 ys = (np.arange(th) * img.shape[0] // th).clip(0, img.shape[0] - 1)
                 xs = (np.arange(tw) * img.shape[1] // tw).clip(0, img.shape[1] - 1)
                 payloads.append(img[np.ix_(ys, xs)].tobytes())
+                nm = dict(meta)
+                nm["width"], nm["height"], nm["codec"] = tw, th, "raw"
+                metas.append(nm)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "width": tw,
-                    "height": th,
+                    "modality": pdf["modality"],
                     "payload": payloads,
+                    "meta": metas,
                 }
             )
 
-    return df.mapInPandas(
-        do, schema="media_id string, width int, height int, payload binary"
-    )
+    return df.mapInPandas(do, schema=MEDIA_SCHEMA)
 
 
-def sample_frames(
-    df: DataFrame,
-    every_n: int = 10,
-    decoder: Callable[[bytes, dict], np.ndarray] | None = None,
-) -> DataFrame:
+def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     """Frame sampling for video rows: emit one row per sampled frame
     (frame bytes stubbed as slices of the payload — the fan-out shape,
-    partitioning, and output schema are the real contract)."""
+    partitioning, and output schema are the real contract; a `decoder`
+    hook belongs on the per-frame FEATURE stage, so this one doesn't
+    carry a dead parameter).  NULL payload/meta rows emit no frames."""
 
     def do(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, idxs, hashes = [], [], []
             for mid, payload, meta in zip(pdf["media_id"], pdf["payload"], pdf["meta"]):
+                if payload is None or meta is None:
+                    continue
                 n_frames = int(meta["n_frames"] or 0)
                 raw = bytes(payload)
                 for fi in range(0, n_frames, every_n):

@@ -83,7 +83,13 @@ def inactive_with_rows(
     """Constrained FK analogue: inactive dimension members must have zero
     fact rows (FIXTURES.md §2 `active`).  Violations are the fact rows
     referencing an inactive member — map-side broadcast semi join."""
+    # NULL active is treated as INACTIVE for this check: an
+    # ambiguous-state member with live fact rows is worth surfacing, and
+    # a bare ~col drops NULLs silently (NULL-flag members would escape
+    # the check entirely)
     inactive = F.broadcast(
-        dim.filter(~F.col(active_col)).select(F.col(pk_col).alias("__pk"))
+        dim.filter(F.col(active_col).isNull() | ~F.col(active_col)).select(
+            F.col(pk_col).alias("__pk")
+        )
     )
     return fact.join(inactive, on=F.col(fk_col) == F.col("__pk"), how="left_semi")

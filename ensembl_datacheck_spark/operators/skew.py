@@ -45,6 +45,11 @@ def salted_join(
             "the replicated dim side would emit one spurious null-extended "
             "row per unmatched (key, salt) replica under right/full outer"
         )
+    if n_salt < 1:
+        # pmod(h, 0) is NULL row-for-row (non-ANSI): an inner join would
+        # silently return zero rows, a left join null-extend everything —
+        # the opposite of the 'exactly the plain join's rows' contract
+        raise ValueError(f"n_salt must be >= 1, got {n_salt}")
     sf = F.col(salt_from) if isinstance(salt_from, str) else salt_from
     f = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(sf.cast("string")), F.lit(n_salt)).cast("int")

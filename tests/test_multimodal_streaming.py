@@ -28,12 +28,23 @@ def test_image_features_pipeline(media):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
-def test_resize_composes(media):
+def test_resize_composes(media, spark):
     imgs = media.filter(F.col("modality") == "image")
+    # a NULL-payload row must flow through, not kill the stage
+    imgs = imgs.unionByName(spark.createDataFrame(
+        [("media_null_rsz", "image", None, None)], MM.MEDIA_SCHEMA))
     resized = MM.resize_images(imgs, target=(4, 4))
-    rows = resized.collect()
-    assert all(r["width"] == 4 and r["height"] == 4 for r in rows)
-    assert all(len(bytes(r["payload"])) == 16 for r in rows)  # 4x4 uint8
+    rows = {r["media_id"]: r for r in resized.collect()}
+    real = [r for mid, r in rows.items() if mid != "media_null_rsz"]
+    assert all(r["meta"]["width"] == 4 and r["meta"]["height"] == 4
+               for r in real)
+    assert all(len(bytes(r["payload"])) == 16 for r in real)  # 4x4 uint8
+    assert rows["media_null_rsz"]["payload"] is None
+    # output IS MEDIA_SCHEMA: stages genuinely compose
+    feats = {r["media_id"]: r for r in MM.image_features(resized).collect()}
+    assert all(f["width"] == 4 and f["height"] == 4
+               for mid, f in feats.items() if mid != "media_null_rsz")
+    assert feats["media_null_rsz"]["sha1"] is None
 
 
 def test_frame_sampling(media):

@@ -1050,3 +1050,87 @@ def test_registry_patterns_case_insensitive_on_names():
 
     lower = {s.name for s in registry.select(patterns=["^tokeneval"])}
     assert "TokenEvalContamination" in lower
+
+
+def test_listing_df_rejects_bad_root(spark, tmp_path):
+    """os.walk of a nonexistent root silently yields NOTHING, which would
+    make missing_files flag every registered file — fail fast instead."""
+    import pytest as _pytest
+
+    from ensembl_datacheck_spark.operators.files import listing_df
+
+    with _pytest.raises(FileNotFoundError, match="not a local directory"):
+        listing_df(spark, str(tmp_path / "typo"))
+
+
+def test_inactive_with_rows_flags_null_active(spark):
+    from ensembl_datacheck_spark.operators.referential import inactive_with_rows
+
+    dim = spark.createDataFrame(
+        [(1, True), (2, False), (3, None)], "pk long, active boolean"
+    )
+    fact = spark.createDataFrame([(1,), (2,), (3,)], "fk long")
+    got = {r["fk"] for r in inactive_with_rows(dim, "pk", "active",
+                                               fact, "fk").collect()}
+    # NULL active counts as inactive: member 3's fact row is surfaced
+    assert got == {2, 3}
+
+
+def test_column_stats_rejects_unknown_column(spark):
+    import pytest as _pytest
+
+    from ensembl_datacheck_spark.operators.column_stats import column_stats
+
+    df = spark.createDataFrame([(1, 2)], "a long, b long")
+    with _pytest.raises(ValueError, match="unknown column"):
+        column_stats(df, columns=["a", "bb"])
+
+
+def test_token_length_violation_null_ntok_is_flagged(spark):
+    """The fused check predicate and the standalone operator share ONE
+    definition; a NULL n_tok against a real array is a violation in
+    both, never a silent pass."""
+    from ensembl_datacheck_spark.operators.column_stats import (
+        token_length_predicate,
+        token_length_violations,
+    )
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], 3), ("b", [1, 2], None), ("c", [], None),
+         ("d", None, 5), ("e", [1], 9)],
+        "doc_id string, tokens array<int>, n_tok int",
+    )
+    got = {r["doc_id"] for r in token_length_violations(df).collect()}
+    assert got == {"b", "e"}  # NULL n_tok + genuine mismatch; empty/null pass
+    # the fused predicate IS the same expression
+    got2 = {r["doc_id"]
+            for r in df.filter(token_length_predicate()).collect()}
+    assert got2 == got
+
+
+def test_asof_join_tolerates_map_typed_right_columns(spark):
+    """A MapType column on the right side must not fail window analysis
+    (tie-break ordering uses the orderable subset of the right struct)."""
+    from ensembl_datacheck_spark.operators.asof import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00")], "user long, ts string"
+    )
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:00:00", {"k": "v"})],
+        "user long, rts string, attrs map<string,string>",
+    )
+    out = asof_join(left, right, by=["user"], left_ts="ts", right_ts="rts")
+    [r] = out.collect()
+    assert r["attrs"] == {"k": "v"}
+
+
+def test_salted_join_rejects_zero_salt(spark):
+    import pytest as _pytest
+
+    from ensembl_datacheck_spark.operators.skew import salted_join
+
+    fact = spark.createDataFrame([(1, 10)], "k long, row_id long")
+    dim = spark.createDataFrame([(1, "x")], "k long, v string")
+    with _pytest.raises(ValueError, match="n_salt"):
+        salted_join(fact, dim, "k", "row_id", n_salt=0)
