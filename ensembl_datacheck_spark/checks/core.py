@@ -445,12 +445,14 @@ def source_drift(ctx):
         [(r["category"], float(r["value"])) for r in base_counts.collect()],
     )
     alpha = ctx.config.get("chi2_alpha", 1e-4)
-    status = Status.OK if stats.chi2_pvalue >= alpha else Status.FAIL
+    min_l1 = ctx.config.get("chi2_min_effect_l1", 0.02)
+    status = Status.FAIL if D.chi2_verdict(stats, alpha, min_l1) else Status.OK
     ctx.result.assertions.append(
         AssertionResult(
             "source_chi2", status,
-            expected=f"p >= {alpha}",
-            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} p={stats.chi2_pvalue:.2e}",
+            expected=f"p >= {alpha} or l1 < {min_l1}",
+            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} "
+                f"p={stats.chi2_pvalue:.2e} l1={stats.l1:.4f}",
             diag=[f"worst bins (base_share, cur_share): {stats.worst_bins[:3]}"]
             if status == Status.FAIL else [],
         )
@@ -478,8 +480,11 @@ def ntok_drift(ctx):
     )
     ks_max = ctx.config.get("ks_max", 0.05)
     alpha = ctx.config.get("chi2_alpha", 1e-4)
+    min_l1 = ctx.config.get("chi2_min_effect_l1", 0.02)
     ks_status = Status.OK if stats.ks <= ks_max else Status.FAIL
-    chi_status = Status.OK if stats.chi2_pvalue >= alpha else Status.FAIL
+    chi_status = (
+        Status.FAIL if D.chi2_verdict(stats, alpha, min_l1) else Status.OK
+    )
     ctx.result.assertions.append(
         AssertionResult(
             "n_tok_ks", ks_status, expected=f"<= {ks_max}", got=round(stats.ks, 4),
@@ -488,8 +493,9 @@ def ntok_drift(ctx):
     )
     ctx.result.assertions.append(
         AssertionResult(
-            "n_tok_chi2", chi_status, expected=f"p >= {alpha}",
-            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} p={stats.chi2_pvalue:.2e}",
+            "n_tok_chi2", chi_status, expected=f"p >= {alpha} or l1 < {min_l1}",
+            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} "
+                f"p={stats.chi2_pvalue:.2e} l1={stats.l1:.4f}",
         )
     )
 
@@ -849,21 +855,19 @@ def token_unigram_drift(ctx):
     # ordinal axis; token ids are nominal, so L1/total-variation is the
     # distance reported alongside)
     stats = D.drift_statistics(cur_hist, base_hist)
-    cur_d, base_d = dict(cur_hist), dict(base_hist)
-    c_tot = sum(cur_d.values()) or 1.0
-    b_tot = sum(base_d.values()) or 1.0
-    l1 = 0.5 * sum(
-        abs(cur_d.get(k, 0.0) / c_tot - base_d.get(k, 0.0) / b_tot)
-        for k in set(cur_d) | set(base_d)
-    )
     alpha = ctx.config.get("chi2_alpha", 1e-4)
+    min_l1 = ctx.config.get("chi2_min_effect_l1", 0.02)
     l1_max = ctx.config.get("unigram_l1_max", 0.05)
-    chi_status = Status.OK if stats.chi2_pvalue >= alpha else Status.FAIL
-    l1_status = Status.OK if l1 <= l1_max else Status.FAIL
+    chi_status = (
+        Status.FAIL if D.chi2_verdict(stats, alpha, min_l1) else Status.OK
+    )
+    l1_status = Status.OK if stats.l1 <= l1_max else Status.FAIL
     ctx.result.assertions.append(
         AssertionResult(
-            "token_unigram_chi2", chi_status, expected=f"p >= {alpha}",
-            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} p={stats.chi2_pvalue:.2e}",
+            "token_unigram_chi2", chi_status,
+            expected=f"p >= {alpha} or l1 < {min_l1}",
+            got=f"chi2={stats.chi2:.2f} dof={stats.chi2_dof} "
+                f"p={stats.chi2_pvalue:.2e} l1={stats.l1:.4f}",
             diag=[f"worst tokens (base_share, cur_share): {stats.worst_bins[:3]}"]
             if chi_status == Status.FAIL else [],
         )
@@ -871,7 +875,7 @@ def token_unigram_drift(ctx):
     ctx.result.assertions.append(
         AssertionResult(
             "token_unigram_l1", l1_status,
-            expected=f"<= {l1_max}", got=round(l1, 4),
+            expected=f"<= {l1_max}", got=round(stats.l1, 4),
         )
     )
 

@@ -52,9 +52,27 @@ class DriftStats:
     chi2_dof: int
     chi2_pvalue: float
     ks: float
+    l1: float  # total-variation distance 0.5*sum|p_i - q_i|, in [0, 1]
     n_current: float
     n_baseline: float
     worst_bins: list[tuple[str, float, float]]  # (bin, expected_share, got_share)
+
+
+def chi2_verdict(stats: DriftStats, alpha: float, min_effect_l1: float) -> bool:
+    """True iff the drift is BOTH statistically significant (chi2 p-value
+    below ``alpha``) AND practically significant (total-variation distance
+    at least ``min_effect_l1``).
+
+    The p-value gate alone is scale-DEPENDENT: for a fixed fractional
+    perturbation the two-sample chi2 statistic grows linearly with sample
+    size, so a 0.03%-of-mass wobble that is invisible at 10^5 rows is
+    "significant" at 10^6 and astronomically so at 10^12 — the very scale
+    this engine targets.  The reference's own drift vocabulary is
+    effect-sized for the same reason (proportion windows, never raw
+    significance: Test/DataCheck.pm:260-365, CheckTableSizes.pm:99-110).
+    Total variation is sample-size free, so the verdict for a given pair
+    of *distributions* is stable across corpus scale."""
+    return stats.chi2_pvalue < alpha and stats.l1 >= min_effect_l1
 
 
 def drift_statistics(
@@ -92,6 +110,7 @@ def drift_statistics(
     worst: list[tuple[str, float, float]] = []
     cdf_c = cdf_b = 0.0
     ks = 0.0
+    l1 = 0.0
     for b in bins:
         c, o = cur.get(b, 0.0), base.get(b, 0.0)
         if c + o > 0:
@@ -102,6 +121,7 @@ def drift_statistics(
         # float summation of the CDFs can drift a few ulps past 1.0 for
         # fully-disjoint supports; KS is mathematically bounded by 1
         ks = min(1.0, max(ks, abs(cdf_c - cdf_b)))
+        l1 += abs(c / C - o / B)
         worst.append((str(b), o / B, c / C))
     worst.sort(key=lambda t: abs(t[1] - t[2]), reverse=True)
     dof = max(used - 1, 1)
@@ -110,6 +130,7 @@ def drift_statistics(
         chi2_dof=dof,
         chi2_pvalue=chi2_sf(chi2, dof),
         ks=ks,
+        l1=min(1.0, 0.5 * l1),  # same ulp guard as KS
         n_current=C,
         n_baseline=B,
         worst_bins=worst[:5],

@@ -964,6 +964,43 @@ def test_drift_statistics_orders_negative_numeric_bins(spark):
     assert abs(drift_statistics(cur, base).ks - (1 / 3)) < 1e-9
 
 
+def test_chi2_verdict_is_scale_independent(spark):
+    """The raw p-value gate is scale-DEPENDENT: a fixed 0.03% fractional
+    perturbation (the synth fixture's orphan-source mass) is insignificant
+    at 100k rows but crosses any alpha by 1M — which crashed bench.py's
+    pinned-verdict assert at sf0.1.  chi2_verdict adds a total-variation
+    effect-size floor, so the verdict for a given pair of DISTRIBUTIONS
+    is identical at every corpus size."""
+    from ensembl_datacheck_spark.operators.drift import (
+        chi2_verdict,
+        drift_statistics,
+    )
+
+    def hists(n):
+        # 3 sources at fixed shares + a 0.03%-mass orphan in current only
+        base = [("web", 0.5 * n), ("books", 0.3 * n), ("code", 0.2 * n)]
+        cur = [("web", 0.4997 * n), ("books", 0.3 * n), ("code", 0.2 * n),
+               ("orphan", 0.0003 * n)]
+        return cur, base
+
+    for n in (1e5, 1e6, 1e12):
+        stats = drift_statistics(*hists(n))
+        assert stats.l1 < 0.001
+        assert not chi2_verdict(stats, alpha=1e-4, min_effect_l1=0.02), (
+            f"negligible 0.03% drift flagged at n={n:g} "
+            f"(p={stats.chi2_pvalue:.2e}, l1={stats.l1:.5f})"
+        )
+
+    # a REAL drift (10% of mass moved) fails at every scale where the
+    # sample is big enough for significance
+    for n in (1e5, 1e6, 1e12):
+        cur = [("web", 0.4 * n), ("books", 0.4 * n), ("code", 0.2 * n)]
+        base = [("web", 0.5 * n), ("books", 0.3 * n), ("code", 0.2 * n)]
+        stats = drift_statistics(cur, base)
+        assert abs(stats.l1 - 0.1) < 1e-9
+        assert chi2_verdict(stats, alpha=1e-4, min_effect_l1=0.02)
+
+
 def test_lsh_band_keys_requires_column_name(spark):
     import pytest as _pytest
 

@@ -32,6 +32,7 @@ def test_identical_histograms_have_zero_drift(h):
     stats = drift_statistics(list(h.items()), list(h.items()))
     assert stats.chi2 <= 1e-9
     assert stats.ks <= 1e-12
+    assert stats.l1 <= 1e-12
     assert stats.chi2_pvalue > 0.99
 
 
@@ -43,10 +44,15 @@ def test_drift_statistics_bounds_and_symmetry(h1, h2):
     s12 = drift_statistics(list(h1.items()), list(h2.items()))
     s21 = drift_statistics(list(h2.items()), list(h1.items()))
     assert 0.0 <= s12.ks <= 1.0
+    assert 0.0 <= s12.l1 <= 1.0
+    # total variation dominates KS on the same binning (KS is the max
+    # CDF gap; TV is half the total absolute share gap)
+    assert s12.l1 >= s12.ks - 1e-9
     assert s12.chi2 >= 0.0
-    # two-sample chi2 and KS are symmetric in the two samples
+    # two-sample chi2, KS, and L1 are symmetric in the two samples
     assert abs(s12.chi2 - s21.chi2) < 1e-6 * max(s12.chi2, 1.0)
     assert abs(s12.ks - s21.ks) < 1e-12
+    assert abs(s12.l1 - s21.l1) < 1e-12
 
 
 @given(bins, st.integers(min_value=2, max_value=8), st.randoms())
