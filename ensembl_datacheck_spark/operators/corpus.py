@@ -438,8 +438,16 @@ def source_budget_trim(
     if budget < 0:
         raise ValueError(f"budget is negative: {budget}")
     w = _md5_order_cumsum_window(source_col, F.col(id_col))
+    # NULL weight -> 0 (the reference's missing->0 subtotal convention,
+    # Test/DataCheck.pm row_subtotals): without the coalesce a
+    # NULL-weight row was kept or dropped depending on its md5 ORDER
+    # position (first-in-source -> all-NULL frame -> NULL cum -> filtered;
+    # later -> kept for free) — hash-order-dependent semantics.  As 0 it
+    # is deterministically kept while the running total of the REAL
+    # weights stays within budget.
+    cum = F.sum(F.coalesce(F.col(weight_col), F.lit(0))).over(w)
     return (
-        df.withColumn("__cum", F.sum(weight_col).over(w))
+        df.withColumn("__cum", cum)
         .filter(F.col("__cum") <= budget)
         .drop("__cum")
     )
@@ -599,7 +607,15 @@ def pack_sequences(
         raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
     bkt = split_bucket(id_col, n_buckets)
     w = _md5_order_cumsum_window(bkt, F.col(id_col))
-    start = (F.sum(weight_col).over(w) - F.col(weight_col)).alias("__start")
+    # NULL weight -> 0 (missing->0, as in source_budget_trim): the raw
+    # column gave a NULL-weight document NULL bin/offset — an
+    # unplaceable row a training loader would trip over — while its
+    # neighbors already treated it as zero-width.  Coalesced, it gets a
+    # real zero-width placement at the current offset.  Negative
+    # weights are data corruption this operator cannot detect cheaply;
+    # run the completeness/invariant checks first.
+    wexpr = F.coalesce(F.col(weight_col), F.lit(0))
+    start = (F.sum(wexpr).over(w) - wexpr).alias("__start")
     return (
         df.select("*", bkt.alias("bucket"), start)
         .withColumn("bin", F.floor(F.col("__start") / seq_len))

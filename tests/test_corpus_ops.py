@@ -493,3 +493,63 @@ def test_leakage_safe_split_null_text_not_one_cluster(spark):
     # identical non-null content still clusters: both 'dup' docs share a split
     dup_splits = {r["split"] for r in out.filter(F.col("text") == "dup").collect()}
     assert len(dup_splits) == 1
+
+
+def test_source_budget_trim_null_weight_is_zero_width(spark):
+    """NULL weight counts as 0 toward the budget (missing->0, the
+    row_subtotals convention): the row is kept deterministically and the
+    running total of REAL weights still respects the budget — regardless
+    of where the NULL row lands in md5 order."""
+    rows = [(i, "s", None if i % 3 == 0 else 10) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, source string, w int")
+    out = corpus.source_budget_trim(df, "doc_id", "source", "w", budget=50)
+    got = out.collect()
+    # python reference: walk md5 order, NULL advances the running total
+    # by 0; keep while cum <= budget (zero-width rows past the cutoff
+    # are trimmed like any other tail row)
+    import hashlib
+
+    def h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    expected = set()
+    cum = 0
+    for doc_id, _, w in sorted(rows, key=lambda r: (h(r[0]), r[0])):
+        cum += w or 0
+        if cum <= 50:
+            expected.add(doc_id)
+    assert {r["doc_id"] for r in got} == expected
+    # NULL rows before the cutoff survive (zero-width), and the kept
+    # real weights respect the budget exactly
+    assert any(r["w"] is None for r in got)
+    assert sum(r["w"] or 0 for r in got) <= 50
+    # determinism under re-partitioning
+    again = corpus.source_budget_trim(
+        df.repartition(7), "doc_id", "source", "w", budget=50)
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again.collect()))
+
+
+def test_pack_sequences_null_weight_zero_width_placement(spark):
+    """A NULL-weight doc gets a real zero-width placement (bin/offset at
+    the current stream position) instead of NULL bin/offset, and does not
+    advance the stream for its neighbors."""
+    rows = [(i, None if i == 3 else 8) for i in range(12)]
+    df = spark.createDataFrame(rows, "doc_id long, w int")
+    out = corpus.pack_sequences(df, "doc_id", "w", seq_len=16, n_buckets=2)
+    got = out.collect()
+    assert all(r["bin"] is not None and r["offset"] is not None for r in got)
+    # reconstruct each bucket stream: NULL advances position by 0
+    import hashlib
+
+    def h(i):
+        return hashlib.md5(str(i).encode()).hexdigest()
+
+    by_bucket: dict[int, list] = {}
+    for r in got:
+        by_bucket.setdefault(r["bucket"], []).append(r)
+    for rows_ in by_bucket.values():
+        rows_.sort(key=lambda r: (h(r["doc_id"]), r["doc_id"]))
+        pos = 0
+        for r in rows_:
+            assert r["bin"] == pos // 16 and r["offset"] == pos % 16, r
+            pos += r["w"] or 0
