@@ -2419,12 +2419,12 @@ def stratified_sample_documents(spark, sf_dir):
       SELECT doc_id,
              CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                   AS BIGINT) % 4 AS bucket,
-             SUM(n_chars) OVER (
+             SUM(COALESCE(n_chars, 0)) OVER (
                PARTITION BY CAST(('0x' ||
                  substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
                  AS BIGINT) % 4
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
-               ROWS UNBOUNDED PRECEDING) - n_chars AS start
+               ROWS UNBOUNDED PRECEDING) - COALESCE(n_chars, 0) AS start
       FROM documents
     )
     SELECT CAST(doc_id AS BIGINT) AS doc_id,
@@ -2588,7 +2588,7 @@ def source_budget_mix_documents(spark, sf_dir):
     """
     WITH ordered AS (
       SELECT source, n_chars,
-             SUM(n_chars) OVER (
+             SUM(COALESCE(n_chars, 0)) OVER (
                PARTITION BY source
                ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
                ROWS UNBOUNDED PRECEDING) AS cum
