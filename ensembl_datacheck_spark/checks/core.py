@@ -946,3 +946,75 @@ def token_snapshot_equality(ctx):
                 got=counts.get(SN.NEW_IN_CURRENT, 0),
             )
         )
+
+
+# ---------------------------------------------------------------------------
+# token-rarity quality profile (training-data tier; operators/rarity.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "TokenRarityProfile",
+    "Token-rarity quality profile (operators/rarity.py — the "
+    "integer-exact CCNet-style LM-quality proxy): corpus vocabulary "
+    "health — hapax fraction of the vocab stays under "
+    "config[max_hapax_vocab_fraction] (default 0.98; healthy Zipfian "
+    "text sits near 0.4-0.6, ~1.0 means random ids / broken tokenizer) "
+    "— plus per-document rare-token outliers: documents with at least "
+    "config[rarity_min_scored] scoreable tokens (default 20) whose "
+    "corpus-hapax share exceeds config[max_doc_hapax_ratio] (default "
+    "0.8) are garbled-text candidates, emitted as violation rows (the "
+    "reference's per-row outlier-diagnostic shape, "
+    "Test/DataCheck.pm:283-365 kin).  Whole-corpus token scan + "
+    "broadcast-vocab join, so on-demand like the dedup checks; the "
+    "vocab histogram is persisted for the duration (it feeds both the "
+    "summary aggregate and the scoring join) and unpersisted on exit.",
+    groups=("tokens", "quality"),
+    severity="advisory",
+    tables=("sequences",),
+    on_demand=True,
+)
+def token_rarity_profile(ctx):
+    from pyspark import StorageLevel
+
+    from ensembl_datacheck_spark.operators import rarity as R
+
+    seq = ctx.table("sequences")
+    max_vocab_hapax = float(ctx.config.get("max_hapax_vocab_fraction", 0.98))
+    min_scored = int(ctx.config.get("rarity_min_scored", 20))
+    max_doc_ratio = float(ctx.config.get("max_doc_hapax_ratio", 0.8))
+
+    # recomputable lineage, not localCheckpoint — same fault-tolerance
+    # rationale as the shared fact profile above
+    vocab = D.unigram_profile(seq).persist(StorageLevel.MEMORY_AND_DISK)
+    try:
+        srow = R.vocab_rarity_summary(vocab).collect()[0]  # 1-row aggregate
+        frac = srow["hapax_vocab_fraction"]
+        ctx.result.assertions.append(
+            AssertionResult(
+                "vocab_hapax_fraction",
+                Status.OK
+                if frac is not None and frac <= max_vocab_hapax
+                else Status.FAIL,
+                expected=f"<= {max_vocab_hapax}",
+                got=None if frac is None else round(frac, 4),
+                diag=[
+                    f"vocab_size={srow['vocab_size']} "
+                    f"hapax_vocab_n={srow['hapax_vocab_n']} "
+                    f"total_tokens={srow['total_tokens']}"
+                ],
+            )
+        )
+        scores = R.token_rarity_scores(seq, vocab=vocab)
+        viol = scores.filter(
+            (F.col("n_scored") >= min_scored)
+            & (
+                F.col("hapax_n").cast("double")
+                > F.col("n_scored").cast("double") * max_doc_ratio
+            )
+        ).select("doc_id", "n_scored", "hapax_n")
+        ctx.record(
+            A.is_rows_zero(viol, "rare_token_documents"), key_col="doc_id"
+        )
+    finally:
+        vocab.unpersist()

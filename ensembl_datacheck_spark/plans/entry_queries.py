@@ -2119,6 +2119,99 @@ def token_unigram_drift_halves(spark, sf_dir):
 
 
 @q(
+    "token_rarity_documents",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token
+      FROM docs WHERE toks IS NOT NULL AND len(toks) > 0
+    ),
+    tk AS (SELECT doc_id, token FROM tok
+           WHERE token IS NOT NULL AND token >= 0),
+    vocab AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token)
+    SELECT CAST(t.doc_id AS BIGINT) AS doc_id,
+           CAST(count(*) AS BIGINT) AS n_scored,
+           CAST(0 AS BIGINT) AS oov_n,
+           CAST(sum(v.cnt) AS BIGINT) AS sum_count,
+           CAST(min(v.cnt) AS BIGINT) AS min_count,
+           CAST(sum(CASE WHEN v.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_n,
+           CAST(sum(v.cnt) AS DOUBLE) / CAST(count(*) AS DOUBLE)
+             AS mean_count
+    FROM tk t JOIN vocab v USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def token_rarity_documents(spark, sf_dir):
+    """Per-document token-rarity quality scores
+    (operators/rarity.token_rarity_scores, TokenRarityProfile's
+    operator) over the derived token corpus for doc_id < 200,
+    self-scored against its own unigram vocabulary: exact BIGINT
+    count/sum/min/hapax statistics plus ONE IEEE division for
+    mean_count — bit-identical to the oracle's unnest+join+GROUP BY
+    formulation.  Self-scoring ⇒ oov_n is the constant 0 on both
+    sides (the column exists for the foreign-vocabulary mode)."""
+    from ensembl_datacheck_spark.operators import rarity as R
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    scores = R.token_rarity_scores(toks, "doc_id", "tokens")
+    return scores.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_scored",
+        "oov_n",
+        "sum_count",
+        "min_count",
+        "hapax_n",
+        "mean_count",
+    )
+
+
+@q(
+    "vocab_rarity_summary",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    tok AS (
+      SELECT unnest(toks) AS token
+      FROM docs WHERE toks IS NOT NULL AND len(toks) > 0
+    ),
+    tk AS (SELECT token FROM tok WHERE token IS NOT NULL AND token >= 0),
+    vocab AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token)
+    SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS hapax_vocab_n,
+           CAST(sum(cnt) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(count(*) AS DOUBLE) AS hapax_vocab_fraction,
+           CAST(sum(CASE WHEN cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / CAST(sum(cnt) AS DOUBLE) AS hapax_token_mass
+    FROM vocab
+    """,
+)
+def vocab_rarity_summary_q(spark, sf_dir):
+    """Corpus-level vocabulary health
+    (operators/rarity.vocab_rarity_summary): hapax fraction of the
+    vocabulary and hapax share of token mass over the same derived
+    corpus as token_rarity_documents.  Exact BIGINTs + two single IEEE
+    divisions; O(vocab) aggregate after unigram_profile's map-side
+    combine, so the summary costs the same at any corpus size."""
+    from ensembl_datacheck_spark.operators import drift as D
+    from ensembl_datacheck_spark.operators import rarity as R
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 200)
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    return R.vocab_rarity_summary(D.unigram_profile(toks))
+
+
+@q(
     "token_snapshot_diff_documents",
     f"""
     WITH docs AS (

@@ -494,3 +494,60 @@ def test_shared_profile_cube_released_after_run(spark, monkeypatch):
               specs, n_buckets=8)
     # same table object -> same memo key -> ONE build for the fleet
     assert len(captured) == 3 and all_released()
+
+
+# --- TokenRarityProfile -----------------------------------------------------
+
+
+def test_token_rarity_profile_clean_fixture_passes(spark, seq_fixture):
+    """The synth corpus is uniform over a 50k vocab at ~13 expected
+    occurrences per token: hapax mass is negligible, so both the vocab
+    summary and the per-doc outlier probe pass with defaults."""
+    res = _run_one(
+        spark, "TokenRarityProfile",
+        {"sequences": seq_fixture["sequences_clean"]},
+    )
+    assert res.status == Status.OK
+    by = {a.name: a for a in res.assertions}
+    assert by["vocab_hapax_fraction"].status == Status.OK
+    assert by["rare_token_documents"].got == 0
+
+
+def test_token_rarity_profile_flags_garbled_docs(spark):
+    """A corpus of 50 healthy docs over a tiny shared vocab plus 2
+    garbled docs of unique ids: the garbled docs exceed the hapax-share
+    bound and surface as violation rows; the vocab-level fraction also
+    breaches the (tightened) config bound."""
+    healthy = spark.range(50).selectExpr(
+        "format_string('doc_%04d', id) AS doc_id",
+        "transform(sequence(1, 30), i -> CAST((id + i) % 11 AS INT)) AS tokens",
+        "30 AS n_tok", "'web' AS source",
+    )
+    garbled = spark.range(2).selectExpr(
+        "format_string('bad_%04d', id) AS doc_id",
+        "transform(sequence(1, 30), i -> CAST(1000 + id * 100 + i AS INT)) AS tokens",
+        "30 AS n_tok", "'web' AS source",
+    )
+    res = _run_one(
+        spark, "TokenRarityProfile",
+        {"sequences": healthy.unionAll(garbled)},
+        config={"max_hapax_vocab_fraction": 0.5},
+    )
+    assert res.status == Status.FAIL
+    by = {a.name: a for a in res.assertions}
+    # 60 unique garbled ids vs 11 shared healthy ids -> fraction ~ 60/71
+    assert by["vocab_hapax_fraction"].status == Status.FAIL
+    assert by["rare_token_documents"].got == 2
+
+
+def test_token_rarity_profile_short_docs_exempt(spark):
+    """Documents under rarity_min_scored tokens never flag — a 3-token
+    doc of hapaxes is statistically meaningless, not garbled."""
+    df = spark.range(5).selectExpr(
+        "format_string('doc_%04d', id) AS doc_id",
+        "transform(sequence(1, 3), i -> CAST(id * 10 + i AS INT)) AS tokens",
+        "3 AS n_tok", "'web' AS source",
+    )
+    res = _run_one(spark, "TokenRarityProfile", {"sequences": df})
+    by = {a.name: a for a in res.assertions}
+    assert by["rare_token_documents"].got == 0

@@ -1171,3 +1171,103 @@ def test_salted_join_rejects_zero_salt(spark):
     dim = spark.createDataFrame([(1, "x")], "k long, v string")
     with _pytest.raises(ValueError, match="n_salt"):
         salted_join(fact, dim, "k", "row_id", n_salt=0)
+
+
+# ---------------------------------------------------------------------------
+# token rarity (operators/rarity.py)
+# ---------------------------------------------------------------------------
+
+
+def test_token_rarity_self_scoring_exact_counts(spark):
+    """Hand-checkable corpus: token 7 appears 3x, 8 appears 2x, 9 once
+    (hapax).  Self-scoring: every doc matches, oov_n == 0, and the
+    per-doc sums/mins/hapax counts are exact integers."""
+    from ensembl_datacheck_spark.operators import rarity as R
+
+    df = spark.createDataFrame(
+        [
+            (1, [7, 8, 9]),     # counts 3,2,1 -> sum 6, min 1, hapax 1
+            (2, [7, 7]),        # counts 3,3   -> sum 6, min 3, hapax 0
+            (3, [8]),           # count 2      -> sum 2, min 2, hapax 0
+            (4, None),          # skipped: NULL array
+            (5, []),            # skipped: empty array
+        ],
+        "doc_id long, tokens array<int>",
+    )
+    got = {r["doc_id"]: r for r in R.token_rarity_scores(df).collect()}
+    assert set(got) == {1, 2, 3}
+    assert (got[1]["n_scored"], got[1]["sum_count"], got[1]["min_count"],
+            got[1]["hapax_n"], got[1]["oov_n"]) == (3, 6, 1, 1, 0)
+    assert got[1]["mean_count"] == 2.0
+    assert (got[2]["sum_count"], got[2]["min_count"], got[2]["hapax_n"]) == (6, 3, 0)
+    assert got[3]["mean_count"] == 2.0
+
+
+def test_token_rarity_element_hygiene_matches_unigram_profile(spark):
+    """NULL and negative elements are dropped from BOTH the vocab and
+    the scoring stream (the unigram_profile hygiene), so self-scoring
+    still finds every remaining token in-vocab."""
+    from ensembl_datacheck_spark.operators import rarity as R
+
+    df = spark.createDataFrame(
+        [(1, [5, None, -3, 5]), (2, [5])],
+        "doc_id long, tokens array<int>",
+    )
+    got = {r["doc_id"]: r for r in R.token_rarity_scores(df).collect()}
+    # doc 1 scores only its two 5s (count 3 in the cleaned corpus)
+    assert (got[1]["n_scored"], got[1]["sum_count"], got[1]["oov_n"]) == (2, 6, 0)
+    assert got[1]["min_count"] == 3
+
+
+def test_token_rarity_foreign_vocab_oov(spark):
+    """Foreign vocabulary: unmatched tokens count as OOV with zero mass;
+    an all-OOV document keeps NULL min_count/mean_count (never a fake
+    zero that would read as 'infinitely rare')."""
+    from ensembl_datacheck_spark.operators import rarity as R
+
+    df = spark.createDataFrame(
+        [(1, [10, 11]), (2, [99, 98])], "doc_id long, tokens array<int>"
+    )
+    vocab = spark.createDataFrame(
+        [(10, 4), (11, 1)], "token int, count long"
+    )
+    got = {r["doc_id"]: r for r in R.token_rarity_scores(df, vocab=vocab).collect()}
+    assert (got[1]["oov_n"], got[1]["sum_count"], got[1]["hapax_n"]) == (0, 5, 1)
+    assert got[1]["mean_count"] == 2.5
+    assert (got[2]["oov_n"], got[2]["sum_count"]) == (2, 0)
+    assert got[2]["min_count"] is None and got[2]["mean_count"] is None
+
+
+def test_vocab_rarity_summary_exact(spark):
+    """vocab {A:1, B:3, C:1}: size 3, hapax 2, total 5 — fractions are
+    single divisions of those exact integers."""
+    from ensembl_datacheck_spark.operators import rarity as R
+
+    vocab = spark.createDataFrame(
+        [(1, 1), (2, 3), (3, 1)], "token int, count long"
+    )
+    row = R.vocab_rarity_summary(vocab).collect()[0]
+    assert (row["vocab_size"], row["hapax_vocab_n"], row["total_tokens"]) == (3, 2, 5)
+    assert row["hapax_vocab_fraction"] == 2.0 / 3.0
+    assert row["hapax_token_mass"] == 2.0 / 5.0
+
+
+def test_token_rarity_plan_broadcasts_vocab(spark):
+    """Plan pin: the vocab join is a BroadcastHashJoin (map-side — the
+    100 TB contract) and self-scoring shuffles exactly twice here: the
+    vocab-bounded groupBy(token) plus its BroadcastExchange.  The
+    per-doc groupBy needs NO Exchange on this source — Range guarantees
+    each doc_id lives in one partition and explode preserves that, so
+    Catalyst elides the shuffle (on parquet it's one more doc-sized
+    Exchange after the map-side partial agg — the entry-query audit)."""
+    from tests.test_plans import plan_str
+    from ensembl_datacheck_spark.operators import rarity as R
+
+    df = spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.array(F.col("id") % 7, F.col("id") % 3).cast("array<int>").alias("tokens"),
+    )
+    plan = plan_str(R.token_rarity_scores(df), "simple")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert plan.count("Exchange") == 2, plan
