@@ -1018,3 +1018,37 @@ def token_rarity_profile(ctx):
         )
     finally:
         vocab.unpersist()
+
+
+@register(
+    "SourceOverlapExcess",
+    "No source is largely contained in another source: over the "
+    "pairwise source-overlap matrix "
+    "(operators/token_dedup.source_token_overlap, distinct "
+    "config[source_overlap_k]-token shingle sets, default 8), every "
+    "ordered pair's containment |A∩B|/|A| stays under "
+    "config[max_source_containment] (default 0.5).  A breaching pair "
+    "means the training mix double-counts a's content through b — the "
+    "mix-level cousin of the per-document dedup checks.  Violation "
+    "rows carry the pair and its exact set sizes.  The intersection "
+    "join is shingle-keyed (≤ n_sources matches per key — linear in "
+    "the corpus, never doc × doc) but still a whole-corpus token scan, "
+    "so on-demand like the other dedup checks.",
+    groups=("dedup", "tokens"),
+    severity="advisory",
+    tables=("sequences",),
+    on_demand=True,
+)
+def source_overlap_excess(ctx):
+    from ensembl_datacheck_spark.operators import token_dedup as TD
+
+    seq = ctx.table("sequences")
+    k = int(ctx.config.get("source_overlap_k", 8))
+    max_containment = float(ctx.config.get("max_source_containment", 0.5))
+    ov = TD.source_token_overlap(seq, "source", "tokens", k=k)
+    viol = ov.filter(F.col("containment") > max_containment).select(
+        "source_a", "source_b", "n_shingles_a", "overlap_n", "containment"
+    )
+    ctx.record(
+        A.is_rows_zero(viol, "source_containment_excess"), key_col="source_a"
+    )

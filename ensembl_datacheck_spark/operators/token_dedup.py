@@ -453,3 +453,115 @@ def token_decontaminate(
         F.col("id").alias(id_col)
     )
     return train.join(bad, id_col, "left_anti")
+
+
+def source_token_overlap(
+    df: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Pairwise source-overlap matrix: for every ORDERED pair of sources
+    (a, b), how much of a's distinct k-token shingle set also appears in
+    b — the training-mix diagnostic behind "how much of wiki is already
+    inside the web crawl" decisions (and the source-granular cousin of
+    ``token_contamination``, whose eval-vs-train direction is one row of
+    this matrix).
+
+    Returns one row per ordered source pair with ≥1 shared shingle
+    (absent pair ⇔ zero overlap; cross-join the per-source counts if a
+    dense matrix is needed):
+
+    * ``source_a``, ``source_b``     — the pair (a ≠ b);
+    * ``n_shingles_a``/``n_shingles_b`` BIGINT — distinct-shingle set
+      sizes;
+    * ``overlap_n``  BIGINT — |A ∩ B|;
+    * ``containment`` DOUBLE — overlap_n / n_shingles_a (asymmetric: the
+      fraction of a ALREADY COVERED by b);
+    * ``jaccard``     DOUBLE — overlap_n / (n_a + n_b − overlap_n).
+
+    Both fractions are single IEEE divisions of exact BIGINTs —
+    oracle-bit-exact.
+
+    Scale shape: the corpus collapses to DISTINCT (source, shingle)
+    pairs first (map-side combinable — the 10^9-occurrence hot shingle
+    crosses the shuffle once per source).  The intersection self-join is
+    keyed on the shingle, where each key matches at most n_sources rows
+    per side, so the join output is bounded by distinct_shingles ×
+    n_sources² — linear in the corpus for the dimension-bounded source
+    cardinality the input_hint guarantees (never doc × doc).  Per-source
+    set sizes are a vocab-shuffle aggregate broadcast back onto the
+    n_sources²-row pair table.
+
+    Tiers as in ``token_contamination``: native ``xxhash64`` shingle
+    keys by default; ``portable=True`` uses md5-of-joined-tokens so any
+    SQL engine reproduces the keys exactly (the oracle tier).
+    """
+    toks = F.col(tokens_col)
+    sh = (
+        df.filter(
+            toks.isNotNull()
+            & (F.size(toks) > 0)
+            & F.col(source_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(token_shingle_slices_jvm(tokens_col, k)).alias("s"),
+        )
+    )
+    key = (
+        F.md5(
+            F.array_join(
+                F.transform(F.col("s"), lambda x: x.cast("string")), "_"
+            )
+        )
+        if portable
+        else F.xxhash64("s")
+    )
+    ss = sh.select("src", key.alias("shingle")).distinct()
+    per = F.broadcast(
+        ss.groupBy("src").agg(F.count(F.lit(1)).alias("n_shingles"))
+    )
+    a = ss.select(F.col("src").alias("source_a"), "shingle")
+    b = ss.select(F.col("src").alias("source_b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("overlap_n"))
+    )
+    out = (
+        inter.join(
+            per.select(
+                F.col("src").alias("source_a"),
+                F.col("n_shingles").alias("n_shingles_a"),
+            ),
+            "source_a",
+        )
+        .join(
+            per.select(
+                F.col("src").alias("source_b"),
+                F.col("n_shingles").alias("n_shingles_b"),
+            ),
+            "source_b",
+        )
+    )
+    return out.select(
+        "source_a",
+        "source_b",
+        "n_shingles_a",
+        "n_shingles_b",
+        "overlap_n",
+        (
+            F.col("overlap_n").cast("double")
+            / F.col("n_shingles_a").cast("double")
+        ).alias("containment"),
+        (
+            F.col("overlap_n").cast("double")
+            / (
+                F.col("n_shingles_a") + F.col("n_shingles_b")
+                - F.col("overlap_n")
+            ).cast("double")
+        ).alias("jaccard"),
+    )

@@ -2212,6 +2212,69 @@ def vocab_rarity_summary_q(spark, sf_dir):
 
 
 @q(
+    "source_token_overlap_documents",
+    f"""
+    WITH docs AS (
+      SELECT source, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 400 AND source IS NOT NULL
+    ),
+    sl AS (
+      SELECT source AS src,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i:i+1])
+             ELSE [toks] END AS sh
+      FROM docs WHERE toks IS NOT NULL AND len(toks) > 0
+    ),
+    ex AS (SELECT src, unnest(sh) AS s FROM sl),
+    keys AS (
+      SELECT DISTINCT src,
+             md5(array_to_string(
+               list_transform(s, x -> CAST(x AS VARCHAR)), '_')) AS shingle
+      FROM ex
+    ),
+    per AS (SELECT src, count(*) AS n FROM keys GROUP BY src),
+    inter AS (
+      SELECT a.src AS source_a, b.src AS source_b,
+             CAST(count(*) AS BIGINT) AS overlap_n
+      FROM keys a JOIN keys b USING (shingle)
+      WHERE a.src <> b.src GROUP BY a.src, b.src
+    )
+    SELECT i.source_a, i.source_b,
+           CAST(pa.n AS BIGINT) AS n_shingles_a,
+           CAST(pb.n AS BIGINT) AS n_shingles_b,
+           i.overlap_n,
+           CAST(i.overlap_n AS DOUBLE) / CAST(pa.n AS DOUBLE)
+             AS containment,
+           CAST(i.overlap_n AS DOUBLE)
+             / CAST(pa.n + pb.n - i.overlap_n AS DOUBLE) AS jaccard
+    FROM inter i
+    JOIN per pa ON pa.src = i.source_a
+    JOIN per pb ON pb.src = i.source_b
+    """,
+)
+def source_token_overlap_documents(spark, sf_dir):
+    """Pairwise source-overlap matrix
+    (operators/token_dedup.source_token_overlap, portable md5 tier):
+    for every ordered source pair over the derived token corpus
+    (doc_id < 400), the distinct 2-token-shingle intersection with
+    exact BIGINT set sizes and single-IEEE-division containment /
+    jaccard — the training-mix diagnostic ("how much of source A is
+    already inside source B").  The self-join is keyed on the shingle
+    where each key matches ≤ n_sources rows per side, so the plan is
+    linear in the corpus — never doc × doc."""
+    from ensembl_datacheck_spark.operators import token_dedup
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(
+        (F.col("doc_id") < 400) & F.col("source").isNotNull()
+    )
+    toks = d.select("source", _derived_tokens_col().alias("tokens"))
+    return token_dedup.source_token_overlap(
+        toks, "source", "tokens", k=2, portable=True
+    )
+
+
+@q(
     "token_snapshot_diff_documents",
     f"""
     WITH docs AS (

@@ -309,3 +309,55 @@ class TestTokenContamination:
         plan = TD.token_contamination(tr, ev, k=8)._jdf.queryExecution().executedPlan().toString()
         assert "Window" not in plan
         assert "CartesianProduct" not in plan
+
+
+class TestSourceTokenOverlap:
+    @pytest.fixture(scope="class")
+    def overlap_docs(self, spark):
+        # k=2 shingle sets: A={12,23}, B={23,34}, C={99} (disjoint)
+        rows = [
+            (1, "A", [1, 2, 3]),
+            (2, "A", [2, 3]),          # duplicate 23 within A -> still 1 set entry
+            (3, "B", [2, 3, 4]),
+            (4, "C", [9, 9]),          # shingle 99, overlaps nobody
+            (5, None, [1, 2]),         # NULL source dropped
+            (6, "A", None),            # NULL tokens dropped
+            (7, "B", []),              # empty tokens dropped
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, source string, tokens array<int>"
+        ).cache()
+
+    def _as_map(self, df):
+        return {
+            (r["source_a"], r["source_b"]): (
+                r["n_shingles_a"], r["n_shingles_b"], r["overlap_n"],
+                r["containment"], r["jaccard"],
+            )
+            for r in df.collect()
+        }
+
+    def test_ordered_pairs_and_exact_fractions(self, overlap_docs):
+        got = self._as_map(TD.source_token_overlap(overlap_docs, k=2))
+        # only A<->B share a shingle (2,3); C appears in no pair
+        assert set(got) == {("A", "B"), ("B", "A")}
+        assert got[("A", "B")] == (2, 2, 1, 0.5, 1.0 / 3.0)
+        assert got[("B", "A")] == (2, 2, 1, 0.5, 1.0 / 3.0)
+
+    def test_tier_parity(self, overlap_docs):
+        fast = self._as_map(TD.source_token_overlap(overlap_docs, k=2))
+        portable = self._as_map(
+            TD.source_token_overlap(overlap_docs, k=2, portable=True)
+        )
+        assert fast == portable
+
+    def test_plan_no_cartesian_and_broadcast_counts(self, overlap_docs):
+        """The intersection join is keyed on the shingle (never a
+        cartesian doc x doc), and the per-source set sizes come back via
+        broadcast joins onto the n_sources^2 pair table."""
+        plan = (
+            TD.source_token_overlap(overlap_docs, k=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BroadcastHashJoin" in plan

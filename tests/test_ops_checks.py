@@ -551,3 +551,39 @@ def test_token_rarity_profile_short_docs_exempt(spark):
     res = _run_one(spark, "TokenRarityProfile", {"sequences": df})
     by = {a.name: a for a in res.assertions}
     assert by["rare_token_documents"].got == 0
+
+
+# --- SourceOverlapExcess ----------------------------------------------------
+
+
+def test_source_overlap_excess_clean_fixture_passes(spark, seq_fixture):
+    """Synth sources draw uniform tokens from a 50k vocab: distinct
+    8-token shingles virtually never repeat across sources, so no pair
+    approaches the containment bound."""
+    res = _run_one(
+        spark, "SourceOverlapExcess",
+        {"sequences": seq_fixture["sequences_clean"]},
+    )
+    assert res.status == Status.OK
+
+
+def test_source_overlap_excess_flags_contained_source(spark):
+    """Source 'copy' is a strict subset of source 'web': containment
+    1.0 breaches the default 0.5 bound in the copy->web direction only
+    (web is much bigger, so web->copy stays small)."""
+    web = spark.range(40).selectExpr(
+        "format_string('w_%04d', id) AS doc_id",
+        "transform(sequence(1, 20), i -> CAST(id * 100 + i AS INT)) AS tokens",
+        "20 AS n_tok", "'web' AS source",
+    )
+    copy = spark.range(4).selectExpr(
+        "format_string('c_%04d', id) AS doc_id",
+        "transform(sequence(1, 20), i -> CAST(id * 100 + i AS INT)) AS tokens",
+        "20 AS n_tok", "'copy' AS source",
+    )
+    res = _run_one(
+        spark, "SourceOverlapExcess", {"sequences": web.unionAll(copy)}
+    )
+    assert res.status == Status.FAIL
+    [a] = res.assertions
+    assert a.got == 1  # exactly the copy->web direction
