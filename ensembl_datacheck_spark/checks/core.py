@@ -1052,3 +1052,75 @@ def source_overlap_excess(ctx):
     ctx.record(
         A.is_rows_zero(viol, "source_containment_excess"), key_col="source_a"
     )
+
+
+@register(
+    "EmbeddingHygiene",
+    "Embedding-column well-formedness (operators/vectors.py): no NULL "
+    "or empty vectors, no NaN/Inf elements, no exact-zero vectors; "
+    "dimension matches config[embedding_expected_dim] when declared, "
+    "else the corpus must be dimension-CONSISTENT (exactly one distinct "
+    "dim); optional L2-norm band config[embedding_norm_band]=(lo, hi) "
+    "on squared norms folded in DOUBLE in array order.  One degenerate "
+    "vector silently poisons every downstream ANN / semantic-dedup "
+    "consumer (a NaN makes every cosine against the row NaN; a zero "
+    "vector divides by zero; a dim mismatch crashes a batched matmul "
+    "hours in at 10^12 rows) — this is the fail-fast, row-naming face "
+    "of those contracts.  The per-column null/blank sweep "
+    "(BlankNulls.pm:62-66) and per-row invariant shape "
+    "(Test/DataCheck.pm:283-365) applied to the vector payload.  The "
+    "violation scan is one shuffle-free JVM projection; the "
+    "dim-consistency probe is one count-distinct aggregate.",
+    groups=("embeddings", "completeness"),
+    tables=("embeddings",),
+)
+def embedding_hygiene(ctx):
+    from ensembl_datacheck_spark.operators import vectors as V
+
+    emb = ctx.table("embeddings")
+    expected_dim = ctx.config.get("embedding_expected_dim")
+    band = ctx.config.get("embedding_norm_band")
+    viol = V.embedding_violations(
+        emb,
+        id_col=ctx.config.get("embedding_id_col", "vec_id"),
+        vec_col=ctx.config.get("embedding_vec_col", "embedding"),
+        expected_dim=int(expected_dim) if expected_dim is not None else None,
+        norm_band=(float(band[0]), float(band[1])) if band else None,
+    )
+    counts = {
+        r["violation"]: int(r["n"])
+        for r in viol.groupBy("violation")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    kinds = [V.VEC_NULL, V.VEC_EMPTY]
+    if expected_dim is not None:
+        kinds.append(V.DIM_MISMATCH)
+    kinds += [V.HAS_NAN, V.HAS_INF, V.ZERO_VECTOR]
+    if band:
+        kinds.append(V.NORM_OUT_OF_BAND)
+    for kind in kinds:
+        got = counts.get(kind, 0)
+        ar = AssertionResult(
+            f"embedding_{kind}",
+            Status.OK if got == 0 else Status.FAIL,
+            expected=0,
+            got=got,
+        )
+        v = viol.filter(F.col("violation") == kind) if got else None
+        ctx.record((ar, v), key_col="id")
+    if expected_dim is None:
+        # undeclared dim: the corpus itself must agree on ONE — the
+        # profile's n_dims face, probed as a single aggregate
+        vec = F.col(ctx.config.get("embedding_vec_col", "embedding"))
+        n_dims = emb.filter(vec.isNotNull() & (F.size(vec) > 0)).agg(
+            F.count_distinct(F.size(vec)).alias("n")
+        ).collect()[0]["n"]
+        ctx.result.assertions.append(
+            AssertionResult(
+                "embedding_dim_consistent",
+                Status.OK if n_dims <= 1 else Status.FAIL,
+                expected="<= 1 distinct dim",
+                got=int(n_dims),
+            )
+        )

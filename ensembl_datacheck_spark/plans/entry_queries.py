@@ -3485,3 +3485,162 @@ def windowed_event_counts_batch(spark, sf_dir):
             "n",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding-column hygiene (operators/vectors.py)
+# ---------------------------------------------------------------------------
+
+# In-query perturbation of the (clean) embeddings table so the hygiene
+# rules have real rows to flag — same hash-predicate fixture idea as the
+# snapshot-diff query.  Each vec_id%53 residue plants one defect class;
+# every planted array is built with IDENTICAL IEEE float ops on both
+# engines (slice / append-literal / elementwise float multiply), so the
+# downstream classification matches bit-for-bit.
+_PERTURBED_EMBEDDINGS_SQL = """
+    pert AS (
+      SELECT vec_id,
+             CASE
+               WHEN vec_id % 53 = 1 THEN NULL
+               WHEN vec_id % 53 = 2 THEN CAST([] AS FLOAT[])
+               WHEN vec_id % 53 = 3 THEN embedding[1:10]
+               WHEN vec_id % 53 = 4 THEN
+                 list_append(embedding[1:63], CAST('nan' AS FLOAT))
+               WHEN vec_id % 53 = 5 THEN
+                 list_append(embedding[1:63], CAST('inf' AS FLOAT))
+               WHEN vec_id % 53 = 6 THEN
+                 list_transform(embedding, x -> CAST(0.0 AS FLOAT))
+               WHEN vec_id % 53 = 7 THEN
+                 list_transform(embedding, x -> x * CAST(3.0 AS FLOAT))
+               ELSE embedding
+             END AS v
+      FROM embeddings
+    )
+"""
+
+
+def _perturbed_embeddings(spark, sf_dir):
+    emb = _t(spark, sf_dir)["embeddings"]
+    vec = F.col("embedding")
+    mod = F.pmod(F.col("vec_id"), F.lit(53))
+    nan = F.lit(float("nan")).cast("float")
+    inf = F.lit(float("inf")).cast("float")
+    v = (
+        F.when(mod == 1, F.lit(None).cast("array<float>"))
+        .when(mod == 2, F.array().cast("array<float>"))
+        .when(mod == 3, F.slice(vec, 1, 10))
+        .when(mod == 4, F.concat(F.slice(vec, 1, 63), F.array(nan)))
+        .when(mod == 5, F.concat(F.slice(vec, 1, 63), F.array(inf)))
+        .when(mod == 6, F.transform(vec, lambda x: F.lit(0.0).cast("float")))
+        .when(mod == 7, F.transform(vec, lambda x: x * F.lit(3.0).cast("float")))
+        .otherwise(vec)
+    )
+    return emb.select("vec_id", v.alias("v"))
+
+
+@q(
+    "embedding_hygiene_violations",
+    f"""
+    WITH {_PERTURBED_EMBEDDINGS_SQL},
+    flags AS (
+      SELECT vec_id AS id, v,
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE CAST(len(v) AS BIGINT) END AS dim,
+             v IS NOT NULL
+               AND len(list_filter(v, x -> isnan(x))) > 0 AS f_nan,
+             v IS NOT NULL
+               AND len(list_filter(v, x -> isinf(x))) > 0 AS f_inf
+      FROM pert
+    ),
+    banded AS (
+      SELECT *,
+             CASE WHEN v IS NOT NULL AND dim > 0
+                       AND NOT f_nan AND NOT f_inf
+                  THEN list_sum(list_transform(
+                         v, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))
+                  END AS sq
+      FROM flags
+    )
+    SELECT id, 'vec_null' AS violation, dim FROM banded WHERE v IS NULL
+    UNION ALL
+    SELECT id, 'vec_empty', dim FROM banded WHERE v IS NOT NULL AND dim = 0
+    UNION ALL
+    SELECT id, 'dim_mismatch', dim FROM banded
+    WHERE v IS NOT NULL AND dim > 0 AND dim <> 64
+    UNION ALL
+    SELECT id, 'has_nan', dim FROM banded WHERE f_nan
+    UNION ALL
+    SELECT id, 'has_inf', dim FROM banded WHERE f_inf
+    UNION ALL
+    SELECT id, 'zero_vector', dim FROM banded
+    WHERE v IS NOT NULL AND dim > 0 AND NOT f_nan AND NOT f_inf
+      AND len(list_filter(v, x -> x <> CAST(0.0 AS FLOAT))) = 0
+    UNION ALL
+    SELECT id, 'norm_out_of_band', dim FROM banded
+    WHERE sq IS NOT NULL AND (sq < 0.9 * 0.9 OR sq > 1.1 * 1.1)
+    """,
+)
+def embedding_hygiene_violations_q(spark, sf_dir):
+    """Per-row embedding hygiene (vectors.embedding_violations) over the
+    residue-perturbed embeddings table: NULL / empty / dim≠64 /
+    NaN / Inf / exact-zero vectors, plus unit-norm band (0.9, 1.1) on
+    squared norms folded in DOUBLE in array order.  One shuffle-free
+    projection + filter over the scan; output is violation-sized."""
+    from ensembl_datacheck_spark.operators import vectors as V
+
+    return V.embedding_violations(
+        _perturbed_embeddings(spark, sf_dir),
+        id_col="vec_id",
+        vec_col="v",
+        expected_dim=64,
+        norm_band=(0.9, 1.1),
+    )
+
+
+@q(
+    "embedding_hygiene_profile",
+    f"""
+    WITH {_PERTURBED_EMBEDDINGS_SQL},
+    rows_ AS (
+      SELECT vec_id, v,
+             CASE WHEN v IS NULL THEN NULL
+                  ELSE CAST(len(v) AS BIGINT) END AS dim,
+             v IS NOT NULL
+               AND len(list_filter(v, x -> isnan(x))) > 0 AS f_nan,
+             v IS NOT NULL
+               AND len(list_filter(v, x -> isinf(x))) > 0 AS f_inf
+      FROM pert
+    ),
+    modal AS (
+      SELECT dim AS modal_dim, CAST(count(*) AS BIGINT) AS modal_dim_rows
+      FROM rows_ WHERE v IS NOT NULL AND dim > 0
+      GROUP BY dim ORDER BY count(*) DESC, dim ASC LIMIT 1
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_null,
+           CAST(sum(CASE WHEN v IS NOT NULL AND dim = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_empty,
+           CAST(sum(CASE WHEN f_nan THEN 1 ELSE 0 END) AS BIGINT) AS n_nan,
+           CAST(sum(CASE WHEN f_inf THEN 1 ELSE 0 END) AS BIGINT) AS n_inf,
+           CAST(sum(CASE WHEN v IS NOT NULL AND dim > 0
+                              AND NOT f_nan AND NOT f_inf
+                              AND len(list_filter(
+                                    v, x -> x <> CAST(0.0 AS FLOAT))) = 0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_vec,
+           CAST(count(DISTINCT CASE WHEN v IS NOT NULL AND dim > 0
+                                    THEN dim END) AS BIGINT) AS n_dims,
+           (SELECT modal_dim FROM modal) AS modal_dim,
+           (SELECT modal_dim_rows FROM modal) AS modal_dim_rows
+    FROM rows_
+    """,
+)
+def embedding_hygiene_profile_q(spark, sf_dir):
+    """One-row corpus profile (vectors.embedding_profile) of the same
+    perturbed embeddings: presence / degenerate-payload counts, distinct
+    dimensionalities, and the modal dimension (ties to the smallest dim)
+    — all BIGINT, one table read through a groupBy(dim) partial
+    aggregate."""
+    from ensembl_datacheck_spark.operators import vectors as V
+
+    return V.embedding_profile(_perturbed_embeddings(spark, sf_dir), "v")

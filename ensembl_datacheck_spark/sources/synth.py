@@ -180,6 +180,75 @@ def expected_violation_counts(n_rows: int) -> dict[str, int]:
     }
 
 
+# residues mod 10_000 carrying injected embedding defects (one per
+# vectors.py hygiene rule; 2 rows per 10k each)
+EMB_NULL_RESIDUES = (61, 5061)
+EMB_EMPTY_RESIDUES = (63, 5063)
+EMB_DIM_RESIDUES = (71, 5071)      # vector truncated to dim // 2
+EMB_NAN_RESIDUES = (73, 5073)      # first element -> NaN
+EMB_INF_RESIDUES = (81, 5081)      # first element -> +Inf
+EMB_ZERO_RESIDUES = (83, 5083)     # all elements -> 0.0
+
+
+def gen_embeddings(
+    spark: SparkSession,
+    n_rows: int,
+    dim: int = 64,
+    n_partitions: int = 8,
+    seed: int = 42,
+    inject_violations: bool = True,
+) -> DataFrame:
+    """The `embeddings` companion table: (vec_id long, embedding
+    array<float>, label int) — unit-normalized hash-derived vectors, the
+    input shape of the ANN / semantic-dedup operators
+    (operators/similarity.py) and of the EmbeddingHygiene check.
+
+    Same golden-fixture strategy as ``gen_sequences``: every element is
+    a pure function of the row id through xxhash64 (fully distributed,
+    reproducible at any scale), with one defect class per residue so
+    EmbeddingHygiene has exact expected verdicts.
+    """
+    df = spark.range(0, n_rows, 1, n_partitions)
+    mod = F.pmod(F.col("id"), F.lit(10_000))
+
+    raw = F.transform(
+        F.sequence(F.lit(1), F.lit(dim)),
+        lambda j: (
+            F.pmod(F.xxhash64(F.col("id"), j, F.lit(seed + 7)),
+                   F.lit(1 << 40)).cast("double") / float(1 << 40)
+            - F.lit(0.5)
+        ),
+    )
+    sq = F.aggregate(raw, F.lit(0.0), lambda acc, x: acc + x * x)
+    emb = F.transform(raw, lambda x: (x / F.sqrt(sq)).cast("float"))
+    label = F.pmod(F.xxhash64(F.col("id"), F.lit(seed + 8)), F.lit(10)).cast(
+        "int"
+    )
+    out = df.withColumn("embedding", emb).withColumn("label", label)
+
+    if inject_violations:
+        nan = F.lit(float("nan")).cast("float")
+        inf = F.lit(float("inf")).cast("float")
+        vec = F.col("embedding")
+        out = out.withColumn(
+            "embedding",
+            F.when(mod.isin(*EMB_NULL_RESIDUES),
+                   F.lit(None).cast("array<float>"))
+            .when(mod.isin(*EMB_EMPTY_RESIDUES),
+                  F.array().cast("array<float>"))
+            .when(mod.isin(*EMB_DIM_RESIDUES), F.slice(vec, 1, dim // 2))
+            .when(mod.isin(*EMB_NAN_RESIDUES),
+                  F.concat(F.array(nan), F.slice(vec, 2, dim)))
+            .when(mod.isin(*EMB_INF_RESIDUES),
+                  F.concat(F.array(inf), F.slice(vec, 2, dim)))
+            .when(mod.isin(*EMB_ZERO_RESIDUES),
+                  F.transform(vec, lambda x: F.lit(0.0).cast("float")))
+            .otherwise(vec),
+        )
+
+    return out.select(F.col("id").alias("vec_id"), "embedding", "label")
+
+
 def gen_sources(spark: SparkSession) -> DataFrame:
     """The `sources` dimension (FIXTURES.md §2): ~20 rows, PK `source`,
     expected weight share (used by drift checks), active flag (inactive

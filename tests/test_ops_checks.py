@@ -587,3 +587,51 @@ def test_source_overlap_excess_flags_contained_source(spark):
     assert res.status == Status.FAIL
     [a] = res.assertions
     assert a.got == 1  # exactly the copy->web direction
+
+
+# --- EmbeddingHygiene -------------------------------------------------------
+
+
+def test_embedding_hygiene_clean_passes_with_dim_consistency(spark):
+    from ensembl_datacheck_spark.sources import synth
+
+    emb = synth.gen_embeddings(spark, 2_000, inject_violations=False)
+    res = _run_one(spark, "EmbeddingHygiene", {"embeddings": emb})
+    assert res.status == Status.OK
+    by = {a.name: a for a in res.assertions}
+    # undeclared dim -> the consistency probe runs and sees exactly one
+    assert by["embedding_dim_consistent"].got == 1
+    assert "embedding_dim_mismatch" not in by
+    assert "embedding_norm_out_of_band" not in by
+
+
+def test_embedding_hygiene_flags_each_residue_class(spark):
+    from ensembl_datacheck_spark.sources import synth
+
+    emb = synth.gen_embeddings(spark, 10_000, inject_violations=True)
+    res = _run_one(
+        spark, "EmbeddingHygiene", {"embeddings": emb},
+        config={"embedding_expected_dim": 64,
+                "embedding_norm_band": (0.9, 1.1)},
+    )
+    assert res.status == Status.FAIL
+    by = {a.name: a.got for a in res.assertions}
+    assert by == {
+        "embedding_vec_null": 2,
+        "embedding_vec_empty": 2,
+        "embedding_dim_mismatch": 2,
+        "embedding_has_nan": 2,
+        "embedding_has_inf": 2,
+        "embedding_zero_vector": 2,
+        # dim-truncated vectors (sq ~ 0.5) + zero vectors (sq = 0)
+        "embedding_norm_out_of_band": 4,
+    }
+    assert res.n_violations == 16
+
+
+def test_embedding_hygiene_skips_without_table(spark, seq_fixture):
+    res = _run_one(
+        spark, "EmbeddingHygiene", {"sequences": seq_fixture["sequences"]}
+    )
+    assert res.status == Status.SKIP
+    assert "embeddings" in (res.skip_reason or "")
