@@ -1124,3 +1124,44 @@ def embedding_hygiene(ctx):
                 got=int(n_dims),
             )
         )
+
+
+@register(
+    "TokenBoilerplateExcess",
+    "No document is mostly boilerplate: over per-document shingle "
+    "novelty scores (operators/token_dedup.shingle_novelty, distinct "
+    "config[novelty_k]-token shingles, default 8), every document with "
+    "at least config[novelty_min_shingles] shingles (default 20) keeps "
+    "its boilerplate fraction — the share of its shingles appearing in "
+    "≥ config[novelty_common_df] documents (default 10) — at or under "
+    "config[max_boilerplate] (default 0.9).  A breaching document is "
+    "template/navigation text that near-dup banding may miss (its "
+    "shingles are shared with MANY documents, not one near-twin) — the "
+    "df-based curation signal, per-row-diagnostic shape of "
+    "Test/DataCheck.pm:283-365.  Whole-corpus token scan (distinct "
+    "pairs → df count → shingle-keyed join, linear, never doc × doc), "
+    "so on-demand like the other dedup checks.",
+    groups=("dedup", "tokens", "quality"),
+    severity="advisory",
+    tables=("sequences",),
+    on_demand=True,
+)
+def token_boilerplate_excess(ctx):
+    from ensembl_datacheck_spark.operators import token_dedup as TD
+
+    seq = ctx.table("sequences")
+    scores = TD.shingle_novelty(
+        seq,
+        "doc_id",
+        "tokens",
+        k=int(ctx.config.get("novelty_k", 8)),
+        common_df=int(ctx.config.get("novelty_common_df", 10)),
+    )
+    min_sh = int(ctx.config.get("novelty_min_shingles", 20))
+    max_bp = float(ctx.config.get("max_boilerplate", 0.9))
+    viol = scores.filter(
+        (F.col("n_shingles") >= min_sh) & (F.col("boilerplate") > max_bp)
+    ).select("doc_id", "n_shingles", "common_n", "max_df", "boilerplate")
+    ctx.record(
+        A.is_rows_zero(viol, "boilerplate_documents"), key_col="doc_id"
+    )

@@ -565,3 +565,99 @@ def source_token_overlap(
             ).cast("double")
         ).alias("jaccard"),
     )
+
+
+def shingle_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    k: int = 8,
+    common_df: int = 10,
+    portable: bool = False,
+) -> DataFrame:
+    """Per-document novelty / boilerplate scores from corpus shingle
+    document-frequency — the df-based curation signal behind "this page
+    is mostly template" decisions (the within-corpus complement of
+    ``token_contamination``'s cross-set containment, and the
+    doc-granular complement of ``source_token_overlap``).
+
+    For each document's DISTINCT k-token shingle set (short docs yield
+    one whole-array shingle, matching ``token_shingle_slices_jvm``):
+
+    * ``n_shingles`` BIGINT — distinct shingles in the doc;
+    * ``novel_n``    BIGINT — shingles whose corpus document-frequency
+      is exactly 1 (no other document contains them);
+    * ``common_n``   BIGINT — shingles with df ≥ ``common_df``
+      (boilerplate mass);
+    * ``max_df``     BIGINT — df of the doc's most-shared shingle;
+    * ``novelty``     DOUBLE — novel_n / n_shingles;
+    * ``boilerplate`` DOUBLE — common_n / n_shingles.
+
+    Both fractions are single IEEE divisions of exact BIGINTs —
+    oracle-bit-exact.  Rows with NULL id or NULL/empty tokens are
+    excluded (id-format / completeness checks own those; a NULL id
+    would otherwise merge unrelated rows into one phantom document).
+
+    Scale shape: the corpus collapses to DISTINCT (doc, shingle) pairs
+    (map-side combinable), df is one count over those pairs grouped by
+    shingle (bounded by distinct shingles, not occurrences), and the
+    join back onto the pairs is shingle-keyed with exactly ONE df row
+    per key — linear in the distinct-pair count, never doc × doc.  The
+    final per-doc aggregation partially combines map-side after the
+    join's shuffle.  A 10^9-occurrence hot shingle crosses the shuffle
+    once per containing doc (already deduped within doc) and its df row
+    broadcasts through the join as one row — no skew amplification.
+
+    Tiers as elsewhere in this module: native ``xxhash64`` shingle keys
+    by default; ``portable=True`` md5-of-joined-tokens so any SQL
+    engine reproduces the keys (the oracle tier).
+    """
+    toks = F.col(tokens_col)
+    sh = (
+        df.filter(
+            toks.isNotNull() & (F.size(toks) > 0) & F.col(id_col).isNotNull()
+        )
+        .select(
+            F.col(id_col).alias("id"),
+            F.explode(token_shingle_slices_jvm(tokens_col, k)).alias("s"),
+        )
+    )
+    key = (
+        F.md5(
+            F.array_join(
+                F.transform(F.col("s"), lambda x: x.cast("string")), "_"
+            )
+        )
+        if portable
+        else F.xxhash64("s")
+    )
+    pairs = sh.select("id", key.alias("shingle")).distinct()
+    df_tab = pairs.groupBy("shingle").agg(
+        F.count(F.lit(1)).alias("__df")
+    )
+    joined = pairs.join(df_tab, "shingle")
+    agg = joined.groupBy("id").agg(
+        F.count(F.lit(1)).alias("n_shingles"),
+        F.sum(F.when(F.col("__df") == 1, 1).otherwise(0))
+        .cast("long")
+        .alias("novel_n"),
+        F.sum(F.when(F.col("__df") >= int(common_df), 1).otherwise(0))
+        .cast("long")
+        .alias("common_n"),
+        F.max("__df").cast("long").alias("max_df"),
+    )
+    return agg.select(
+        F.col("id").alias(id_col),
+        "n_shingles",
+        "novel_n",
+        "common_n",
+        "max_df",
+        (
+            F.col("novel_n").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("novelty"),
+        (
+            F.col("common_n").cast("double")
+            / F.col("n_shingles").cast("double")
+        ).alias("boilerplate"),
+    )

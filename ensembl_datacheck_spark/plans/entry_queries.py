@@ -3644,3 +3644,65 @@ def embedding_hygiene_profile_q(spark, sf_dir):
     from ensembl_datacheck_spark.operators import vectors as V
 
     return V.embedding_profile(_perturbed_embeddings(spark, sf_dir), "v")
+
+
+@q(
+    "shingle_novelty_documents",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    sl AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= 2 THEN
+               list_transform(range(1, len(toks)), i -> toks[i:i+1])
+             ELSE [toks] END AS sh
+      FROM docs
+      WHERE toks IS NOT NULL AND len(toks) > 0 AND doc_id IS NOT NULL
+    ),
+    ex AS (SELECT doc_id, unnest(sh) AS s FROM sl),
+    keys AS (
+      SELECT DISTINCT doc_id,
+             md5(array_to_string(
+               list_transform(s, x -> CAST(x AS VARCHAR)), '_')) AS shingle
+      FROM ex
+    ),
+    dfc AS (
+      SELECT shingle, CAST(count(*) AS BIGINT) AS dfn
+      FROM keys GROUP BY shingle
+    ),
+    agg AS (
+      SELECT doc_id,
+             CAST(count(*) AS BIGINT) AS n_shingles,
+             CAST(sum(CASE WHEN dfn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS novel_n,
+             CAST(sum(CASE WHEN dfn >= 3 THEN 1 ELSE 0 END) AS BIGINT)
+               AS common_n,
+             max(dfn) AS max_df
+      FROM keys JOIN dfc USING (shingle) GROUP BY doc_id
+    )
+    SELECT doc_id, n_shingles, novel_n, common_n, max_df,
+           CAST(novel_n AS DOUBLE) / CAST(n_shingles AS DOUBLE) AS novelty,
+           CAST(common_n AS DOUBLE) / CAST(n_shingles AS DOUBLE)
+             AS boilerplate
+    FROM agg
+    """,
+)
+def shingle_novelty_documents(spark, sf_dir):
+    """Per-document novelty / boilerplate from corpus shingle
+    document-frequency (token_dedup.shingle_novelty, portable md5 tier):
+    over the derived token corpus (doc_id < 400), each doc's distinct
+    2-token shingles scored by how many documents share them — df=1
+    shingles are novel, df≥3 boilerplate.  Distinct (doc, shingle)
+    pairs → one df count bounded by distinct shingles → one
+    shingle-keyed join (exactly one df row per key) → per-doc
+    aggregation; fractions are single IEEE divisions of exact BIGINTs."""
+    from ensembl_datacheck_spark.operators import token_dedup
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 400)
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    return token_dedup.shingle_novelty(
+        toks, "doc_id", "tokens", k=2, common_df=3, portable=True
+    )

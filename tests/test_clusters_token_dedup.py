@@ -361,3 +361,66 @@ class TestSourceTokenOverlap:
         )
         assert "CartesianProduct" not in plan
         assert "BroadcastHashJoin" in plan
+
+
+class TestShingleNovelty:
+    @pytest.fixture(scope="class")
+    def novelty_docs(self, spark):
+        # k=2: doc1 {12,23}, doc2 {23,34}, doc3 {23}, doc4 short {9}
+        rows = [
+            (1, [1, 2, 3]),
+            (2, [2, 3, 4]),
+            (3, [2, 3]),
+            (4, [9]),
+            (5, None),          # NULL tokens dropped
+            (None, [1, 2]),     # NULL id dropped (no phantom doc)
+        ]
+        return spark.createDataFrame(
+            rows, "doc_id long, tokens array<int>"
+        ).cache()
+
+    def _as_map(self, df):
+        return {
+            r["doc_id"]: (
+                r["n_shingles"], r["novel_n"], r["common_n"], r["max_df"],
+                r["novelty"], r["boilerplate"],
+            )
+            for r in df.collect()
+        }
+
+    def test_exact_scores(self, novelty_docs):
+        got = self._as_map(
+            TD.shingle_novelty(novelty_docs, k=2, common_df=3)
+        )
+        # df(23)=3 (docs 1,2,3); 12/34/9 are df=1
+        assert got == {
+            1: (2, 1, 1, 3, 0.5, 0.5),
+            2: (2, 1, 1, 3, 0.5, 0.5),
+            3: (1, 0, 1, 3, 0.0, 1.0),
+            4: (1, 1, 0, 1, 1.0, 0.0),
+        }
+
+    def test_tier_parity(self, novelty_docs):
+        fast = self._as_map(TD.shingle_novelty(novelty_docs, k=2, common_df=3))
+        portable = self._as_map(
+            TD.shingle_novelty(novelty_docs, k=2, common_df=3, portable=True)
+        )
+        assert fast == portable
+
+    def test_duplicate_shingles_within_doc_count_once(self, spark):
+        df = spark.createDataFrame(
+            [(1, [7, 7, 7, 7])], "doc_id long, tokens array<int>"
+        )
+        [(n, novel)] = [
+            (r["n_shingles"], r["novel_n"])
+            for r in TD.shingle_novelty(df, k=2).collect()
+        ]
+        assert n == 1 and novel == 1
+
+    def test_plan_no_cartesian(self, novelty_docs):
+        plan = (
+            TD.shingle_novelty(novelty_docs, k=2)
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "CartesianProduct" not in plan
+        assert "BatchEvalPython" not in plan

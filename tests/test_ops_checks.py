@@ -635,3 +635,42 @@ def test_embedding_hygiene_skips_without_table(spark, seq_fixture):
     )
     assert res.status == Status.SKIP
     assert "embeddings" in (res.skip_reason or "")
+
+
+# --- TokenBoilerplateExcess -------------------------------------------------
+
+
+def test_token_boilerplate_clean_fixture_passes(spark, seq_fixture):
+    """Uniform-random 8-token shingles over a 50k vocab never repeat
+    across documents, so every doc is pure novelty."""
+    res = _run_one(
+        spark, "TokenBoilerplateExcess",
+        {"sequences": seq_fixture["sequences_clean"]},
+    )
+    assert res.status == Status.OK
+
+
+def test_token_boilerplate_flags_template_docs(spark):
+    """12 documents share one identical 40-token body (each with a
+    unique 1-token prefix): every shared shingle has df=12 >= 10, so the
+    boilerplate fraction breaches 0.9 for all 12; the 30 unique docs
+    stay clean."""
+    template = spark.range(12).selectExpr(
+        "format_string('t_%04d', id) AS doc_id",
+        "concat(array(CAST(id + 1000000 AS INT)), "
+        " transform(sequence(1, 40), i -> CAST(i AS INT))) AS tokens",
+        "41 AS n_tok", "'web' AS source",
+    )
+    unique = spark.range(30).selectExpr(
+        "format_string('u_%04d', id) AS doc_id",
+        "transform(sequence(1, 40), i -> CAST((id + 1) * 1000 + i AS INT))"
+        " AS tokens",
+        "40 AS n_tok", "'web' AS source",
+    )
+    res = _run_one(
+        spark, "TokenBoilerplateExcess",
+        {"sequences": template.unionAll(unique)},
+    )
+    assert res.status == Status.FAIL
+    [a] = res.assertions
+    assert a.got == 12
