@@ -65,18 +65,35 @@ def entry(spark: SparkSession) -> DataFrame:
 # contamination_eval_vs_train, whose word-shingle shape it strictly
 # generalizes (same distinct-train-set → single-left-join plan; the
 # text twin stays oracle-green in tests/test_oracle_parity.py).
+# Final round-5 rotation: the five operators added at the very end of
+# the round — token_rarity_documents (broadcast doc-frequency vocab +
+# log-rarity scoring), source_token_overlap_documents (pairwise source
+# containment matrix), embedding_hygiene_violations (per-row vector
+# invariants: NaN/Inf/zero-norm/dim), shingle_novelty_documents
+# (shingle-DF novelty/boilerplate), source_unigram_divergence_documents
+# (per-source exact-L1 vs the corpus mix) — replace five entries whose
+# shape a remaining window row still proves: langid_documents (langid
+# core is the grouping key of quality_features_by_lang),
+# orders_from_automobile_segment (S10 semi-join shape ⊂
+# token_contamination's distinct-set semi/left join),
+# subtotals_returnflag (agg-compare ⊂ priority_drift_halves, which the
+# round-4 verdict itself cites for row_subtotals),
+# pivot_returnflag_by_status (reshape kin of cube_lineitem_counts),
+# ann_lsh_topk (hyperplane-bucket shape ⊂ embedding_near_duplicates'
+# LSH bucketing + ann_ivf_topk's bucketed top-k).  All five displaced
+# queries remain oracle-green in tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     "fk_lineitem_orders",
     "uniqueness_orders",
     "has_data_documents",
-    "subtotals_returnflag",
+    "embedding_hygiene_violations",
     "column_stats_lineitem",
     "count_distinct_parts_by_flag",
     "tpch_q1",
     "tpch_q3_top10",
     "revenue_by_nation",
     "parts_never_shipped",
-    "orders_from_automobile_segment",
+    "source_token_overlap_documents",
     "key_diff_customer_orders",
     "union_part_screens",
     "linenumber_integrity",
@@ -93,14 +110,14 @@ DRIVER_WINDOW = [
     "upsample_sources_documents",
     "cube_lineitem_counts",
     "id_prefix_conformance",
-    "pivot_returnflag_by_status",
+    "shingle_novelty_documents",
     "simhash_near_duplicates",
     "ann_bruteforce_topk",
-    "ann_lsh_topk",
+    "source_unigram_divergence_documents",
     "ann_ivf_topk",
     "embedding_near_duplicates",
     "multimodal_image_features",
-    "langid_documents",
+    "token_rarity_documents",
     "dedup_clusters_exact",
     "token_unigram_drift_halves",
     "token_snapshot_diff_documents",

@@ -1165,3 +1165,36 @@ def token_boilerplate_excess(ctx):
     ctx.record(
         A.is_rows_zero(viol, "boilerplate_documents"), key_col="doc_id"
     )
+
+
+@register(
+    "SourceUnigramDivergence",
+    "No source's token distribution strays too far from the corpus "
+    "mix: per-source exact L1 divergence vs the whole corpus "
+    "(operators/drift.source_unigram_divergence — DECIMAL(38,0) "
+    "integer sums, one IEEE division) stays at or under "
+    "config[max_source_l1] (default 1.8, on the [0, 2] L1 scale) for "
+    "every source with at least config[divergence_min_tokens] tokens "
+    "(default 1000).  A breaching source is a different LANGUAGE or "
+    "MODALITY of content than the rest of the mix (near-2.0 means "
+    "almost disjoint vocabulary) — the mix-composition cousin of "
+    "SourceDrift, which compares row counts against a baseline while "
+    "this compares content against the mix itself, no baseline "
+    "needed.  Whole-corpus token scan (one explode-aggregate; "
+    "downstream bounded by vocab x n_sources), so on-demand like the "
+    "other token-payload sweeps.",
+    groups=("drift", "tokens", "sources"),
+    severity="advisory",
+    tables=("sequences",),
+    on_demand=True,
+)
+def source_unigram_divergence_check(ctx):
+    div = D.source_unigram_divergence(ctx.table("sequences"))
+    min_tok = int(ctx.config.get("divergence_min_tokens", 1000))
+    max_l1 = float(ctx.config.get("max_source_l1", 1.8))
+    viol = div.filter(
+        (F.col("n_tok_source") >= min_tok) & (F.col("l1") > max_l1)
+    ).select("source", "n_tok_source", "vocab_source", "covered_mass", "l1")
+    ctx.record(
+        A.is_rows_zero(viol, "source_divergence_excess"), key_col="source"
+    )

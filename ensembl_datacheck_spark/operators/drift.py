@@ -435,3 +435,104 @@ def quantile_drift_violations(
         *on, "base_value", "cur_value",
         (F.col("cur_value") - F.col("base_value")).alias("delta"),
     )
+
+
+def source_unigram_divergence(
+    df: DataFrame,
+    source_col: str = "source",
+    tokens_col: str = "tokens",
+) -> DataFrame:
+    """Per-source unigram divergence from the whole-corpus mix: for each
+    source, the exact L1 distance between its token distribution and the
+    corpus's — the mix-level drift diagnostic ("which source is pulling
+    the training distribution", the per-source face of TokenUnigramDrift
+    the way SourceOverlapExcess is the per-source face of the dedup
+    family).
+
+    One row per source:
+
+    * ``n_tok_source``  BIGINT — tokens in the source (T_s);
+    * ``vocab_source``  BIGINT — distinct tokens in the source;
+    * ``covered_mass``  DOUBLE — share of the CORPUS token mass carried
+      by tokens the source uses at all (Σ_{t∈s} c_g(t) / T_g);
+    * ``l1``            DOUBLE — Σ_t |p_s(t) − p_g(t)| over the full
+      vocabulary (tokens absent from the source contribute their whole
+      corpus share), in [0, 2];
+    * ``tv``            DOUBLE — total variation = l1 / 2 (an exact
+      halving, so still one effective rounding).
+
+    Exactness: every sum is over exact integers in DECIMAL(38,0) —
+    Σ_{t∈s} |c_s(t)·T_g − c_g(t)·T_s| plus the absent-token term
+    (T_g − Σ_{t∈s} c_g(t))·T_s — then ONE conversion of numerator and
+    denominator to DOUBLE and ONE IEEE division, so any engine that
+    sums exact integers (DuckDB's HUGEINT) reproduces the doubles
+    bit-for-bit regardless of summation order.  BIGINT would overflow
+    at Σ ≈ 2·T_s·T_g (a few 10^9 tokens); DECIMAL(38,0) holds to
+    T_s·T_g < 10^37 — beyond any physical corpus.
+
+    Scale shape: the corpus collapses to (source, token) counts
+    (map-side combinable explode — the only corpus-sized stage), and
+    every downstream aggregate (global histogram, per-source totals,
+    corpus total) re-derives from that SAME count subtree, so AQE's
+    exchange reuse executes the corpus explode+shuffle once and the
+    other consumers read its shuffle output (plan-pinned in
+    tests/test_pipeline_ops.py).  Everything after is bounded by
+    vocab × n_sources: totals are broadcast-sized dimensions joined
+    back, and the divergence is one groupBy(source) over the
+    vocab-sized join.  NULL sources/tokens and empty arrays are
+    excluded with the same hygiene as ``unigram_profile``.
+    """
+    DEC = "decimal(38,0)"
+    tok = (
+        df.filter(
+            F.col(tokens_col).isNotNull()
+            & (F.size(tokens_col) > 0)
+            & F.col(source_col).isNotNull()
+        )
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(tokens_col).alias("token"),
+        )
+        .filter(F.col("token").isNotNull() & (F.col("token") >= 0))
+    )
+    per = tok.groupBy("src", "token").agg(F.count(F.lit(1)).alias("c_s"))
+    glob = per.groupBy("token").agg(F.sum("c_s").alias("c_g"))
+    ts = per.groupBy("src").agg(F.sum("c_s").cast(DEC).alias("t_s"))
+    tg = glob.agg(F.sum("c_g").cast(DEC).alias("t_g"))
+
+    # Each (src, token) row of ``per`` appears exactly once in the join
+    # (glob is unique per token, ts per src, tg a single row), so
+    # vocab_source folds into the same aggregate — no extra subtree.
+    j = (
+        per.join(glob, "token")
+        .join(F.broadcast(ts), "src")
+        .crossJoin(F.broadcast(tg))
+    )
+    num = j.groupBy("src").agg(
+        F.sum(
+            F.abs(
+                F.col("c_s").cast(DEC) * F.col("t_g")
+                - F.col("c_g").cast(DEC) * F.col("t_s")
+            )
+        ).alias("__present_num"),
+        F.sum(F.col("c_g").cast(DEC)).alias("__cov_g"),
+        F.count(F.lit(1)).cast("long").alias("vocab_source"),
+        F.first("t_s").alias("t_s"),
+        F.first("t_g").alias("t_g"),
+    )
+    l1_num = (
+        F.col("__present_num")
+        + (F.col("t_g") - F.col("__cov_g")) * F.col("t_s")
+    ).cast("double")
+    denom = (F.col("t_s") * F.col("t_g")).cast("double")
+    out = num.select(
+        F.col("src").alias(source_col),
+        F.col("t_s").cast("long").alias("n_tok_source"),
+        "vocab_source",
+        (F.col("__cov_g").cast("double") / F.col("t_g").cast("double")).alias(
+            "covered_mass"
+        ),
+        (l1_num / denom).alias("l1"),
+        (l1_num / denom / F.lit(2.0)).alias("tv"),
+    )
+    return out

@@ -3706,3 +3706,66 @@ def shingle_novelty_documents(spark, sf_dir):
     return token_dedup.shingle_novelty(
         toks, "doc_id", "tokens", k=2, common_df=3, portable=True
     )
+
+
+@q(
+    "source_unigram_divergence_documents",
+    f"""
+    WITH docs AS (
+      SELECT source, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 400 AND source IS NOT NULL
+    ),
+    tok AS (
+      SELECT source AS src, unnest(toks) AS token
+      FROM docs WHERE toks IS NOT NULL AND len(toks) > 0
+    ),
+    per AS (
+      SELECT src, token, CAST(count(*) AS BIGINT) AS c_s
+      FROM tok WHERE token IS NOT NULL AND token >= 0
+      GROUP BY src, token
+    ),
+    gl AS (
+      SELECT token, CAST(sum(c_s) AS BIGINT) AS c_g FROM per GROUP BY token
+    ),
+    ts AS (
+      SELECT src, CAST(sum(c_s) AS HUGEINT) AS t_s,
+             CAST(count(*) AS BIGINT) AS vocab_source
+      FROM per GROUP BY src
+    ),
+    tg AS (SELECT CAST(sum(c_g) AS HUGEINT) AS t_g FROM gl),
+    num AS (
+      SELECT src,
+             sum(abs(CAST(c_s AS HUGEINT) * t_g
+                     - CAST(c_g AS HUGEINT) * t_s)) AS present_num,
+             sum(CAST(c_g AS HUGEINT)) AS cov_g,
+             any_value(t_s) AS t_s, any_value(t_g) AS t_g
+      FROM per JOIN gl USING (token) JOIN ts USING (src) CROSS JOIN tg
+      GROUP BY src
+    )
+    SELECT n.src AS source,
+           CAST(n.t_s AS BIGINT) AS n_tok_source,
+           s.vocab_source,
+           CAST(n.cov_g AS DOUBLE) / CAST(n.t_g AS DOUBLE) AS covered_mass,
+           CAST(n.present_num + (n.t_g - n.cov_g) * n.t_s AS DOUBLE)
+             / CAST(n.t_s * n.t_g AS DOUBLE) AS l1,
+           CAST(n.present_num + (n.t_g - n.cov_g) * n.t_s AS DOUBLE)
+             / CAST(n.t_s * n.t_g AS DOUBLE) / 2.0 AS tv
+    FROM num n JOIN ts s USING (src)
+    """,
+)
+def source_unigram_divergence_documents(spark, sf_dir):
+    """Per-source unigram L1 divergence from the corpus mix
+    (drift.source_unigram_divergence) over the derived token corpus
+    (doc_id < 400): exact DECIMAL(38,0) integer sums (HUGEINT in the
+    oracle) with one conversion to DOUBLE and one IEEE division, so the
+    doubles match bit-for-bit regardless of summation order.  One
+    corpus-sized explode-aggregate; everything downstream is bounded by
+    vocab × n_sources."""
+    from ensembl_datacheck_spark.operators import drift as D
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(
+        (F.col("doc_id") < 400) & F.col("source").isNotNull()
+    )
+    toks = d.select("source", _derived_tokens_col().alias("tokens"))
+    return D.source_unigram_divergence(toks, "source", "tokens")

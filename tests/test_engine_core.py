@@ -34,7 +34,7 @@ def test_registry_selection_and_index(tmp_path):
     assert {s.name for s in sel} == {
         "TokenInvariants", "TokenContentDuplicates", "TokenPassageRedundancy",
         "TokenUnigramDrift", "TokenSnapshotEquality", "TokenEvalContamination",
-        "TokenRarityProfile",
+        "TokenRarityProfile", "TokenBoilerplateExcess",
     }
     sel = registry.select(names=["DocIdUnique"], severity="critical")
     assert len(sel) == 1

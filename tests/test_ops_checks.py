@@ -674,3 +674,43 @@ def test_token_boilerplate_flags_template_docs(spark):
     assert res.status == Status.FAIL
     [a] = res.assertions
     assert a.got == 12
+
+
+# --- SourceUnigramDivergence ------------------------------------------------
+
+
+def test_source_divergence_clean_fixture_passes(spark, seq_fixture):
+    """Every synth source draws from the same uniform 50k-vocab token
+    distribution, so no source diverges from the mix."""
+    res = _run_one(
+        spark, "SourceUnigramDivergence",
+        {"sequences": seq_fixture["sequences_clean"]},
+    )
+    assert res.status == Status.OK
+
+
+def test_source_divergence_flags_disjoint_vocabulary_source(spark):
+    """Source 'alien' uses a token range disjoint from the bulk: its L1
+    vs the mix approaches 2.0 and breaches the 1.8 default; the two
+    same-distribution bulk sources stay under it."""
+    bulk = spark.range(2_000).selectExpr(
+        "format_string('b_%06d', id) AS doc_id",
+        "transform(sequence(1, 50), i -> CAST(pmod(id * 37 + i, 500) AS INT))"
+        " AS tokens",
+        "50 AS n_tok",
+        "CASE WHEN id % 2 = 0 THEN 'web' ELSE 'books' END AS source",
+    )
+    alien = spark.range(100).selectExpr(
+        "format_string('a_%06d', id) AS doc_id",
+        "transform(sequence(1, 50), i -> CAST(10000 + pmod(id + i, 200) AS INT))"
+        " AS tokens",
+        "50 AS n_tok", "'alien' AS source",
+    )
+    res = _run_one(
+        spark, "SourceUnigramDivergence",
+        {"sequences": bulk.unionAll(alien)},
+    )
+    assert res.status == Status.FAIL
+    [a] = res.assertions
+    assert a.got == 1
+    assert "alien" in "".join(a.diag)

@@ -1271,3 +1271,74 @@ def test_token_rarity_plan_broadcasts_vocab(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert plan.count("Exchange") == 2, plan
+
+
+# --- source_unigram_divergence ----------------------------------------------
+
+
+class TestSourceUnigramDivergence:
+    @pytest.fixture(scope="class")
+    def div_df(self, spark):
+        rows = [
+            ("a", [1, 1, 2]),
+            ("a", [2, 3]),
+            ("b", [1, 2]),
+            ("c", [9, 9, 9, 9]),   # disjoint vocab
+            (None, [1]),           # NULL source dropped
+            ("d", None),           # NULL tokens dropped -> d absent
+            ("e", []),             # empty tokens dropped -> e absent
+        ]
+        # NOT cached: caching the input wraps every subtree in an
+        # InMemoryTableScan whose canonical forms AQE does not unify,
+        # silently disabling the exchange reuse this class pins
+        # (measured: Reused=0 cached vs 3 uncached on this fixture).
+        return spark.createDataFrame(rows, "source string, tokens array<int>")
+
+    def test_exact_fractions(self, div_df):
+        from ensembl_datacheck_spark.operators.drift import (
+            source_unigram_divergence,
+        )
+
+        got = {
+            r["source"]: r.asDict()
+            for r in source_unigram_divergence(div_df).collect()
+        }
+        assert set(got) == {"a", "b", "c"}
+        # corpus: T_g=11; c_g = {1:3, 2:3, 3:1, 9:4}
+        a = got["a"]
+        assert (a["n_tok_source"], a["vocab_source"]) == (5, 3)
+        assert a["covered_mass"] == 7.0 / 11.0
+        assert a["l1"] == 40.0 / 55.0      # |2/5-3/11|*2 + |1/5-1/11| + 4/11
+        assert a["tv"] == a["l1"] / 2.0
+        c = got["c"]
+        assert (c["n_tok_source"], c["vocab_source"]) == (4, 1)
+        assert c["covered_mass"] == 4.0 / 11.0
+        assert c["l1"] == 14.0 / 11.0      # |1 - 4/11| + 7/11
+
+    def test_single_source_has_zero_divergence(self, spark):
+        from ensembl_datacheck_spark.operators.drift import (
+            source_unigram_divergence,
+        )
+
+        df = spark.createDataFrame(
+            [("only", [1, 2, 2, 3])], "source string, tokens array<int>"
+        )
+        [r] = source_unigram_divergence(df).collect()
+        assert r["l1"] == 0.0 and r["covered_mass"] == 1.0
+
+    def test_plan_reuses_count_exchange_and_broadcasts_dims(self, div_df):
+        """Every downstream aggregate (global histogram, per-source
+        totals, corpus total) re-derives from the SAME (src, token)
+        count subtree, so at runtime AQE reuses that exchange instead
+        of re-exploding the corpus; the totals come back as broadcast
+        joins over the vocab-sized count table."""
+        from ensembl_datacheck_spark.operators.drift import (
+            source_unigram_divergence,
+        )
+
+        out = source_unigram_divergence(div_df)
+        out.collect()  # reuse only materializes in the adaptive plan
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Reused" in plan
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
