@@ -622,3 +622,74 @@ def pack_sequences(
         .withColumn("offset", F.pmod(F.col("__start"), F.lit(seq_len)))
         .drop("__start")
     )
+
+
+def chunk_sequences(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    chunk_len: int,
+    stride: int | None = None,
+) -> DataFrame:
+    """Context-window chunking for LM training: split each document's
+    token array into windows of ``chunk_len`` tokens starting every
+    ``stride`` tokens (stride < chunk_len gives overlapping windows,
+    the standard long-document treatment) — the complement of
+    ``pack_sequences``, which concatenates SHORT documents up to the
+    context length while this slices LONG ones down to it.
+
+    Contract: a document with n tokens emits
+
+    * 1 chunk if ``n <= chunk_len`` (the whole document, possibly
+      short), else
+    * ``ceil((n - chunk_len) / stride) + 1`` chunks starting at
+      ``0, stride, 2*stride, ...`` — the minimal window set whose last
+      window reaches the end of the document, so every token is in at
+      least one chunk and no window is fully redundant.  The final
+      chunk may be shorter than ``chunk_len``.
+
+    One output row per chunk: the input row's columns (minus the token
+    array) plus ``chunk_idx`` (0-based), ``chunk_tokens``, and
+    ``n_chunk_tok``.  Rows with NULL or empty token arrays emit
+    nothing (the completeness checks own those).  NULL elements inside
+    an array pass through untouched (the domain check owns those).
+
+    Scale shape: pure per-row projection + generate — ZERO shuffles,
+    no UDF (``sequence`` + ``posexplode`` + ``slice`` are all
+    codegen'd JVM expressions), so the plan is a single
+    WholeStageCodegen span over the scan and throughput is bounded by
+    parquet decode (plan-pinned in tests).  Output size is
+    corpus_tokens/stride-proportional; partition count follows the
+    input, so downstream writers inherit the input's parallelism with
+    no re-shuffle.
+    """
+    if chunk_len < 1:
+        raise ValueError(f"chunk_len must be >= 1, got {chunk_len}")
+    stride = chunk_len if stride is None else stride
+    if not 1 <= stride <= chunk_len:
+        raise ValueError(
+            f"stride must be in [1, chunk_len={chunk_len}], got {stride}"
+        )
+    n = F.size(tokens_col)
+    n_chunks = F.when(n <= chunk_len, F.lit(1)).otherwise(
+        F.ceil((n - F.lit(chunk_len)) / F.lit(stride)).cast("int") + 1
+    )
+    passthrough = [c for c in df.columns if c != tokens_col]
+    return (
+        df.filter(F.col(tokens_col).isNotNull() & (n > 0))
+        .select(
+            *passthrough,
+            F.col(tokens_col).alias("__toks"),
+            F.posexplode(F.sequence(F.lit(0), n_chunks - 1)).alias(
+                "chunk_idx", "__i"
+            ),
+        )
+        .select(
+            *passthrough,
+            "chunk_idx",
+            F.slice(
+                "__toks", F.col("chunk_idx") * stride + 1, chunk_len
+            ).alias("chunk_tokens"),
+        )
+        .withColumn("n_chunk_tok", F.size("chunk_tokens"))
+    )

@@ -3769,3 +3769,41 @@ def source_unigram_divergence_documents(spark, sf_dir):
     )
     toks = d.select("source", _derived_tokens_col().alias("tokens"))
     return D.source_unigram_divergence(toks, "source", "tokens")
+
+
+@q(
+    "chunk_sequences_documents",
+    f"""
+    WITH docs AS (
+      SELECT CAST(doc_id AS BIGINT) AS doc_id,
+             {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 300
+    ),
+    base AS (
+      SELECT doc_id, toks,
+             CASE WHEN len(toks) <= 16 THEN 1
+                  ELSE CAST(ceil((len(toks) - 16) / 12.0) AS INT) + 1
+             END AS nc
+      FROM docs WHERE toks IS NOT NULL AND len(toks) > 0
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           toks[i*12 + 1 : i*12 + 16] AS chunk_tokens,
+           CAST(len(toks[i*12 + 1 : i*12 + 16]) AS INT) AS n_chunk_tok
+    FROM (SELECT doc_id, toks, unnest(range(nc)) AS i FROM base)
+    """,
+)
+def chunk_sequences_documents(spark, sf_dir):
+    """Context-window chunking (operators/corpus.chunk_sequences) over
+    the derived token corpus (doc_id < 300): 16-token windows every 12
+    tokens (4-token overlap), final window short, every token covered.
+    Pure projection + generate — zero shuffles; the oracle re-slices
+    the same windows with DuckDB list slicing, value-for-value."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 300)
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    return corpus.chunk_sequences(
+        toks, "doc_id", "tokens", chunk_len=16, stride=12
+    )

@@ -1342,3 +1342,91 @@ class TestSourceUnigramDivergence:
         assert "Reused" in plan
         assert "BroadcastHashJoin" in plan
         assert "CartesianProduct" not in plan
+
+
+# --- chunk_sequences --------------------------------------------------------
+
+
+class TestChunkSequences:
+    def _chunk(self, spark, rows, **kw):
+        from ensembl_datacheck_spark.operators.corpus import chunk_sequences
+
+        df = spark.createDataFrame(
+            rows, "doc_id string, tokens array<int>, source string"
+        )
+        return chunk_sequences(df, "doc_id", "tokens", **kw)
+
+    def test_windows_and_tail(self, spark):
+        rows = [
+            ("a", list(range(10)), "web"),   # 3 chunks: 0-3, 3-6, 6-9
+            ("b", list(range(3)), "web"),    # short doc: 1 whole chunk
+            ("e", [7], "y"),                 # single token
+            ("c", [], "x"),                  # empty -> nothing
+            ("d", None, "x"),                # NULL -> nothing
+        ]
+        got = {
+            (r.doc_id, r.chunk_idx): (r.chunk_tokens, r.n_chunk_tok, r.source)
+            for r in self._chunk(spark, rows, chunk_len=4, stride=3).collect()
+        }
+        assert got == {
+            ("a", 0): ([0, 1, 2, 3], 4, "web"),
+            ("a", 1): ([3, 4, 5, 6], 4, "web"),
+            ("a", 2): ([6, 7, 8, 9], 4, "web"),
+            ("b", 0): ([0, 1, 2], 3, "web"),
+            ("e", 0): ([7], 1, "y"),
+        }
+
+    def test_every_token_covered_no_redundant_window(self, spark):
+        """Property over lengths 1..40: the chunk set covers [0, n) and
+        removing the last window always uncovers the tail."""
+        rows = [(f"d{n:02d}", list(range(n)), "s") for n in range(1, 41)]
+        out = self._chunk(spark, rows, chunk_len=8, stride=5).collect()
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_tokens))
+        for n in range(1, 41):
+            chunks = sorted(by_doc[f"d{n:02d}"])
+            assert [i for i, _ in chunks] == list(range(len(chunks)))
+            covered = set()
+            for i, toks in chunks:
+                assert toks == list(range(i * 5, min(i * 5 + 8, n)))
+                covered.update(toks)
+            assert covered == set(range(n))
+            if len(chunks) > 1:  # last window is never fully redundant
+                prev = set().union(*(t for _, t in chunks[:-1]))
+                assert set(chunks[-1][1]) - prev
+
+    def test_non_overlapping_default_stride(self, spark):
+        rows = [("a", list(range(7)), "s")]
+        got = sorted(
+            (r.chunk_idx, r.chunk_tokens)
+            for r in self._chunk(spark, rows, chunk_len=3).collect()
+        )
+        assert got == [(0, [0, 1, 2]), (1, [3, 4, 5]), (2, [6])]
+
+    def test_validation(self, spark):
+        import pytest as _pytest
+
+        with _pytest.raises(ValueError, match="chunk_len"):
+            self._chunk(spark, [("a", [1], "s")], chunk_len=0)
+        with _pytest.raises(ValueError, match="stride"):
+            self._chunk(spark, [("a", [1], "s")], chunk_len=4, stride=5)
+        with _pytest.raises(ValueError, match="stride"):
+            self._chunk(spark, [("a", [1], "s")], chunk_len=4, stride=0)
+
+    def test_plan_zero_shuffle(self, spark, tmp_path):
+        """Pure projection + generate over the scan: no Exchange, no
+        UDF — partitioning follows the input."""
+        from ensembl_datacheck_spark.operators.corpus import chunk_sequences
+
+        p = str(tmp_path / "docs.parquet")
+        spark.range(100).selectExpr(
+            "CAST(id AS STRING) AS doc_id",
+            "transform(sequence(0, CAST(id % 37 AS INT)), i -> i) AS tokens",
+        ).write.parquet(p)
+        out = chunk_sequences(
+            spark.read.parquet(p), "doc_id", "tokens", chunk_len=8, stride=6
+        )
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
