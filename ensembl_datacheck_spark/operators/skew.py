@@ -136,3 +136,135 @@ def hot_keys(
         (F.col("n") / F.col("__total").cast("double")).alias("share"),
         "rank",
     )
+
+
+# ---------------------------------------------------------------------------
+# phi-heavy hitters over an unbounded keyspace (Misra-Gries + exact recount)
+# ---------------------------------------------------------------------------
+
+#: One live cached Misra-Gries summary (same bounded-cache discipline as
+#: operators/dedup._SIG_CACHE): the summary is tiny (≤ partitions × cap
+#: rows) but consumed twice (total + candidates), and recomputing it
+#: would re-scan the corpus.
+_MG_CACHE: dict[str, DataFrame] = {}
+
+
+def _cache_mg(key: str, df: DataFrame) -> DataFrame:
+    old = _MG_CACHE.get(key)
+    if old is not None:
+        try:
+            old.unpersist()
+        except Exception:
+            pass
+    df = df.cache()
+    _MG_CACHE[key] = df
+    return df
+
+
+def heavy_hitter_keys(
+    df: DataFrame,
+    key_col: str,
+    phi: float,
+    max_partition_keys: int = 2_000_000,
+) -> DataFrame:
+    """All keys occurring in at least ``phi`` of the key observations,
+    with their EXACT counts — for keyspaces too large to histogram.
+
+    ``hot_keys`` (above) and the unigram profile both build the full
+    (key, count) table, which is the right plan when the keyspace is
+    bounded (a BPE vocabulary, a join key's id range).  For an
+    UNBOUNDED keyspace — shingles, n-grams, URLs — nearly every key is
+    distinct, map-side combine stops helping, and the full histogram
+    shuffles ~the whole corpus.  This operator instead runs the classic
+    two-pass heavy-hitters plan:
+
+    1. **Candidates**: one corpus scan through a per-partition
+       Misra-Gries summary of capacity ``cap = ceil(1/phi)``
+       (vectorized: pandas ``value_counts`` per Arrow batch merged into
+       a counter dict; when the dict exceeds ``cap``, the (cap+1)-th
+       largest count is subtracted from every entry and non-positive
+       entries dropped — the batch MG decrement).  Each partition emits
+       at most ``cap`` surviving keys plus its observation count, so
+       the shuffle is ≤ partitions × cap rows regardless of corpus
+       size.  MG guarantee: a key absent from a partition's summary has
+       local count ≤ N_p/(cap+1); summed over partitions, any key with
+       global count ≥ phi·N survives in at least one summary — the
+       candidate union has NO false negatives.
+    2. **Exact recount**: a second scan counts ONLY the candidate keys
+       (broadcast hash join prunes everything else before the
+       aggregation), and the threshold ``count ≥ phi·N`` removes MG's
+       false positives.
+
+    The output is therefore EXACT and independent of partitioning —
+    the summary sets vary with the data layout, but recall is
+    guaranteed and the recount is exact, so the final table is the
+    same one ``GROUP BY key HAVING count >= phi*N`` would produce, at
+    a fraction of its shuffle.  Columns: ``key`` (input type),
+    ``cnt`` BIGINT, ``share`` DOUBLE (cnt/N).  NULL keys are ignored.
+
+    Memory: O(cap) per task — ``phi`` must be large enough that
+    ``1/phi`` fits comfortably in an executor (guarded by
+    ``max_partition_keys``).
+    """
+    import math
+
+    if not 0.0 < phi <= 1.0:
+        raise ValueError(f"phi must be in (0, 1], got {phi}")
+    cap = math.ceil(1.0 / phi)
+    if cap > max_partition_keys:
+        raise ValueError(
+            f"cap=ceil(1/phi)={cap} exceeds max_partition_keys="
+            f"{max_partition_keys}; a summary that large belongs in the "
+            "full-histogram plan (hot_keys / unigram_profile), not MG"
+        )
+    key_type = df.schema[key_col].dataType.simpleString()
+    keyed = df.select(F.col(key_col).alias("key")).filter(
+        F.col("key").isNotNull()
+    )
+
+    def mg_partitions(batches):
+        import numpy as np
+        import pandas as pd
+        from collections import Counter
+
+        counts: Counter = Counter()
+        n_obs = 0
+        for pdf in batches:
+            s = pdf["key"].dropna()
+            n_obs += len(s)
+            counts.update(s.value_counts().to_dict())
+            if len(counts) > cap:
+                vals = np.fromiter(counts.values(), dtype=np.int64)
+                kth = np.partition(vals, len(vals) - cap - 1)[
+                    len(vals) - cap - 1
+                ]
+                counts = Counter(
+                    {k: v - kth for k, v in counts.items() if v > kth}
+                )
+        yield pd.DataFrame(
+            {
+                "key": list(counts.keys()) + [None],
+                "cnt": list(counts.values()) + [0],
+                "n_obs": [0] * len(counts) + [n_obs],
+            }
+        )
+
+    summary = _cache_mg(
+        f"{key_col}:{phi}",
+        keyed.mapInPandas(
+            mg_partitions, schema=f"key {key_type}, cnt long, n_obs long"
+        ),
+    )
+    total = summary.agg(F.sum("n_obs").alias("n"))
+    cands = summary.filter(F.col("key").isNotNull()).select("key").distinct()
+    return (
+        keyed.join(F.broadcast(cands), "key")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") >= F.lit(phi) * F.col("n"))
+        .select(
+            "key", "cnt",
+            (F.col("cnt").cast("double") / F.col("n")).alias("share"),
+        )
+    )

@@ -3807,3 +3807,51 @@ def chunk_sequences_documents(spark, sf_dir):
     return corpus.chunk_sequences(
         toks, "doc_id", "tokens", chunk_len=16, stride=12
     )
+
+
+@q(
+    "heavy_hitter_shingles_documents",
+    f"""
+    WITH docs AS (
+      SELECT {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    sh AS (
+      SELECT unnest(list_transform(generate_series(2, len(toks)),
+             i -> CAST(toks[i-1] AS VARCHAR) || '_' ||
+                  CAST(toks[i] AS VARCHAR))) AS key
+      FROM docs WHERE toks IS NOT NULL AND len(toks) >= 2
+    ),
+    tot AS (SELECT count(*) AS n FROM sh)
+    SELECT key, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(*) AS DOUBLE) / any_value(n) AS share
+    FROM sh CROSS JOIN tot
+    GROUP BY key
+    HAVING count(*) >= 0.0017 * any_value(n)
+    """,
+)
+def heavy_hitter_shingles_documents(spark, sf_dir):
+    """phi-heavy-hitter 2-token shingles (skew.heavy_hitter_keys,
+    phi=0.0017) over the derived token corpus (doc_id < 400): the
+    Misra-Gries candidate pass + broadcast exact recount reproduces the
+    full GROUP BY/HAVING histogram the oracle computes — exactly and
+    independently of partitioning — while shuffling at most
+    partitions x ceil(1/phi) summary rows instead of every distinct
+    shingle."""
+    from ensembl_datacheck_spark.operators import skew
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 400)
+    toks = d.select(_derived_tokens_col().alias("tokens")).filter(
+        F.col("tokens").isNotNull() & (F.size("tokens") >= 2)
+    )
+    shingles = toks.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tokens) - 1), "
+                "i -> concat(CAST(tokens[i-1] AS STRING), '_', "
+                "CAST(tokens[i] AS STRING)))"
+            )
+        ).alias("key")
+    )
+    return skew.heavy_hitter_keys(shingles, "key", phi=0.0017)

@@ -1430,3 +1430,83 @@ class TestChunkSequences:
         plan = out._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+# --- heavy_hitter_keys ------------------------------------------------------
+
+
+class TestHeavyHitterKeys:
+    @pytest.fixture(scope="class")
+    def hh_df(self, spark):
+        # 100k observations: hot_i appears 3000+i times (all >= phi=2% of
+        # N); ~42.5k tail keys appear 1-3 times each.
+        hot = spark.range(5).selectExpr(
+            "explode(sequence(1, 3000 + CAST(id AS INT))) AS rep",
+            "concat('hot_', id) AS key",
+        ).select("key")
+        tail = spark.range(84_990).selectExpr("concat('tail_', id % 42495) AS key")
+        return hot.unionAll(tail).repartition(16)
+
+    def test_exact_counts_above_threshold(self, hh_df):
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        got = sorted(
+            (r.key, r.cnt, r.share)
+            for r in heavy_hitter_keys(hh_df, "key", phi=0.02).collect()
+        )
+        n = 100_000
+        assert got == [
+            (f"hot_{i}", 3000 + i, (3000 + i) / n) for i in range(5)
+        ]
+
+    def test_partition_independent(self, hh_df):
+        """The MG summaries differ per layout, but guaranteed recall +
+        exact recount make the OUTPUT identical across partitionings."""
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        base = sorted(
+            (r.key, r.cnt)
+            for r in heavy_hitter_keys(hh_df, "key", phi=0.02).collect()
+        )
+        for parts in (1, 3):
+            redo = sorted(
+                (r.key, r.cnt)
+                for r in heavy_hitter_keys(
+                    hh_df.repartition(parts), "key", phi=0.02
+                ).collect()
+            )
+            assert redo == base
+
+    def test_just_below_threshold_excluded(self, spark):
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        # N=100: 'a'x10 (share .10), 'b'x9 (.09), 81 singletons
+        df = spark.range(100).selectExpr(
+            "CASE WHEN id < 10 THEN 'a' WHEN id < 19 THEN 'b' "
+            "ELSE concat('t', id) END AS key"
+        ).repartition(4)
+        got = {(r.key, r.cnt) for r in heavy_hitter_keys(df, "key", 0.10).collect()}
+        assert got == {("a", 10)}
+
+    def test_nulls_ignored_and_validation(self, spark):
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        df = spark.createDataFrame(
+            [("a",), ("a",), (None,), ("b",)], "key string"
+        )
+        got = {(r.key, r.cnt, r.share) for r in heavy_hitter_keys(df, "key", 0.5).collect()}
+        assert got == {("a", 2, 2 / 3)}  # N excludes NULLs
+        with pytest.raises(ValueError, match="phi"):
+            heavy_hitter_keys(df, "key", 0.0)
+        with pytest.raises(ValueError, match="max_partition_keys"):
+            heavy_hitter_keys(df, "key", 1e-9)
+
+    def test_recount_plan_broadcasts_candidates(self, hh_df):
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        out = heavy_hitter_keys(hh_df, "key", phi=0.02)
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 2  # candidates + total
+        assert "SortMergeJoin" not in plan
+        assert "CartesianProduct" not in plan
