@@ -210,7 +210,8 @@ def main():
         header = "# BENCH/BASELINE.md — scaling-efficiency measurement"
     report = f"""{header}
 
-Protocol (BASELINE.md): identical full check suite (10-check registry,
+Protocol (BASELINE.md): identical full check suite (the full default
+registry,
 fused row scan + uniqueness + referential + drift) on the identical
 on-disk parquet `sequences` table at two parallelism levels, fresh JVM
 per level.  One full untimed warm-up suite run per level (JIT + page
