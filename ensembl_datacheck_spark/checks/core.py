@@ -1198,3 +1198,46 @@ def source_unigram_divergence_check(ctx):
     ctx.record(
         A.is_rows_zero(viol, "source_divergence_excess"), key_col="source"
     )
+
+
+@register(
+    "ShingleHeavyHitterExcess",
+    "No single token shingle dominates the corpus: over all "
+    "config[hh_shingle_k]-token shingles (default 2), no shingle "
+    "accounts for more than config[max_shingle_share] (default 0.005) "
+    "of the corpus's shingle observations "
+    "(operators/skew.heavy_hitter_keys — Misra-Gries candidates + "
+    "broadcast exact recount, so the verdict is exact and "
+    "partition-independent without materializing the full shingle "
+    "histogram).  A breaching shingle is corpus-level boilerplate — a "
+    "navigation phrase or template fragment stamped across the mix — "
+    "the corpus-level face of TokenBoilerplateExcess, which flags the "
+    "DOCUMENTS carrying boilerplate while this names the PHRASE "
+    "itself, with its exact count and share as the diagnostic.  Two "
+    "corpus token scans (summary + recount), so on-demand like the "
+    "other whole-corpus token sweeps.",
+    groups=("dedup", "tokens", "quality"),
+    severity="advisory",
+    tables=("sequences",),
+    on_demand=True,
+)
+def shingle_heavy_hitter_excess(ctx):
+    from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+    k = int(ctx.config.get("hh_shingle_k", 2))
+    max_share = float(ctx.config.get("max_shingle_share", 0.005))
+    seq = ctx.table("sequences")
+    shingles = seq.filter(
+        F.col("tokens").isNotNull() & (F.size("tokens") >= k)
+    ).select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(tokens) - {k - 1}), "
+                f"i -> array_join(slice(tokens, i, {k}), '_'))"
+            )
+        ).alias("key")
+    )
+    viol = heavy_hitter_keys(shingles, "key", phi=max_share)
+    ctx.record(
+        A.is_rows_zero(viol, "shingle_heavy_hitters"), key_col="key"
+    )

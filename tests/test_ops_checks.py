@@ -714,3 +714,42 @@ def test_source_divergence_flags_disjoint_vocabulary_source(spark):
     [a] = res.assertions
     assert a.got == 1
     assert "alien" in "".join(a.diag)
+
+
+# --- ShingleHeavyHitterExcess -----------------------------------------------
+
+
+def test_shingle_heavy_hitter_clean_fixture_passes(spark, seq_fixture):
+    """Uniform 50k-vocab tokens: no 2-shingle approaches a 0.5% share."""
+    res = _run_one(
+        spark, "ShingleHeavyHitterExcess",
+        {"sequences": seq_fixture["sequences_clean"]},
+    )
+    assert res.status == Status.OK
+
+
+def test_shingle_heavy_hitter_flags_template_phrase(spark):
+    """A template phrase stamped into 20% of documents dominates the
+    shingle mass; its exact count and share surface in the diagnostic."""
+    organic = spark.range(1_000).selectExpr(
+        "format_string('o_%06d', id) AS doc_id",
+        "transform(sequence(1, 20), i -> CAST(pmod(id * 97 + i * 31, 40000) "
+        "AS INT)) AS tokens",
+        "20 AS n_tok", "'web' AS source",
+    )
+    # every 5th doc starts with the phrase [7, 8, 9] -> shingles 7_8, 8_9
+    templated = spark.range(250).selectExpr(
+        "format_string('t_%06d', id) AS doc_id",
+        "concat(array(7, 8, 9), transform(sequence(1, 17), "
+        "i -> CAST(pmod(id * 89 + i * 13, 40000) AS INT))) AS tokens",
+        "20 AS n_tok", "'web' AS source",
+    )
+    res = _run_one(
+        spark, "ShingleHeavyHitterExcess",
+        {"sequences": organic.unionAll(templated)},
+    )
+    assert res.status == Status.FAIL
+    [a] = res.assertions
+    assert a.got == 2  # 7_8 and 8_9, each ~250/23750 ≈ 1.05% > 0.5%
+    diag = "".join(a.diag)
+    assert "7_8" in diag and "8_9" in diag
