@@ -1510,3 +1510,16 @@ class TestHeavyHitterKeys:
         assert plan.count("BroadcastHashJoin") == 2  # candidates + total
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+
+    def test_integer_keys_and_empty_input(self, spark):
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        df = spark.range(1000).selectExpr(
+            "CAST(CASE WHEN id < 200 THEN 7 ELSE id END AS INT) AS key"
+        ).repartition(5)
+        got = sorted(
+            (r.key, r.cnt) for r in heavy_hitter_keys(df, "key", 0.1).collect()
+        )
+        assert got == [(7, 200)]
+        empty = spark.range(0).selectExpr("CAST(id AS STRING) AS key")
+        assert heavy_hitter_keys(empty, "key", 0.1).count() == 0
