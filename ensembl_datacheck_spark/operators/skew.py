@@ -165,6 +165,8 @@ def heavy_hitter_keys(
     df: DataFrame,
     key_col: str,
     phi: float,
+    method: str = "bucket",
+    n_buckets: int = 1 << 17,
     max_partition_keys: int = 2_000_000,
 ) -> DataFrame:
     """All keys occurring in at least ``phi`` of the key observations,
@@ -175,41 +177,56 @@ def heavy_hitter_keys(
     bounded (a BPE vocabulary, a join key's id range).  For an
     UNBOUNDED keyspace — shingles, n-grams, URLs — nearly every key is
     distinct, map-side combine stops helping, and the full histogram
-    shuffles ~the whole corpus.  This operator instead runs the classic
-    two-pass heavy-hitters plan:
+    shuffles ~the whole corpus.  Both methods here are two-pass
+    candidates-then-exact-recount plans whose output is EXACT and
+    independent of partitioning — the same table ``GROUP BY key HAVING
+    count >= phi*N`` would produce, at a fraction of its shuffle:
 
-    1. **Candidates**: one corpus scan through a per-partition
-       Misra-Gries summary of capacity ``cap = ceil(1/phi)``
-       (vectorized: pandas ``value_counts`` per Arrow batch merged into
-       a counter dict; when the dict exceeds ``cap``, the (cap+1)-th
-       largest count is subtracted from every entry and non-positive
-       entries dropped — the batch MG decrement).  Each partition emits
-       at most ``cap`` surviving keys plus its observation count, so
-       the shuffle is ≤ partitions × cap rows regardless of corpus
-       size.  MG guarantee: a key absent from a partition's summary has
-       local count ≤ N_p/(cap+1); summed over partitions, any key with
-       global count ≥ phi·N survives in at least one summary — the
-       candidate union has NO false negatives.
-    2. **Exact recount**: a second scan counts ONLY the candidate keys
-       (broadcast hash join prunes everything else before the
-       aggregation), and the threshold ``count ≥ phi·N`` removes MG's
-       false positives.
+    * ``method="bucket"`` (default, all-JVM): scan 1 aggregates counts
+      of ``pmod(xxhash64(key), n_buckets)`` — a BOUNDED keyspace, so
+      map-side combine works and the shuffle is ≤ partitions ×
+      n_buckets rows.  Any key with count ≥ phi·N lives in a bucket
+      with count ≥ phi·N (superset property → no false negatives); the
+      candidate bucket ids broadcast back and scan 2 exactly recounts
+      only keys hashing into them.  Collision false positives are
+      bounded by mass concentration — background mass per bucket is
+      ~N/n_buckets, so keep ``n_buckets ≫ 1/phi`` (the default 131072
+      suits phi ≥ 1e-4) and the recount aggregates a tiny key subset.
+      Stays in whole-stage codegen end to end.  Measured
+      (BENCH/HEAVY_HITTERS.md): at 20M observations on local[32] the
+      plain histogram still wins (single-node shuffle of 16M rows is
+      nearly free), but at 200M observations / 160M distinct keys the
+      histogram's corpus-sized shuffle spills and "bucket" is 1.5x
+      faster — and the gap widens with corpus size, while on a real
+      cluster (network shuffle) the crossover comes far earlier.
 
-    The output is therefore EXACT and independent of partitioning —
-    the summary sets vary with the data layout, but recall is
-    guaranteed and the recount is exact, so the final table is the
-    same one ``GROUP BY key HAVING count >= phi*N`` would produce, at
-    a fraction of its shuffle.  Columns: ``key`` (input type),
-    ``cnt`` BIGINT, ``share`` DOUBLE (cnt/N).  NULL keys are ignored.
+    * ``method="mg"``: scan 1 runs a per-partition Misra-Gries summary
+      of capacity ``cap = ceil(1/phi)`` (vectorized: pandas
+      ``value_counts`` per Arrow batch merged into a counter; when the
+      counter exceeds ``cap``, the (cap+1)-th largest count is
+      subtracted from every entry and non-positives dropped — the
+      batch MG decrement).  Each partition emits ≤ cap surviving keys,
+      so the summary is ≤ partitions × cap rows with NO dependence on
+      n_buckets tuning or hash-collision mass (a key absent from a
+      summary has local count ≤ N_p/(cap+1); summed, any key with
+      global count ≥ phi·N survives somewhere).  The Arrow hop prices
+      every observation through Python, measured ~3x slower than
+      "bucket" at both scales (BENCH/HEAVY_HITTERS.md) — reach for it
+      when the bucket tier's collision mass is a concern (adversarial
+      keys, phi near the n_buckets bound), never for speed.
 
-    Memory: O(cap) per task — ``phi`` must be large enough that
-    ``1/phi`` fits comfortably in an executor (guarded by
-    ``max_partition_keys``).
+    Scan 2 (shared): exact recount behind a broadcast hash join, then
+    ``count ≥ phi·N`` removes every false positive.  Columns: ``key``
+    (input type), ``cnt`` BIGINT, ``share`` DOUBLE (cnt/N).  NULL keys
+    are ignored.  MG memory: O(cap) per task — guarded by
+    ``max_partition_keys``.
     """
     import math
 
     if not 0.0 < phi <= 1.0:
         raise ValueError(f"phi must be in (0, 1], got {phi}")
+    if method not in ("bucket", "mg"):
+        raise ValueError(f"method must be 'bucket' or 'mg', got {method!r}")
     cap = math.ceil(1.0 / phi)
     if cap > max_partition_keys:
         raise ValueError(
@@ -221,6 +238,37 @@ def heavy_hitter_keys(
     keyed = df.select(F.col(key_col).alias("key")).filter(
         F.col("key").isNotNull()
     )
+
+    if method == "bucket":
+        if n_buckets < 1:
+            raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+        bucketed = keyed.withColumn(
+            "__bkt",
+            F.pmod(F.xxhash64(F.col("key").cast("string")), F.lit(n_buckets)),
+        )
+        bkt_counts = bucketed.groupBy("__bkt").agg(
+            F.count(F.lit(1)).alias("__bc")
+        )
+        # N re-derives from the SAME bucket-count subtree, so AQE's
+        # exchange reuse computes the corpus scan once (the
+        # source_unigram_divergence pattern, plan-pinned in tests)
+        total = bkt_counts.agg(F.sum("__bc").alias("n"))
+        cand = (
+            bkt_counts.crossJoin(F.broadcast(total))
+            .filter(F.col("__bc") >= F.lit(phi) * F.col("n"))
+            .select("__bkt")
+        )
+        return (
+            bucketed.join(F.broadcast(cand), "__bkt")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .crossJoin(F.broadcast(total))
+            .filter(F.col("cnt") >= F.lit(phi) * F.col("n"))
+            .select(
+                "key", "cnt",
+                (F.col("cnt").cast("double") / F.col("n")).alias("share"),
+            )
+        )
 
     def mg_partitions(batches):
         import numpy as np

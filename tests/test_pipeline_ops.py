@@ -1507,9 +1507,12 @@ class TestHeavyHitterKeys:
         out = heavy_hitter_keys(hh_df, "key", phi=0.02)
         out.collect()
         plan = out._jdf.queryExecution().executedPlan().toString()
-        assert plan.count("BroadcastHashJoin") == 2  # candidates + total
+        assert "BroadcastHashJoin" in plan  # candidate pruning
         assert "SortMergeJoin" not in plan
         assert "CartesianProduct" not in plan
+        # the bucket-count exchange feeds candidates AND the total: AQE
+        # must reuse it, so the corpus is scanned twice, never thrice
+        assert "Reused" in plan
 
     def test_integer_keys_and_empty_input(self, spark):
         from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
@@ -1523,3 +1526,41 @@ class TestHeavyHitterKeys:
         assert got == [(7, 200)]
         empty = spark.range(0).selectExpr("CAST(id AS STRING) AS key")
         assert heavy_hitter_keys(empty, "key", 0.1).count() == 0
+
+    def test_methods_agree(self, hh_df):
+        """bucket (all-JVM, default) and mg (Arrow summary) are two
+        candidate strategies in front of the same exact recount — the
+        output must be identical."""
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        bucket = sorted(
+            (r.key, r.cnt, r.share)
+            for r in heavy_hitter_keys(hh_df, "key", 0.02, method="bucket").collect()
+        )
+        mg = sorted(
+            (r.key, r.cnt, r.share)
+            for r in heavy_hitter_keys(hh_df, "key", 0.02, method="mg").collect()
+        )
+        assert bucket == mg and len(bucket) == 5
+
+    def test_bucket_collisions_stay_exact(self, hh_df):
+        """n_buckets=2 forces every key through 2 candidate buckets —
+        the recount must still remove all collision false positives."""
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        got = sorted(
+            (r.key, r.cnt)
+            for r in heavy_hitter_keys(
+                hh_df, "key", 0.02, method="bucket", n_buckets=2
+            ).collect()
+        )
+        assert got == [(f"hot_{i}", 3000 + i) for i in range(5)]
+
+    def test_method_validation(self, spark):
+        from ensembl_datacheck_spark.operators.skew import heavy_hitter_keys
+
+        df = spark.createDataFrame([("a",)], "key string")
+        with pytest.raises(ValueError, match="method"):
+            heavy_hitter_keys(df, "key", 0.5, method="nope")
+        with pytest.raises(ValueError, match="n_buckets"):
+            heavy_hitter_keys(df, "key", 0.5, method="bucket", n_buckets=0)
