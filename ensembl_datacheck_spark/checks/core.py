@@ -1021,6 +1021,65 @@ def token_rarity_profile(ctx):
 
 
 @register(
+    "LmPerplexityOutliers",
+    "No document is wildly implausible under the corpus's own language "
+    "model: an add-1 smoothed unigram LM is fitted on the corpus "
+    "(operators/lm.py — the full CCNet-style perplexity filter, Wenzek "
+    "et al. 2020, whose integer-exact proxy is TokenRarityProfile), "
+    "every sequence with at least config[lm_min_scored] scoreable "
+    "tokens (default 20) is scored by cross-entropy, and any scoring "
+    "more than config[lm_outlier_margin_nats] (default 3.0) nats above "
+    "the corpus median — i.e. ppl more than e^margin times the median "
+    "— is emitted as a violation row (the per-row outlier-diagnostic "
+    "shape, Test/DataCheck.pm:283-365).  The margin is in nats, so the "
+    "verdict is scale-free: the same distribution pair passes or fails "
+    "identically at any corpus size (the chi2_min_effect_l1 lesson).  "
+    "Whole-corpus token scan + broadcast-vocab join + one "
+    "percentile_approx aggregate, so on-demand like the other "
+    "token-payload sweeps; the vocab and the scored table are "
+    "persisted for their two consumers and unpersisted on exit.",
+    groups=("tokens", "quality"),
+    severity="advisory",
+    tables=("sequences",),
+    on_demand=True,
+)
+def lm_perplexity_outliers(ctx):
+    from pyspark import StorageLevel
+
+    from ensembl_datacheck_spark.operators import lm as LM
+
+    seq = ctx.table("sequences")
+    min_scored = int(ctx.config.get("lm_min_scored", 20))
+    margin = float(ctx.config.get("lm_outlier_margin_nats", 3.0))
+
+    # recomputable lineage, not localCheckpoint — same fault-tolerance
+    # rationale as the shared fact profile
+    vocab = D.unigram_profile(seq).persist(StorageLevel.MEMORY_AND_DISK)
+    scored = None
+    try:
+        scored = LM.lm_cross_entropy(seq, vocab).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        med_row = scored.agg(
+            F.percentile_approx("ce_nats", 0.5).alias("m")
+        ).collect()[0]
+        med = med_row["m"]
+        if med is None:
+            ctx.skip("no scoreable sequences (empty/NULL token arrays)")
+        viol = scored.filter(
+            (F.col("n_scored") >= min_scored)
+            & (F.col("ce_nats") > med + margin)
+        ).select("doc_id", "n_scored", "oov_n", "ce_nats", "ppl")
+        ctx.record(
+            A.is_rows_zero(viol, "lm_perplexity_outliers"), key_col="doc_id"
+        )
+    finally:
+        if scored is not None:
+            scored.unpersist()
+        vocab.unpersist()
+
+
+@register(
     "SourceOverlapExcess",
     "No source is largely contained in another source: over the "
     "pairwise source-overlap matrix "

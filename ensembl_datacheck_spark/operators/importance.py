@@ -1,0 +1,223 @@
+"""DSIR-style data selection: hashed n-gram importance resampling
+(Xie et al. 2023, "Data Selection for Language Models via Importance
+Resampling", arXiv:2302.03169 — public) over the input_hint's token
+payload.
+
+Given a small TARGET slice (the distribution you want more of — a
+curated subset, a domain, a language) and the RAW corpus, every raw
+document gets an importance log-weight
+
+    lw(d) = Σ_f c_f(d) · [ln p̂_target(f) − ln p̂_raw(f)]
+
+under hashed n-gram bag-of-features models with add-α smoothing, and
+selection takes the top-k by weight (deterministic) or a Gumbel-top-k
+weighted sample without replacement (Kool et al. 2019,
+arXiv:1903.06059 — public; the randomness is a hash of the document id,
+so the "sample" is a pure function of the data — the reproducibility
+property every other sampler in this repo pins).
+
+Reference kin: the same two-distribution comparison machinery as the
+drift family (ComparePreviousVersionProbes.pm:51-60 compares current
+counts against a previous-release baseline; here the "baseline" is the
+target distribution and the verdict is a per-row score instead of
+pass/fail), with per-row outputs in the reference's violation-row shape
+(Test/DataCheck.pm:283-365).
+
+Feature hashing is the repo's PORTABLE idiom — md5 of the gram string,
+first 8 hex digits as a BIGINT, mod n_buckets — so any SQL engine
+reproduces the exact feature ids (same trick as the portable MinHash /
+fingerprint tiers).  Float discipline: ln differs across engines in the
+last ulp, so the oracle-facing query exports rank/count INTEGERS
+ordered by (log_weight, doc_id) — stable for weights separated by more
+than ~1e-13 (see operators/lm.py docstring for the measured ulp
+evidence) — while the raw log-weights are verified against numpy in
+pytest.
+
+Scale shape (the 100 TB story):
+
+* feature extraction is explode + map-side partial aggregation; the
+  per-document feature bag is bounded by min(doc length, n_buckets);
+* both distribution fits aggregate to ≤ n_buckets rows (8192 default)
+  — broadcast to the scoring join by construction;
+* scoring joins each document's hashed features against the broadcast
+  (feat → (t_cnt, r_cnt)) map: zero shuffle; the per-document
+  aggregation carries one row per document;
+* top-k is TakeOrderedAndProject (per-partition partial top-k, no
+  global sort); Gumbel keys are computed row-local.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "hashed_ngram_features",
+    "feature_counts",
+    "importance_log_weights",
+    "select_top_k",
+    "gumbel_top_k",
+]
+
+
+def _portable_bucket(col, n_buckets: int):
+    """md5-first-8-hex → BIGINT → mod n_buckets (non-negative) — the
+    repo's engine-portable hash (entry_queries._derived_tokens_col kin)."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
+        F.lit(n_buckets),
+    )
+
+
+def hashed_ngram_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_buckets: int = 8192,
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """(id, feat, cnt) hashed n-gram bag per document — unigrams plus
+    (optionally) adjacent bigrams, each hashed into ``n_buckets``
+    feature ids.  NULL/empty arrays and NULL/negative elements are
+    skipped with the module-standard hygiene; a document with no
+    scoreable token emits no rows.
+
+    Gram strings before hashing: ``CAST(w AS STRING)`` for unigrams,
+    ``w1 || '_' || w2`` for bigrams — the exact strings the SQL oracle
+    rebuilds.  ``cnt`` is the exact BIGINT occurrence count of the
+    feature in the document (DSIR's bag-of-hashed-ngrams).
+    """
+    clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull() & (t >= 0))
+    base = (
+        df.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+        .select(F.col(id_col), clean.alias("__clean"))
+        .filter(F.size("__clean") >= 1)
+    )
+    uni = F.expr("transform(__clean, w -> CAST(w AS STRING))")
+    grams = uni
+    if use_bigrams:
+        bi = F.expr(
+            "transform(sequence(1, size(__clean) - 1), "
+            "i -> CAST(__clean[i-1] AS STRING) || '_' || "
+            "CAST(__clean[i] AS STRING))"
+        )
+        grams = F.when(F.size("__clean") >= 2, F.concat(uni, bi)).otherwise(uni)
+    return (
+        base.select(F.col(id_col), F.explode(grams).alias("__gram"))
+        .select(
+            id_col, _portable_bucket(F.col("__gram"), n_buckets).alias("feat")
+        )
+        .groupBy(id_col, "feat")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def feature_counts(features: DataFrame) -> DataFrame:
+    """(feat, count) distribution fit from a per-document feature bag —
+    one aggregate bounded by n_buckets rows."""
+    return features.groupBy("feat").agg(F.sum("cnt").alias("count"))
+
+
+def importance_log_weights(
+    raw_features: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document DSIR importance log-weight.
+
+    ``lw = Σ_f c_f·[ln(t_f + α) − ln(r_f + α)] + n·[ln(R + αB) − ln(T + αB)]``
+    — the log likelihood ratio of the document's hashed-feature bag
+    under the smoothed target vs raw models (B = n_buckets; T, R =
+    total target/raw feature observations, re-aggregated lazily so the
+    whole score is ONE plan).
+
+    Output: (id, n_feat_obs BIGINT — Σ c_f, the bag size;
+    log_weight DOUBLE).  Both count tables are broadcast (≤ B rows by
+    construction).
+    """
+    id_col = raw_features.columns[0]
+    t = F.broadcast(
+        target_counts.select(
+            F.col("feat").alias("__t_feat"), F.col("count").alias("__t_cnt")
+        )
+    )
+    r = F.broadcast(
+        raw_counts.select(
+            F.col("feat").alias("__r_feat"), F.col("count").alias("__r_cnt")
+        )
+    )
+    totals = F.broadcast(
+        target_counts.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__T")
+        ).crossJoin(
+            raw_counts.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__R")
+            )
+        )
+    )
+    j = raw_features.join(
+        t, raw_features["feat"] == t["__t_feat"], "left_outer"
+    ).join(r, raw_features["feat"] == r["__r_feat"], "left_outer")
+    per_f = F.col("cnt").cast("double") * (
+        F.log(F.coalesce(F.col("__t_cnt"), F.lit(0)).cast("double") + alpha)
+        - F.log(F.coalesce(F.col("__r_cnt"), F.lit(0)).cast("double") + alpha)
+    )
+    agg = j.groupBy(id_col).agg(
+        F.sum("cnt").cast("long").alias("n_feat_obs"),
+        F.sum(per_f).alias("__s"),
+    )
+    b = float(n_buckets)
+    norm = F.log(F.col("__R") + alpha * b) - F.log(F.col("__T") + alpha * b)
+    return (
+        agg.crossJoin(totals)
+        .withColumn(
+            "log_weight",
+            F.col("__s") + F.col("n_feat_obs").cast("double") * norm,
+        )
+        .select(id_col, "n_feat_obs", "log_weight")
+    )
+
+
+def select_top_k(
+    weights: DataFrame, k: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Deterministic DSIR selection: top-k by (log_weight desc, id asc),
+    with the 1-based ``rank`` attached.  orderBy+limit compiles to
+    TakeOrderedAndProject — per-partition partial top-k, driver merge of
+    k·n_partitions rows, no global sort."""
+    ordered = weights.orderBy(
+        F.col("log_weight").desc(), F.col(id_col).asc()
+    ).limit(k)
+    # rank re-derived from the already-limited k rows — window over k
+    # rows, not the corpus
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("log_weight").desc(), F.col(id_col).asc())
+    return ordered.withColumn("rank", F.row_number().over(w).cast("long"))
+
+
+def gumbel_top_k(
+    weights: DataFrame, k: int, id_col: str = "doc_id", salt: str = "dsir"
+) -> DataFrame:
+    """Weighted sampling without replacement via Gumbel-top-k (Kool et
+    al. 2019): key = log_weight + Gumbel(0,1), take top-k keys.  The
+    Gumbel noise is deterministic — ``u = (md5int(salt || id) + 0.5) /
+    2^32`` then ``g = -ln(-ln u)`` — so re-running selects the same
+    sample (the repo's deterministic-sampler convention,
+    corpus.deterministic_sample kin), yet across salts the selection is
+    a faithful Gumbel draw."""
+    u = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(salt), F.lit(":"), F.col(id_col).cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / float(1 << 32)
+    keyed = weights.withColumn("__g", -F.log(-F.log(u)))
+    ordered = keyed.orderBy(
+        (F.col("log_weight") + F.col("__g")).desc(), F.col(id_col).asc()
+    ).limit(k)
+    return ordered.drop("__g")

@@ -3855,3 +3855,154 @@ def heavy_hitter_shingles_documents(spark, sf_dir):
         ).alias("key")
     )
     return skew.heavy_hitter_keys(shingles, "key", phi=0.0017)
+
+
+@q(
+    "lm_perplexity_buckets_documents",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token
+      FROM docs WHERE toks IS NOT NULL AND len(toks) > 0
+    ),
+    tk AS (SELECT doc_id, token FROM tok
+           WHERE token IS NOT NULL AND token >= 0),
+    vocab AS (SELECT token, count(*) AS cnt FROM tk
+              WHERE doc_id % 2 = 0 GROUP BY token),
+    tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS T,
+                   CAST(count(*) AS DOUBLE) AS V FROM vocab),
+    per AS (
+      SELECT t.doc_id,
+             count(*) AS n_scored,
+             sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS oov_n,
+             sum(ln(CAST(coalesce(v.cnt, 0) AS DOUBLE) + 1.0)) AS s
+      FROM tk t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+    ),
+    ce AS (
+      SELECT doc_id, n_scored, oov_n,
+             ln(T + 1.0 * (V + 1)) - s / CAST(n_scored AS DOUBLE) AS ce_nats
+      FROM per CROSS JOIN tot
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(n_scored AS BIGINT) AS n_scored,
+           CAST(oov_n AS BIGINT) AS oov_n,
+           CAST(ntile(4) OVER (ORDER BY ce_nats, doc_id) AS BIGINT)
+             AS bucket
+    FROM ce
+    """,
+)
+def lm_perplexity_buckets_documents(spark, sf_dir):
+    """CCNet-style LM quality bucketing (operators/lm.py — Wenzek et
+    al. 2020 semantics): an add-1 smoothed unigram LM fitted on the
+    EVEN-doc_id half of the derived token corpus (doc_id < 400), every
+    document scored by cross-entropy under it, the corpus cut into 4
+    ntile buckets ordered by (ce_nats, doc_id).  Only INTEGER columns
+    face the oracle: ln differs across engines in the last ulp
+    (operators/lm.py docstring), so raw nats stay engine-side (numpy-
+    verified in tests/test_pipeline_ops.py) while the bucket assignment
+    — a pure function of the score ORDERING, whose adjacent gaps the
+    same test measures at >=1e-6 nats vs ~1e-13 cross-engine error —
+    is engine-stable.  Odd-half documents carry OOV tokens, exercising
+    the smoothing path both ways."""
+    from ensembl_datacheck_spark.operators import lm as LM
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 400)
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    fit = LM.fit_unigram_lm(toks.filter(F.col("doc_id") % 2 == 0))
+    scored = LM.lm_cross_entropy(toks, fit)
+    return LM.lm_quality_buckets(scored, n_buckets=4).select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "n_scored",
+        "oov_n",
+        "bucket",
+    )
+
+
+@q(
+    "dsir_topk_documents",
+    f"""
+    WITH docs AS (
+      SELECT doc_id, lang, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    cl AS (
+      SELECT doc_id, lang,
+             list_filter(toks, t -> t IS NOT NULL AND t >= 0) AS c
+      FROM docs WHERE toks IS NOT NULL AND len(toks) > 0
+    ),
+    cl2 AS (SELECT doc_id, lang, c FROM cl WHERE len(c) >= 1),
+    grams AS (
+      SELECT doc_id, lang, unnest(
+        CASE WHEN len(c) >= 2 THEN
+          list_concat(
+            list_transform(c, w -> CAST(w AS VARCHAR)),
+            list_transform(range(1, len(c)),
+              i -> CAST(c[i] AS VARCHAR) || '_' || CAST(c[i+1] AS VARCHAR)))
+        ELSE list_transform(c, w -> CAST(w AS VARCHAR)) END) AS g
+      FROM cl2
+    ),
+    feats AS (
+      SELECT doc_id, any_value(lang) AS lang,
+             CAST(('0x' || substring(md5(g), 1, 8)) AS BIGINT) % 4096
+               AS feat,
+             count(*) AS cnt
+      FROM grams GROUP BY doc_id, feat
+    ),
+    tc AS (SELECT feat, sum(cnt) AS count FROM feats
+           WHERE lang = 'en' GROUP BY feat),
+    rc AS (SELECT feat, sum(cnt) AS count FROM feats GROUP BY feat),
+    tot AS (SELECT
+      (SELECT CAST(coalesce(sum(count), 0) AS DOUBLE) FROM tc) AS T,
+      (SELECT CAST(coalesce(sum(count), 0) AS DOUBLE) FROM rc) AS R),
+    w AS (
+      SELECT f.doc_id,
+             CAST(sum(f.cnt) AS BIGINT) AS n_feat_obs,
+             sum(CAST(f.cnt AS DOUBLE)
+                 * (ln(CAST(coalesce(t.count, 0) AS DOUBLE) + 1.0)
+                    - ln(CAST(coalesce(r.count, 0) AS DOUBLE) + 1.0))) AS s
+      FROM feats f LEFT JOIN tc t USING (feat) LEFT JOIN rc r USING (feat)
+      GROUP BY f.doc_id
+    ),
+    lw AS (SELECT doc_id, n_feat_obs,
+                  s + CAST(n_feat_obs AS DOUBLE)
+                      * (ln(R + 4096.0) - ln(T + 4096.0)) AS log_weight
+           FROM w CROSS JOIN tot)
+    SELECT CAST(row_number() OVER (ORDER BY log_weight DESC, doc_id)
+             AS BIGINT) AS rank,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           n_feat_obs
+    FROM lw ORDER BY log_weight DESC, doc_id LIMIT 60
+    """,
+)
+def dsir_topk_documents(spark, sf_dir):
+    """DSIR data selection (operators/importance.py — Xie et al. 2023,
+    arXiv:2302.03169): hashed unigram+bigram features (portable
+    md5-mod-4096 ids, the repo's engine-portable hash) over the derived
+    token corpus (doc_id < 400); target distribution = the lang='en'
+    slice, raw = everything; top-60 documents by importance log-weight
+    with deterministic (log_weight desc, doc_id) ordering.  Only
+    INTEGER columns face the oracle — same ln-ulp discipline and
+    ordering-gap argument as lm_perplexity_buckets_documents (gaps
+    measured in tests/test_pipeline_ops.py); the raw log-weights are
+    numpy-verified there.  Selection is TakeOrderedAndProject —
+    per-partition partial top-k, never a global sort."""
+    from ensembl_datacheck_spark.operators import importance as IMP
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 400)
+    toks = d.select("doc_id", "lang", _derived_tokens_col().alias("tokens"))
+    feats = IMP.hashed_ngram_features(toks, n_buckets=4096)
+    target = IMP.feature_counts(
+        IMP.hashed_ngram_features(
+            toks.filter(F.col("lang") == "en"), n_buckets=4096
+        )
+    )
+    raw = IMP.feature_counts(feats)
+    w = IMP.importance_log_weights(feats, target, raw, n_buckets=4096)
+    return IMP.select_top_k(w, 60).select(
+        "rank", F.col("doc_id").cast("long").alias("doc_id"), "n_feat_obs"
+    )

@@ -553,6 +553,61 @@ def test_token_rarity_profile_short_docs_exempt(spark):
     assert by["rare_token_documents"].got == 0
 
 
+# --- LmPerplexityOutliers ---------------------------------------------------
+
+
+def test_lm_perplexity_outliers_clean_fixture_passes(spark, seq_fixture):
+    """Uniform synth corpus: every document's cross-entropy sits near
+    the corpus median (same token distribution), so no row breaches the
+    median + 3-nat margin."""
+    res = _run_one(
+        spark, "LmPerplexityOutliers",
+        {"sequences": seq_fixture["sequences_clean"]},
+    )
+    assert res.status == Status.OK
+    by = {a.name: a for a in res.assertions}
+    assert by["lm_perplexity_outliers"].got == 0
+
+
+def test_lm_perplexity_outliers_flags_implausible_doc(spark):
+    """60 healthy docs over a tiny shared vocab (smoothed counts ~e^5)
+    plus one doc of corpus-hapaxes (smoothed count 2): its ce sits
+    ~ln(healthy_count/2) > 4 nats above the median — a FAIL row; a
+    SHORT hapax doc stays exempt under lm_min_scored."""
+    healthy = spark.range(60).selectExpr(
+        "format_string('doc_%04d', id) AS doc_id",
+        "transform(sequence(1, 30), i -> CAST((id + i) % 11 AS INT)) AS tokens",
+        "30 AS n_tok", "'web' AS source",
+    )
+    outlier = spark.sql(
+        "SELECT 'bad_0000' AS doc_id, "
+        "transform(sequence(1, 30), i -> CAST(9000 + i AS INT)) AS tokens, "
+        "30 AS n_tok, 'web' AS source"
+    )
+    short_hapax = spark.sql(
+        "SELECT 'tiny_0000' AS doc_id, "
+        "transform(sequence(1, 5), i -> CAST(8000 + i AS INT)) AS tokens, "
+        "5 AS n_tok, 'web' AS source"
+    )
+    res = _run_one(
+        spark, "LmPerplexityOutliers",
+        {"sequences": healthy.unionAll(outlier).unionAll(short_hapax)},
+    )
+    assert res.status == Status.FAIL
+    by = {a.name: a for a in res.assertions}
+    assert by["lm_perplexity_outliers"].got == 1
+    assert any("bad_0000" in str(d) for d in by["lm_perplexity_outliers"].diag)
+
+
+def test_lm_perplexity_outliers_skips_empty_corpus(spark):
+    df = spark.sql(
+        "SELECT 'd1' AS doc_id, CAST(NULL AS ARRAY<INT>) AS tokens, "
+        "CAST(NULL AS INT) AS n_tok, 'web' AS source"
+    )
+    res = _run_one(spark, "LmPerplexityOutliers", {"sequences": df})
+    assert res.status == Status.SKIP
+
+
 # --- SourceOverlapExcess ----------------------------------------------------
 
 

@@ -1564,3 +1564,378 @@ class TestHeavyHitterKeys:
             heavy_hitter_keys(df, "key", 0.5, method="nope")
         with pytest.raises(ValueError, match="n_buckets"):
             heavy_hitter_keys(df, "key", 0.5, method="bucket", n_buckets=0)
+
+
+# --- LM perplexity scoring (operators/lm.py) --------------------------------
+
+
+class TestLmScoring:
+    @pytest.fixture(scope="class")
+    def lm_docs(self, spark):
+        rows = [
+            (i, [((i * 7 + j * 13) % 50) for j in range(5 + i % 7)])
+            for i in range(40)
+        ]
+        # hygiene rows: NULL array, empty array, NULL/negative elements
+        rows += [(100, None), (101, []), (102, [None, -3, 5, 5])]
+        return spark.createDataFrame(
+            rows, "doc_id long, tokens array<long>"
+        ).cache()
+
+    @staticmethod
+    def _numpy_ce(docs, fit_ids, alpha=1.0, reserve=1):
+        import math
+        from collections import Counter
+
+        clean = {
+            i: [t for t in (toks or []) if t is not None and t >= 0]
+            for i, toks in docs
+        }
+        cnt = Counter(t for i in fit_ids for t in clean.get(i, []))
+        T, V = sum(cnt.values()), len(cnt)
+        out = {}
+        for i, toks in clean.items():
+            if not toks:
+                continue
+            s = sum(math.log(cnt.get(t, 0) + alpha) for t in toks)
+            out[i] = (
+                len(toks),
+                sum(1 for t in toks if t not in cnt),
+                math.log(T + alpha * (V + reserve)) - s / len(toks),
+            )
+        return out
+
+    def test_unigram_ce_matches_numpy_incl_oov_and_hygiene(self, spark, lm_docs):
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        raw = [(r.doc_id, r.tokens) for r in lm_docs.collect()]
+        fit_ids = {i for i, _ in raw if i % 2 == 0 and i < 40}
+        fit = LM.fit_unigram_lm(lm_docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 40)))
+        got = {r.doc_id: r for r in LM.lm_cross_entropy(lm_docs, fit).collect()}
+        want = self._numpy_ce(raw, fit_ids)
+        assert set(got) == set(want)  # 100/101 dropped, 102 kept (5,5 clean)
+        for i, (n, oov, ce) in want.items():
+            assert got[i].n_scored == n and got[i].oov_n == oov
+            assert abs(got[i].ce_nats - ce) < 1e-12
+            assert abs(got[i].ppl - __import__("math").exp(ce)) < 1e-9
+
+    def test_bigram_ce_matches_numpy(self, spark, lm_docs):
+        import math
+        from collections import Counter
+
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        raw = [(r.doc_id, r.tokens) for r in lm_docs.collect()]
+        clean = {
+            i: [t for t in (toks or []) if t is not None and t >= 0]
+            for i, toks in raw
+        }
+        fit_ids = {i for i in clean if i % 2 == 0 and i < 40}
+        uni = Counter(t for i in fit_ids for t in clean[i])
+        bi = Counter(
+            (a, b)
+            for i in fit_ids
+            for a, b in zip(clean[i], clean[i][1:])
+        )
+        T, V = sum(uni.values()), len(uni)
+        alpha, lam, res = 1.0, 0.7, 1
+        fit_df = LM.fit_unigram_lm(
+            lm_docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 40))
+        )
+        bi_df = LM.bigram_profile(
+            lm_docs.filter((F.col("doc_id") % 2 == 0) & (F.col("doc_id") < 40))
+        )
+        got = {
+            r.doc_id: r
+            for r in LM.lm_bigram_cross_entropy(lm_docs, fit_df, bi_df).collect()
+        }
+        for i, toks in clean.items():
+            if not toks:
+                continue
+            nll = 0.0
+            for pos, w in enumerate(toks):
+                p_u = (uni.get(w, 0) + alpha) / (T + alpha * (V + res))
+                if pos == 0:
+                    p = p_u
+                else:
+                    prev = toks[pos - 1]
+                    p_b = (bi.get((prev, w), 0) + alpha) / (
+                        uni.get(prev, 0) + alpha * (V + res)
+                    )
+                    p = lam * p_b + (1 - lam) * p_u
+                nll -= math.log(p)
+            assert abs(got[i].ce_nats - nll / len(toks)) < 1e-12, i
+
+    def test_bigram_profile_exact_pairs(self, spark):
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        df = spark.createDataFrame(
+            [(1, [1, 2, 1, 2]), (2, [2, 1]), (3, [7]), (4, [None, 1, -2, 2])],
+            "doc_id long, tokens array<long>",
+        )
+        got = {
+            (r.w1, r.w2): r["count"] for r in LM.bigram_profile(df).collect()
+        }
+        # doc 4 cleans to [1, 2] -> pair (1,2); doc 3 has no pair
+        assert got == {(1, 2): 3, (2, 1): 2}
+
+    def test_buckets_exact_and_threshold_paths_agree(self, spark, lm_docs):
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        fit = LM.fit_unigram_lm(lm_docs)
+        scored = LM.lm_cross_entropy(lm_docs, fit).cache()
+        exact = {
+            r.doc_id: r.bucket
+            for r in LM.lm_quality_buckets(scored, 3).collect()
+        }
+        n = len(exact)
+        from collections import Counter
+
+        sizes = Counter(exact.values())
+        assert set(sizes) == {1, 2, 3}
+        assert max(sizes.values()) - min(sizes.values()) <= 1
+        ts = LM.lm_bucket_thresholds(scored, 3, accuracy=100_000)
+        assert len(ts) == 2 and ts[0] <= ts[1]
+        approx = {
+            r.doc_id: r.bucket
+            for r in LM.lm_bucket_by_thresholds(scored, ts).collect()
+        }
+        # percentile_approx at this accuracy is exact on 41 rows up to
+        # boundary-tie placement: every document lands within one bucket
+        agree = sum(1 for i in exact if exact[i] == approx[i])
+        assert agree >= n - 2
+        assert all(abs(exact[i] - approx[i]) <= 1 for i in exact)
+
+    def test_driver_fixture_ordering_gaps_dwarf_float_error(self, spark):
+        """The lm_perplexity_buckets oracle compares ntile buckets, whose
+        engine-stability rests on score gaps >> the ~1e-13 cross-engine
+        float discrepancy (ln ulp + summation order).  Measure the gaps
+        on the EXACT adjudication input (sf0.01, doc_id < 400): the
+        minimum adjacent ce_nats gap must exceed 1e-9 — four orders of
+        magnitude of margin."""
+        import os
+
+        from ensembl_datacheck_spark.plans.entry_queries import (
+            _derived_tokens_col,
+        )
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", _derived_tokens_col().alias("tokens"))
+        )
+        fit = LM.fit_unigram_lm(d.filter(F.col("doc_id") % 2 == 0))
+        ces = sorted(
+            r.ce_nats for r in LM.lm_cross_entropy(d, fit).collect()
+        )
+        gaps = [b - a for a, b in zip(ces, ces[1:])]
+        assert min(gaps) > 1e-9, min(gaps)
+
+    def test_lm_plan_broadcasts_vocab_no_sort_merge(self, spark):
+        from tests.test_plans import plan_str
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        df = spark.range(200).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.col("id") % 11, F.col("id") % 5).cast("array<long>").alias("tokens"),
+        )
+        plan = plan_str(LM.lm_cross_entropy(df, LM.fit_unigram_lm(df)), "simple")
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+
+
+# --- DSIR importance resampling (operators/importance.py) -------------------
+
+
+class TestDsirImportance:
+    @pytest.fixture(scope="class")
+    def dsir_docs(self, spark):
+        rows = [
+            (i, "en" if i % 3 == 0 else "de",
+             [((i * 5 + j * 11) % 40) for j in range(4 + i % 5)])
+            for i in range(30)
+        ]
+        rows += [(200, "en", None), (201, "de", []), (202, "en", [None, -1, 3])]
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, tokens array<long>"
+        ).cache()
+
+    @staticmethod
+    def _numpy_weights(rows, target_pred, n_buckets, alpha=1.0):
+        import hashlib
+        import math
+        from collections import Counter
+
+        def bucket(g):
+            return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n_buckets
+
+        def feats(toks):
+            clean = [t for t in (toks or []) if t is not None and t >= 0]
+            if not clean:
+                return Counter()
+            grams = [str(w) for w in clean] + [
+                f"{a}_{b}" for a, b in zip(clean, clean[1:])
+            ]
+            return Counter(bucket(g) for g in grams)
+
+        bags = {i: feats(t) for i, lang, t in rows}
+        tc = Counter()
+        rc = Counter()
+        for i, lang, t in rows:
+            if target_pred(lang):
+                tc.update(bags[i])
+            rc.update(bags[i])
+        T, R = sum(tc.values()), sum(rc.values())
+        out = {}
+        for i, lang, t in rows:
+            bag = bags[i]
+            if not bag:
+                continue
+            s = sum(
+                c * (math.log(tc.get(f, 0) + alpha) - math.log(rc.get(f, 0) + alpha))
+                for f, c in bag.items()
+            )
+            n = sum(bag.values())
+            out[i] = (
+                n,
+                s + n * (math.log(R + alpha * n_buckets) - math.log(T + alpha * n_buckets)),
+            )
+        return out
+
+    def test_log_weights_match_numpy(self, spark, dsir_docs):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        rows = [(r.doc_id, r.lang, r.tokens) for r in dsir_docs.collect()]
+        feats = IMP.hashed_ngram_features(dsir_docs, n_buckets=128)
+        tc = IMP.feature_counts(
+            IMP.hashed_ngram_features(
+                dsir_docs.filter(F.col("lang") == "en"), n_buckets=128
+            )
+        )
+        rc = IMP.feature_counts(feats)
+        got = {
+            r.doc_id: r
+            for r in IMP.importance_log_weights(feats, tc, rc, 128).collect()
+        }
+        want = self._numpy_weights(rows, lambda lang: lang == "en", 128)
+        assert set(got) == set(want)  # 200/201 dropped; 202 cleans to [3]
+        for i, (n, lw) in want.items():
+            assert got[i].n_feat_obs == n, i
+            assert abs(got[i].log_weight - lw) < 1e-10, i
+
+    def test_target_slice_scores_higher_on_average(self, spark, dsir_docs):
+        """Sanity of the sign convention: documents FROM the target
+        slice must average a higher importance weight than the rest."""
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        feats = IMP.hashed_ngram_features(dsir_docs, n_buckets=128)
+        tc = IMP.feature_counts(
+            IMP.hashed_ngram_features(
+                dsir_docs.filter(F.col("lang") == "en"), n_buckets=128
+            )
+        )
+        w = IMP.importance_log_weights(
+            feats, tc, IMP.feature_counts(feats), 128
+        )
+        j = w.join(dsir_docs.select("doc_id", "lang"), "doc_id")
+        means = {
+            r.lang: r.m
+            for r in j.groupBy("lang").agg(F.avg("log_weight").alias("m")).collect()
+        }
+        assert means["en"] > means["de"]
+
+    def test_top_k_deterministic_and_ranked(self, spark, dsir_docs):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        feats = IMP.hashed_ngram_features(dsir_docs, n_buckets=128)
+        tc = IMP.feature_counts(
+            IMP.hashed_ngram_features(
+                dsir_docs.filter(F.col("lang") == "en"), n_buckets=128
+            )
+        )
+        w = IMP.importance_log_weights(feats, tc, IMP.feature_counts(feats), 128)
+        a = [(r.rank, r.doc_id) for r in IMP.select_top_k(w, 7).orderBy("rank").collect()]
+        b = [(r.rank, r.doc_id) for r in IMP.select_top_k(w, 7).orderBy("rank").collect()]
+        assert a == b and [r for r, _ in a] == list(range(1, 8))
+
+    def test_gumbel_deterministic_per_salt_and_weighted(self, spark, dsir_docs):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        feats = IMP.hashed_ngram_features(dsir_docs, n_buckets=128)
+        tc = IMP.feature_counts(
+            IMP.hashed_ngram_features(
+                dsir_docs.filter(F.col("lang") == "en"), n_buckets=128
+            )
+        )
+        w = IMP.importance_log_weights(
+            feats, tc, IMP.feature_counts(feats), 128
+        ).cache()
+        s1 = sorted(r.doc_id for r in IMP.gumbel_top_k(w, 6, salt="a").collect())
+        s1b = sorted(r.doc_id for r in IMP.gumbel_top_k(w, 6, salt="a").collect())
+        s2 = sorted(r.doc_id for r in IMP.gumbel_top_k(w, 6, salt="b").collect())
+        assert s1 == s1b
+        assert s1 != s2  # different salt, different draw (128-bit unlikely tie)
+
+    def test_driver_fixture_rank_boundary_gap(self, spark):
+        """dsir_topk's oracle compares a rank-60 cut; the cut is
+        engine-stable iff the weight gap at the boundary dwarfs the
+        ~1e-13 cross-engine float error.  Measure it on the exact
+        adjudication input."""
+        import os
+
+        from ensembl_datacheck_spark.plans.entry_queries import QUERIES, _t
+
+        sf = os.environ.get("SPARK_GRAFT_SF_DIR_TEST", "/root/testdata/sf0.01")
+        from ensembl_datacheck_spark.plans.entry_queries import (
+            _derived_tokens_col,
+        )
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        d = (
+            spark.read.parquet(f"{sf}/documents.parquet")
+            .filter(F.col("doc_id") < 400)
+            .select("doc_id", "lang", _derived_tokens_col().alias("tokens"))
+        )
+        feats = IMP.hashed_ngram_features(d, n_buckets=4096)
+        tc = IMP.feature_counts(
+            IMP.hashed_ngram_features(
+                d.filter(F.col("lang") == "en"), n_buckets=4096
+            )
+        )
+        w = IMP.importance_log_weights(feats, tc, IMP.feature_counts(feats), 4096)
+        ws = sorted((r.log_weight for r in w.collect()), reverse=True)
+        assert len(ws) > 61
+        assert ws[59] - ws[60] > 1e-9, ws[58:62]
+
+    def test_feature_hygiene_matches_numpy_bag(self, spark):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        df = spark.createDataFrame(
+            [(1, [5]), (2, [None, -1]), (3, None), (4, [])],
+            "doc_id long, tokens array<long>",
+        )
+        rows = IMP.hashed_ngram_features(df, n_buckets=16).collect()
+        # only doc 1 survives (doc 2 cleans to empty); single token -> one
+        # unigram feature with cnt 1
+        assert len(rows) == 1 and rows[0].doc_id == 1 and rows[0].cnt == 1
+
+    def test_scoring_plan_broadcasts_both_profiles(self, spark):
+        from tests.test_plans import plan_str
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        df = spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.col("id") % 13, F.col("id") % 7).cast("array<long>").alias("tokens"),
+        )
+        feats = IMP.hashed_ngram_features(df, n_buckets=64)
+        tc = IMP.feature_counts(
+            IMP.hashed_ngram_features(df.filter(F.col("doc_id") < 20), n_buckets=64)
+        )
+        plan = plan_str(
+            IMP.importance_log_weights(feats, tc, IMP.feature_counts(feats), 64),
+            "simple",
+        )
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
