@@ -82,6 +82,18 @@ def entry(spark: SparkSession) -> DataFrame:
 # ann_lsh_topk (hyperplane-bucket shape ⊂ embedding_near_duplicates'
 # LSH bucketing + ann_ivf_topk's bucketed top-k).  All five displaced
 # queries remain oracle-green in tests/test_oracle_parity.py.
+# Session-2 round-5 rotation: the LM/selection operators —
+# lm_perplexity_buckets_documents (CCNet-style LM quality bucketing:
+# broadcast-vocab scoring + engine-stable ntile ranking) and
+# dsir_topk_documents (DSIR hashed-ngram importance top-k) — replace
+# two entries whose shape a remaining window row still proves:
+# token_rarity_documents (explode→broadcast-vocab-join→per-doc agg ⊂
+# lm_perplexity_buckets' identical scoring join, which adds the
+# ranking stage) and source_unigram_divergence_documents (two-profile
+# distribution compare ⊂ token_unigram_drift_halves' full-outer
+# profile compare; DSIR is the same two-profile family applied
+# per-document).  Both displaced queries remain oracle-green in
+# tests/test_oracle_parity.py.
 DRIVER_WINDOW = [
     "fk_lineitem_orders",
     "uniqueness_orders",
@@ -113,11 +125,11 @@ DRIVER_WINDOW = [
     "shingle_novelty_documents",
     "simhash_near_duplicates",
     "ann_bruteforce_topk",
-    "source_unigram_divergence_documents",
+    "dsir_topk_documents",
     "ann_ivf_topk",
     "embedding_near_duplicates",
     "multimodal_image_features",
-    "token_rarity_documents",
+    "lm_perplexity_buckets_documents",
     "dedup_clusters_exact",
     "token_unigram_drift_halves",
     "token_snapshot_diff_documents",

@@ -122,6 +122,8 @@ def test_driver_window_is_oracle_backed_and_covers_new_operators():
         "leakage_safe_split_documents", "upsample_sources_documents",
         # late round-5 swap: payload-axis decontamination
         "token_contamination_eval_vs_train",
+        # session-2 rotation: LM quality bucketing + DSIR selection
+        "lm_perplexity_buckets_documents", "dsir_topk_documents",
     }
     # thin shape-duplicates rotated out during round 5 — their window
     # twins are noted in __spark_entry__.py; all stay oracle-backed
@@ -134,6 +136,9 @@ def test_driver_window_is_oracle_backed_and_covers_new_operators():
         "pii_summary_documents", "session_stats_events",
         # word-shingle twin of token_contamination_eval_vs_train
         "contamination_eval_vs_train",
+        # scoring-join twin of lm_perplexity_buckets_documents and
+        # two-profile twin of token_unigram_drift_halves / dsir_topk
+        "token_rarity_documents", "source_unigram_divergence_documents",
     }
     promoted -= demoted
     assert promoted <= set(win)
