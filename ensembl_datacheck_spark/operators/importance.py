@@ -137,6 +137,12 @@ def importance_log_weights(
     log_weight DOUBLE).  Both count tables are broadcast (≤ B rows by
     construction).
     """
+    if alpha <= 0:
+        raise ValueError(
+            f"alpha must be > 0 (got {alpha}): unsmoothed ln(0) on an "
+            "unseen feature evaluates to NULL and silently drops from "
+            "the weight sum"
+        )
     id_col = raw_features.columns[0]
     t = F.broadcast(
         target_counts.select(

@@ -122,6 +122,12 @@ def lm_cross_entropy(
     ``broadcast_vocab`` keeps the token→count join map-side; set False
     only for a pathological billion-row vocabulary.
     """
+    if alpha <= 0:
+        raise ValueError(
+            f"alpha must be > 0 (got {alpha}): add-α smoothing with "
+            "α<=0 gives ln(0) for unseen tokens, which Spark evaluates "
+            "to NULL and silently drops from the sum"
+        )
     v = vocab.select(
         F.col("token").alias("__v_token"), F.col("count").alias("__v_count")
     )
@@ -186,6 +192,8 @@ def lm_bigram_cross_entropy(
     against a numpy reference in pytest (log-form ⇒ no SQL oracle; the
     unigram tier's bucket query is the oracle-facing twin).
     """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha})")
     clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull() & (t >= 0))
     base = (
         docs.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
@@ -258,6 +266,104 @@ def lm_bigram_cross_entropy(
     )
 
 
+def lm_cross_entropy_arrow(
+    docs: DataFrame,
+    vocab: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    alpha: float = 1.0,
+    oov_reserve: int = 1,
+) -> DataFrame:
+    """Row-local Arrow tier of ``lm_cross_entropy`` — the STREAMING-safe
+    scoring path, and the same schema/hygiene as the join tier.
+
+    The join tier's per-document aggregation after the explode is a
+    stateful aggregate on a stream (unbounded keys ⇒ unbounded state).
+    This tier instead collects the LM to the driver ONCE — bounded by
+    vocabulary size, ≤2^18 rows for any real BPE/unigram-LM vocabulary,
+    the same bound that justifies the join tier's broadcast — and scores
+    each document inside its own row via ``mapInPandas``: a sorted-array
+    ``searchsorted`` lookup over the flattened batch, ``add.reduceat``
+    per-document folds.  Stateless per micro-batch, so it runs under
+    Structured Streaming with zero streaming state (the
+    snapshot_equality_stream design point, streaming/validate.py).
+
+    Float caveat: numpy's ``log`` and the JVM's ``Math.log`` differ in
+    the last ulp, and the per-document summation orders differ, so the
+    tiers agree to ~1e-12 relative, not bit-for-bit (parity pinned in
+    tests at 1e-9).  NULL elements are compacted JVM-side (Arrow would
+    otherwise deliver dtype=object arrays — the unigram_profile
+    convention); negatives are dropped numpy-side.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha})")
+    import math
+
+    import numpy as np
+
+    rows = vocab.collect()  # bounded by vocab size (module docstring)
+    v_toks = np.array([r["token"] for r in rows], dtype=np.int64)
+    v_cnts = np.array([r["count"] for r in rows], dtype=np.float64)
+    order = np.argsort(v_toks)
+    v_toks, v_cnts = v_toks[order], v_cnts[order]
+    t_total, v_size = float(v_cnts.sum()) if len(rows) else 0.0, len(rows)
+    denom_ln = math.log(t_total + alpha * (v_size + oov_reserve))
+    ln_alpha = math.log(alpha)
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            arrs = [
+                np.asarray(a, dtype=np.int64) for a in pdf[tokens_col]
+            ]
+            arrs = [a[a >= 0] for a in arrs]
+            keep = [i for i, a in enumerate(arrs) if a.size > 0]
+            if not keep:
+                continue
+            ids = pdf[id_col].to_numpy()[keep]
+            lens = np.array([arrs[i].size for i in keep], dtype=np.int64)
+            flat = np.concatenate([arrs[i] for i in keep])
+            if v_size:
+                idx = np.searchsorted(v_toks, flat)
+                idx_c = np.clip(idx, 0, v_size - 1)
+                matched = v_toks[idx_c] == flat
+                lnv = np.where(
+                    matched, np.log(v_cnts[idx_c] + alpha), ln_alpha
+                )
+            else:
+                matched = np.zeros(flat.size, dtype=bool)
+                lnv = np.full(flat.size, ln_alpha)
+            offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+            oov = np.add.reduceat((~matched).astype(np.int64), offs)
+            sums = np.add.reduceat(lnv, offs)
+            ce = denom_ln - sums / lens
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "n_scored": lens,
+                    "oov_n": oov,
+                    "ce_nats": ce,
+                    "ppl": np.exp(ce),
+                }
+            )
+
+    id_type = dict(docs.dtypes)[id_col]
+    return (
+        docs.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+        .select(id_col, F.array_compact(tokens_col).alias(tokens_col))
+        .mapInPandas(
+            score,
+            schema=(
+                f"{id_col} {id_type}, n_scored long, oov_n long, "
+                "ce_nats double, ppl double"
+            ),
+        )
+    )
+
+
 def lm_quality_buckets(
     scored: DataFrame,
     n_buckets: int = 3,
@@ -293,6 +399,10 @@ def lm_bucket_thresholds(
     row = scored.agg(
         F.percentile_approx(score_col, qs, accuracy).alias("t")
     ).collect()[0]
+    if row["t"] is None:
+        raise ValueError(
+            "cannot derive bucket thresholds from an empty scored table"
+        )
     return [float(t) for t in row["t"]]
 
 

@@ -285,3 +285,41 @@ def snapshot_equality_stream(
         F.size(tokens_col).alias("n_tok_cur"),
         F.size("__snap_toks").alias("n_tok_snap"),
     ).filter(F.col("diff_kind").isNotNull())
+
+
+def lm_outliers_stream(
+    stream: DataFrame,
+    vocab: DataFrame,
+    max_ce_nats: float,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    min_scored: int = 20,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Streaming twin of the LmPerplexityOutliers check: score ARRIVING
+    documents against a STATIC LM snapshot (a (token, count) vocabulary
+    fitted on the accepted corpus) and emit the rows whose cross-entropy
+    breaches ``max_ce_nats`` — quality filtering on data as it lands
+    instead of in a nightly batch sweep.
+
+    The threshold is a fixed literal, not the stream's own median: a
+    quantile of an unbounded stream is undecidable without state, and
+    CCNet itself precomputes per-language cut points once and reuses
+    them for the whole crawl (operators/lm.py lm_bucket_thresholds is
+    the batch stage that produces ``max_ce_nats`` — e.g. median + margin
+    from the check, or a head/tail cut point).
+
+    Scale shape: ``lm_cross_entropy_arrow`` is stateless per micro-batch
+    (the LM rides inside the task closure, bounded by vocab size;
+    mapInPandas + a row-local filter, zero streaming state, append-mode
+    safe).  Batch parity with the join-tier scorer is pinned in tests at
+    1e-9 (numpy/JVM log ulp — lm.py docstring).
+    """
+    from ensembl_datacheck_spark.operators.lm import lm_cross_entropy_arrow
+
+    scored = lm_cross_entropy_arrow(
+        stream, vocab, id_col=id_col, tokens_col=tokens_col, alpha=alpha
+    )
+    return scored.filter(
+        (F.col("n_scored") >= min_scored) & (F.col("ce_nats") > max_ce_nats)
+    )

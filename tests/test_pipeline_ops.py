@@ -1939,3 +1939,144 @@ class TestDsirImportance:
         )
         assert plan.count("BroadcastHashJoin") >= 2
         assert "SortMergeJoin" not in plan
+
+
+class TestLmArrowTierAndStream:
+    def test_arrow_tier_matches_join_tier(self, spark):
+        """Same rows, same integer columns, doubles within 1e-9 (numpy
+        vs JVM log ulp + summation order — lm.py docstring)."""
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        rows = [
+            (i, [((i * 7 + j * 13) % 50) for j in range(5 + i % 7)])
+            for i in range(40)
+        ] + [(100, None), (101, []), (102, [None, -3, 5, 5])]
+        df = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+        fit = LM.fit_unigram_lm(df.filter(F.col("doc_id") % 2 == 0))
+        jvm = {r.doc_id: r for r in LM.lm_cross_entropy(df, fit).collect()}
+        arrow = {
+            r.doc_id: r for r in LM.lm_cross_entropy_arrow(df, fit).collect()
+        }
+        assert set(jvm) == set(arrow)
+        for i in jvm:
+            assert jvm[i].n_scored == arrow[i].n_scored
+            assert jvm[i].oov_n == arrow[i].oov_n
+            assert abs(jvm[i].ce_nats - arrow[i].ce_nats) < 1e-9
+            assert abs(jvm[i].ppl - arrow[i].ppl) < 1e-6
+
+    def test_arrow_tier_batch_independent(self, spark):
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        df = spark.range(60).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.col("id") % 9, F.col("id") % 4, F.col("id") % 13)
+            .cast("array<long>")
+            .alias("tokens"),
+        )
+        fit = LM.fit_unigram_lm(df)
+        one = {
+            r.doc_id: r.ce_nats
+            for r in LM.lm_cross_entropy_arrow(df.coalesce(1), fit).collect()
+        }
+        many = {
+            r.doc_id: r.ce_nats
+            for r in LM.lm_cross_entropy_arrow(df.repartition(7), fit).collect()
+        }
+        assert one == many  # bit-identical: math is row-local
+
+    def test_arrow_tier_empty_vocab_all_oov(self, spark):
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        df = spark.createDataFrame(
+            [(1, [3, 4])], "doc_id long, tokens array<long>"
+        )
+        empty = LM.fit_unigram_lm(
+            spark.createDataFrame([], "doc_id long, tokens array<long>")
+        )
+        [r] = LM.lm_cross_entropy_arrow(df, empty).collect()
+        # T=0, V=0: ce = ln(alpha*reserve) - ln(alpha) = 0 for alpha=1
+        assert r.oov_n == 2 and abs(r.ce_nats) < 1e-12
+
+    def test_alpha_guards(self, spark):
+        from ensembl_datacheck_spark.operators import importance as IMP
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        df = spark.createDataFrame(
+            [(1, [3, 4])], "doc_id long, tokens array<long>"
+        )
+        fit = LM.fit_unigram_lm(df)
+        with pytest.raises(ValueError, match="alpha"):
+            LM.lm_cross_entropy(df, fit, alpha=0.0)
+        with pytest.raises(ValueError, match="alpha"):
+            LM.lm_cross_entropy_arrow(df, fit, alpha=-1.0)
+        with pytest.raises(ValueError, match="alpha"):
+            LM.lm_bigram_cross_entropy(df, fit, LM.bigram_profile(df), alpha=0)
+        feats = IMP.hashed_ngram_features(df, n_buckets=8)
+        with pytest.raises(ValueError, match="alpha"):
+            IMP.importance_log_weights(
+                feats, IMP.feature_counts(feats), IMP.feature_counts(feats),
+                8, alpha=0.0,
+            )
+
+    def test_empty_scored_thresholds_raise(self, spark):
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        empty = spark.createDataFrame(
+            [], "doc_id long, n_scored long, oov_n long, "
+            "ce_nats double, ppl double"
+        )
+        with pytest.raises(ValueError, match="empty"):
+            LM.lm_bucket_thresholds(empty, 3)
+
+    def test_lm_outliers_stream_matches_batch_check_filter(
+        self, spark, tmp_path
+    ):
+        """Stream the corpus through lm_outliers_stream against a static
+        LM with a fixed threshold: the emitted doc set must equal the
+        batch join-tier filter at the same threshold (the
+        LmPerplexityOutliers predicate with a precomputed cut point)."""
+        from ensembl_datacheck_spark.operators import lm as LM
+        from ensembl_datacheck_spark.streaming import lm_outliers_stream
+
+        healthy = spark.range(60).selectExpr(
+            "id AS doc_id",
+            "transform(sequence(1, 30), i -> CAST((id + i) % 11 AS BIGINT))"
+            " AS tokens",
+        )
+        outlier = spark.sql(
+            "SELECT CAST(9999 AS BIGINT) AS doc_id, "
+            "transform(sequence(1, 30), i -> CAST(9000 + i AS BIGINT))"
+            " AS tokens"
+        )
+        cur = healthy.unionAll(outlier)
+        fit = LM.fit_unigram_lm(cur)
+        med = LM.lm_bucket_thresholds(
+            LM.lm_cross_entropy(cur, fit), 2, accuracy=100_000
+        )[0]
+        thresh = med + 3.0
+
+        batch_expected = {
+            r.doc_id
+            for r in LM.lm_cross_entropy(cur, fit)
+            .filter((F.col("n_scored") >= 20) & (F.col("ce_nats") > thresh))
+            .collect()
+        }
+        assert batch_expected == {9999}
+
+        src = tmp_path / "lm_src"
+        cur.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(cur.schema).parquet(str(src))
+        out = lm_outliers_stream(stream, fit, max_ce_nats=thresh)
+        q = (
+            out.writeStream.format("memory").queryName("lm_stream")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.doc_id
+                for r in spark.sql("select * from lm_stream").collect()
+            }
+        finally:
+            q.stop()
+        assert got == batch_expected
