@@ -1029,11 +1029,14 @@ def token_rarity_profile(ctx):
     "every sequence with at least config[lm_min_scored] scoreable "
     "tokens (default 20) is scored by cross-entropy, and any scoring "
     "more than config[lm_outlier_margin_nats] (default 3.0) nats above "
-    "the corpus median — i.e. ppl more than e^margin times the median "
-    "— is emitted as a violation row (the per-row outlier-diagnostic "
-    "shape, Test/DataCheck.pm:283-365).  The margin is in nats, so the "
-    "verdict is scale-free: the same distribution pair passes or fails "
-    "identically at any corpus size (the chi2_min_effect_l1 lesson).  "
+    "that scored population's median — i.e. ppl more than e^margin "
+    "times the median — is emitted as a violation row (the per-row "
+    "outlier-diagnostic shape, Test/DataCheck.pm:283-365).  The margin "
+    "is in nats, so the verdict is scale-free: the same distribution "
+    "pair passes or fails identically at any corpus size (the "
+    "chi2_min_effect_l1 lesson); and the median comes from the same "
+    ">= lm_min_scored population the rule judges, so short-doc floods "
+    "cannot drag the cut point.  "
     "Whole-corpus token scan + broadcast-vocab join + one "
     "percentile_approx aggregate, so on-demand like the other "
     "token-payload sweeps; the vocab and the scored table are "
@@ -1057,18 +1060,26 @@ def lm_perplexity_outliers(ctx):
     vocab = D.unigram_profile(seq).persist(StorageLevel.MEMORY_AND_DISK)
     scored = None
     try:
-        scored = LM.lm_cross_entropy(seq, vocab).persist(
-            StorageLevel.MEMORY_AND_DISK
+        scored = (
+            LM.lm_cross_entropy(seq, vocab)
+            # the verdict population IS the scored population: the
+            # median must come from the same >= min_scored documents
+            # the outlier rule judges, or a flood of short OOV-heavy
+            # docs would drag the cut point and mask real outliers
+            .filter(F.col("n_scored") >= min_scored)
+            .persist(StorageLevel.MEMORY_AND_DISK)
         )
         med_row = scored.agg(
             F.percentile_approx("ce_nats", 0.5).alias("m")
         ).collect()[0]
         med = med_row["m"]
         if med is None:
-            ctx.skip("no scoreable sequences (empty/NULL token arrays)")
+            ctx.skip(
+                f"no sequences with >= {min_scored} scoreable tokens "
+                "(empty/NULL/short token arrays)"
+            )
         viol = scored.filter(
-            (F.col("n_scored") >= min_scored)
-            & (F.col("ce_nats") > med + margin)
+            F.col("ce_nats") > med + margin
         ).select("doc_id", "n_scored", "oov_n", "ce_nats", "ppl")
         ctx.record(
             A.is_rows_zero(viol, "lm_perplexity_outliers"), key_col="doc_id"

@@ -60,13 +60,12 @@ __all__ = [
 ]
 
 
-def _portable_bucket(col, n_buckets: int):
-    """md5-first-8-hex → BIGINT → mod n_buckets (non-negative) — the
-    repo's engine-portable hash (entry_queries._derived_tokens_col kin)."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long"),
-        F.lit(n_buckets),
-    )
+# ONE portable-hash definition repo-wide: corpus.split_bucket is the
+# identical md5-first-8-hex-mod-n expression (its cast-to-string is a
+# no-op on the string gram column).  Re-implementing it here would let
+# the two engine-portability-critical hashes drift independently and
+# silently break oracle parity.
+from ensembl_datacheck_spark.operators.corpus import split_bucket as _portable_bucket  # noqa: E402,E501
 
 
 def hashed_ngram_features(
@@ -86,6 +85,12 @@ def hashed_ngram_features(
     ``w1 || '_' || w2`` for bigrams — the exact strings the SQL oracle
     rebuilds.  ``cnt`` is the exact BIGINT occurrence count of the
     feature in the document (DSIR's bag-of-hashed-ngrams).
+
+    The ``feat`` column carries ``n_buckets`` as column METADATA, so
+    downstream consumers (``importance_log_weights``) recover the
+    hashing width from the schema instead of trusting the caller to
+    repeat the same number — a silently-wrong B mis-normalizes every
+    weight.
     """
     clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull() & (t >= 0))
     base = (
@@ -105,7 +110,10 @@ def hashed_ngram_features(
     return (
         base.select(F.col(id_col), F.explode(grams).alias("__gram"))
         .select(
-            id_col, _portable_bucket(F.col("__gram"), n_buckets).alias("feat")
+            id_col,
+            _portable_bucket(F.col("__gram"), n_buckets).alias(
+                "feat", metadata={"n_buckets": n_buckets}
+            ),
         )
         .groupBy(id_col, "feat")
         .agg(F.count(F.lit(1)).alias("cnt"))
@@ -122,8 +130,9 @@ def importance_log_weights(
     raw_features: DataFrame,
     target_counts: DataFrame,
     raw_counts: DataFrame,
-    n_buckets: int,
+    n_buckets: int | None = None,
     alpha: float = 1.0,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Per-document DSIR importance log-weight.
 
@@ -132,6 +141,12 @@ def importance_log_weights(
     under the smoothed target vs raw models (B = n_buckets; T, R =
     total target/raw feature observations, re-aggregated lazily so the
     whole score is ONE plan).
+
+    ``n_buckets`` defaults to the hashing width that
+    ``hashed_ngram_features`` recorded as column metadata on ``feat`` —
+    pass it explicitly only for feature frames built elsewhere, and if
+    both are present they must agree (a silently-wrong B shifts every
+    weight by an n-dependent amount and reorders the selection).
 
     Output: (id, n_feat_obs BIGINT — Σ c_f, the bag size;
     log_weight DOUBLE).  Both count tables are broadcast (≤ B rows by
@@ -143,7 +158,29 @@ def importance_log_weights(
             "unseen feature evaluates to NULL and silently drops from "
             "the weight sum"
         )
-    id_col = raw_features.columns[0]
+    if id_col not in raw_features.columns:
+        raise ValueError(
+            f"id_col {id_col!r} not in features columns "
+            f"{raw_features.columns} — pass the id column "
+            "hashed_ngram_features was built with"
+        )
+    meta_b = None
+    if "feat" in raw_features.columns:
+        meta_b = raw_features.schema["feat"].metadata.get("n_buckets")
+    if n_buckets is None:
+        if meta_b is None:
+            raise ValueError(
+                "n_buckets not given and the feat column carries no "
+                "n_buckets metadata (features not built by "
+                "hashed_ngram_features?) — pass n_buckets explicitly"
+            )
+        n_buckets = int(meta_b)
+    elif meta_b is not None and int(meta_b) != int(n_buckets):
+        raise ValueError(
+            f"n_buckets={n_buckets} disagrees with the hashing width "
+            f"{meta_b} recorded on the feat column — the normalization "
+            "term would use the wrong B and mis-rank every document"
+        )
     t = F.broadcast(
         target_counts.select(
             F.col("feat").alias("__t_feat"), F.col("count").alias("__t_cnt")

@@ -51,6 +51,7 @@ __all__ = [
     "fit_unigram_lm",
     "bigram_profile",
     "lm_cross_entropy",
+    "lm_cross_entropy_arrow",
     "lm_bigram_cross_entropy",
     "lm_quality_buckets",
     "lm_bucket_thresholds",
@@ -395,13 +396,21 @@ def lm_bucket_thresholds(
     one aggregate over the scored table, error ≤ 1/accuracy of rank.
     CCNet does exactly this once per language and reuses the thresholds
     for the whole crawl."""
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1 (got {n_buckets})")
+    if n_buckets == 1:
+        # one bucket needs no cut points (percentile_approx with an
+        # empty quantile list returns NULL, not []) — and
+        # lm_bucket_by_thresholds([]) correctly assigns bucket 1
+        return []
     qs = [i / n_buckets for i in range(1, n_buckets)]
     row = scored.agg(
         F.percentile_approx(score_col, qs, accuracy).alias("t")
     ).collect()[0]
     if row["t"] is None:
         raise ValueError(
-            "cannot derive bucket thresholds from an empty scored table"
+            f"cannot derive bucket thresholds: no non-NULL {score_col!r} "
+            "values (empty scored table, or every score is NULL)"
         )
     return [float(t) for t in row["t"]]
 

@@ -599,6 +599,37 @@ def test_lm_perplexity_outliers_flags_implausible_doc(spark):
     assert any("bad_0000" in str(d) for d in by["lm_perplexity_outliers"].diag)
 
 
+def test_lm_perplexity_outliers_median_ignores_short_docs(spark):
+    """The cut point comes from the >= lm_min_scored population, not the
+    whole corpus: a flood of SHORT OOV-heavy docs (high ce, each under
+    min_scored) must not drag the median up and mask a genuine long-doc
+    outlier."""
+    long_fluent = spark.range(40).selectExpr(
+        "format_string('doc_%04d', id) AS doc_id",
+        "transform(sequence(1, 30), i -> CAST((id + i) % 7 AS INT)) AS tokens",
+        "30 AS n_tok", "'web' AS source",
+    )
+    # 200 short docs of unique hapax tokens: high ce, n_scored=5 < 20
+    short_noise = spark.range(200).selectExpr(
+        "format_string('noise_%04d', id) AS doc_id",
+        "transform(sequence(1, 5), i -> CAST(50000 + id * 10 + i AS INT)) AS tokens",
+        "5 AS n_tok", "'web' AS source",
+    )
+    long_outlier = spark.sql(
+        "SELECT 'bad_0000' AS doc_id, "
+        "transform(sequence(1, 30), i -> CAST(90000 + i AS INT)) AS tokens, "
+        "30 AS n_tok, 'web' AS source"
+    )
+    res = _run_one(
+        spark, "LmPerplexityOutliers",
+        {"sequences": long_fluent.unionAll(short_noise).unionAll(long_outlier)},
+    )
+    assert res.status == Status.FAIL
+    by = {a.name: a for a in res.assertions}
+    assert by["lm_perplexity_outliers"].got == 1
+    assert any("bad_0000" in str(d) for d in by["lm_perplexity_outliers"].diag)
+
+
 def test_lm_perplexity_outliers_skips_empty_corpus(spark):
     df = spark.sql(
         "SELECT 'd1' AS doc_id, CAST(NULL AS ARRAY<INT>) AS tokens, "

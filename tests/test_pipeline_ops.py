@@ -2080,3 +2080,68 @@ class TestLmArrowTierAndStream:
         finally:
             q.stop()
         assert got == batch_expected
+
+
+class TestReviewRegressionsLmDsir:
+    def test_weights_infer_n_buckets_from_feature_metadata(self, spark):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        df = spark.createDataFrame(
+            [(1, [3, 4, 5]), (2, [3, 9])], "doc_id long, tokens array<long>"
+        )
+        feats = IMP.hashed_ngram_features(df, n_buckets=64)
+        tc = IMP.feature_counts(feats)
+        explicit = {
+            r.doc_id: r.log_weight
+            for r in IMP.importance_log_weights(feats, tc, tc, 64).collect()
+        }
+        inferred = {
+            r.doc_id: r.log_weight
+            for r in IMP.importance_log_weights(feats, tc, tc).collect()
+        }
+        assert explicit == inferred
+
+    def test_weights_reject_mismatched_n_buckets(self, spark):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        df = spark.createDataFrame(
+            [(1, [3, 4])], "doc_id long, tokens array<long>"
+        )
+        feats = IMP.hashed_ngram_features(df, n_buckets=128)
+        tc = IMP.feature_counts(feats)
+        with pytest.raises(ValueError, match="disagrees"):
+            IMP.importance_log_weights(feats, tc, tc, 4096)
+
+    def test_weights_reject_missing_id_col(self, spark):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        df = spark.createDataFrame(
+            [(1, [3, 4])], "item_id long, tokens array<long>"
+        )
+        feats = IMP.hashed_ngram_features(df, id_col="item_id", n_buckets=8)
+        tc = IMP.feature_counts(feats)
+        with pytest.raises(ValueError, match="id_col"):
+            IMP.importance_log_weights(feats, tc, tc, 8)  # default doc_id
+        ok = IMP.importance_log_weights(feats, tc, tc, 8, id_col="item_id")
+        assert ok.columns[0] == "item_id"
+
+    def test_single_bucket_thresholds_empty_cutpoints(self, spark):
+        from ensembl_datacheck_spark.operators import lm as LM
+
+        scored = spark.createDataFrame(
+            [(1, 5, 0, 2.0, 7.4), (2, 5, 0, 3.0, 20.1)],
+            "doc_id long, n_scored long, oov_n long, ce_nats double, ppl double",
+        )
+        assert LM.lm_bucket_thresholds(scored, 1) == []
+        b = LM.lm_bucket_by_thresholds(scored, [])
+        assert {r.bucket for r in b.collect()} == {1}
+        with pytest.raises(ValueError, match="n_buckets"):
+            LM.lm_bucket_thresholds(scored, 0)
+
+    def test_portable_bucket_is_split_bucket(self):
+        """ONE portable-hash definition repo-wide: the DSIR feature
+        hash must BE corpus.split_bucket, not a lookalike."""
+        from ensembl_datacheck_spark.operators import importance as IMP
+        from ensembl_datacheck_spark.operators.corpus import split_bucket
+
+        assert IMP._portable_bucket is split_bucket
