@@ -412,6 +412,79 @@ def source_budget_mix(
     )
 
 
+def temperature_source_sample(
+    df: DataFrame,
+    id_col: str,
+    source_col: str,
+    tau: float = 0.5,
+    weight_col: str | None = None,
+    buckets: int = 10_000,
+) -> DataFrame:
+    """Temperature-flattened source down-sampling — the multilingual-LM
+    mixing rule (temperature/alpha sampling of mC4 / XLM-R, Xue et al.
+    2021 arXiv:2010.11934, Conneau et al. 2020 arXiv:1911.02116 —
+    public): expected kept mass per source ∝ total_s^τ, anchored so the
+    SMALLEST source is kept whole and larger ones are thinned by
+    ``rate_s = (min_total / total_s)^(1-τ)`` — τ=1 keeps everything
+    (natural mix), τ→0 flattens toward uniform across sources.
+
+    Mass is row count (``weight_col=None``) or an integer weight column
+    (chars/tokens) summed EXACTLY per source.  The keep decision is the
+    same deterministic md5-bucket threshold as ``source_budget_mix``
+    (nested: raising τ only adds rows for every source, since rate is
+    monotone in τ), NULL sources meet their own totals row via the
+    null-safe join, and a source with NULL/non-positive total keeps all
+    rows rather than silently vanishing.
+
+    Engine-portability note (why the default is τ=0.5): rate =
+    sqrt(min_total / total) is ONE correctly-rounded IEEE division and
+    ONE correctly-rounded sqrt of exact BIGINTs — bit-identical in any
+    engine, with NO cross-source float sum (the usual Σ p_t^τ
+    normalizer is summation-order-dependent; anchoring at the min
+    avoids it).  Other τ go through pow(), which engines round
+    differently in the last ulp — fine for production, not for a
+    hash-exact oracle.
+
+    Scale shape: one map-side-combinable per-source aggregate (#sources
+    rows), a 1-row min broadcast-crossed back, rates joined as a
+    BROADCAST, keep decision a pure projection+filter — no wide
+    shuffle, no sort, skew-free (the source_budget_mix plan).
+    """
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    if not (0.0 <= tau <= 1.0):
+        raise ValueError(f"tau must be in [0, 1], got {tau}")
+    mass = F.count(F.lit(1)) if weight_col is None else F.sum(weight_col)
+    totals = df.groupBy(source_col).agg(mass.cast("long").alias("__total"))
+    mn = totals.filter(F.col("__total") > 0).agg(
+        F.min("__total").alias("__wmin")
+    )
+    ratio = F.col("__wmin").cast("double") / F.col("__total").cast("double")
+    if tau == 0.5:
+        rate = F.sqrt(ratio)
+    elif tau == 1.0:
+        rate = F.lit(1.0)
+    else:
+        rate = F.pow(ratio, 1.0 - tau)
+    cut = F.when(
+        F.col("__total").isNull()
+        | (F.col("__total") <= 0)
+        | F.col("__wmin").isNull(),
+        F.lit(buckets),
+    ).otherwise(F.floor(rate * buckets))
+    rates = totals.crossJoin(F.broadcast(mn)).select(
+        F.col(source_col).alias("__ts_src"), cut.cast("long").alias("__cut")
+    )
+    return (
+        df.join(
+            F.broadcast(rates),
+            F.col(source_col).eqNullSafe(F.col("__ts_src")),
+        )
+        .filter(split_bucket(id_col, buckets) < F.col("__cut"))
+        .drop("__ts_src", "__cut")
+    )
+
+
 def source_budget_trim(
     df: DataFrame,
     id_col: str,

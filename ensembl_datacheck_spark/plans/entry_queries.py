@@ -4006,3 +4006,51 @@ def dsir_topk_documents(spark, sf_dir):
     return IMP.select_top_k(w, 60).select(
         "rank", F.col("doc_id").cast("long").alias("doc_id"), "n_feat_obs"
     )
+
+
+@q(
+    "temperature_sample_documents",
+    """
+    WITH docs AS (
+      SELECT doc_id, source, n_chars FROM documents WHERE doc_id < 400
+    ),
+    tot AS (
+      SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+      FROM docs GROUP BY source
+    ),
+    mn AS (SELECT min(w) AS wmin FROM tot WHERE w > 0),
+    rates AS (
+      SELECT source,
+             CASE WHEN w IS NULL OR w <= 0 OR wmin IS NULL THEN 10000
+                  ELSE CAST(floor(sqrt(CAST(wmin AS DOUBLE)
+                                       / CAST(w AS DOUBLE)) * 10000)
+                            AS BIGINT)
+             END AS cut
+      FROM tot CROSS JOIN mn
+    )
+    SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
+    FROM docs d JOIN rates r ON d.source = r.source
+    WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 10000 < r.cut
+    """,
+)
+def temperature_sample_documents(spark, sf_dir):
+    """Temperature-flattened source sampling
+    (corpus.temperature_source_sample, τ=0.5 — the mC4/XLM-R mixing
+    rule) over documents doc_id < 400 weighted by n_chars: the
+    smallest source keeps everything, larger ones thin by
+    sqrt(min_total/total) via the md5-bucket threshold.  Every float
+    step is a single correctly-rounded IEEE op on exact BIGINTs
+    (division, sqrt, ×10000, floor) — no cross-source float sum — so
+    the kept set is bit-identical in any engine and the oracle
+    replays it row-for-row."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 400).select(
+        "doc_id", "source", "n_chars"
+    )
+    kept = corpus.temperature_source_sample(
+        d, "doc_id", "source", tau=0.5, weight_col="n_chars"
+    )
+    return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "source")

@@ -553,3 +553,92 @@ def test_pack_sequences_null_weight_zero_width_placement(spark):
         for r in rows_:
             assert r["bin"] == pos // 16 and r["offset"] == pos % 16, r
             pos += r["w"] or 0
+
+
+class TestTemperatureSourceSample:
+    @pytest.fixture(scope="class")
+    def mix(self, spark):
+        # small: 10 docs, mid: 40, big: 160 — temperature should keep
+        # small whole and thin big hardest
+        rows = (
+            [(i, "small") for i in range(10)]
+            + [(100 + i, "mid") for i in range(40)]
+            + [(1000 + i, "big") for i in range(160)]
+        )
+        return spark.createDataFrame(rows, "doc_id long, source string").cache()
+
+    def test_smallest_source_kept_whole_and_rates_flatten(self, spark, mix):
+        kept = corpus.temperature_source_sample(mix, "doc_id", "source")
+        by = {
+            r.source: r.n
+            for r in kept.groupBy("source").agg(F.count("*").alias("n")).collect()
+        }
+        assert by["small"] == 10  # rate 1.0 at the anchor
+        # expected rates: mid sqrt(10/40)=0.5, big sqrt(10/160)=0.25;
+        # md5 buckets are uniform so counts land near expectation
+        assert 10 <= by["mid"] <= 30
+        assert 25 <= by["big"] <= 55
+        # flattening: kept shares are closer to uniform than the input
+        assert by["big"] / by["small"] < 160 / 10
+
+    def test_tau_one_keeps_everything_and_nested_in_tau(self, spark, mix):
+        all_kept = corpus.temperature_source_sample(
+            mix, "doc_id", "source", tau=1.0
+        )
+        assert all_kept.count() == mix.count()
+        lo = {
+            r.doc_id
+            for r in corpus.temperature_source_sample(
+                mix, "doc_id", "source", tau=0.25
+            ).collect()
+        }
+        hi = {
+            r.doc_id
+            for r in corpus.temperature_source_sample(
+                mix, "doc_id", "source", tau=0.75
+            ).collect()
+        }
+        assert lo <= hi  # monotone rate in tau => nested kept sets
+
+    def test_weight_mode_and_null_source_survives(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 100), (2, "a", 100), (3, None, 5), (4, "b", 10)],
+            "doc_id long, source string, w long",
+        )
+        kept = corpus.temperature_source_sample(
+            df, "doc_id", "source", weight_col="w"
+        )
+        ids = {r.doc_id for r in kept.collect()}
+        # NULL source has the smallest total -> it IS the anchor (rate
+        # 1.0), so its row must survive via the null-safe join; other
+        # sources keep a per-id hash fraction (not asserted — the md5
+        # bucket of a single id is effectively a coin flip)
+        assert 3 in ids
+
+    def test_degenerate_totals_keep_all(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", None), (2, "a", None), (3, "b", 0)],
+            "doc_id long, source string, w long",
+        )
+        kept = corpus.temperature_source_sample(
+            df, "doc_id", "source", weight_col="w"
+        )
+        # every total is NULL/0: nothing is silently dropped
+        assert kept.count() == 3
+
+    def test_tau_validation(self, spark, mix):
+        with pytest.raises(ValueError, match="tau"):
+            corpus.temperature_source_sample(mix, "doc_id", "source", tau=1.5)
+        with pytest.raises(ValueError, match="buckets"):
+            corpus.temperature_source_sample(
+                mix, "doc_id", "source", buckets=0
+            )
+
+    def test_plan_broadcasts_rates_no_wide_shuffle(self, spark, mix):
+        from tests.test_plans import plan_str
+
+        plan = plan_str(
+            corpus.temperature_source_sample(mix, "doc_id", "source"), "simple"
+        )
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        assert "SortMergeJoin" not in plan
