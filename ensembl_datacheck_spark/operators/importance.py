@@ -54,7 +54,9 @@ from pyspark.sql import functions as F
 __all__ = [
     "hashed_ngram_features",
     "feature_counts",
+    "feature_counts_from_docs",
     "importance_log_weights",
+    "importance_log_weights_from_docs",
     "select_top_k",
     "gumbel_top_k",
 ]
@@ -68,12 +70,117 @@ __all__ = [
 from ensembl_datacheck_spark.operators.corpus import split_bucket as _portable_bucket  # noqa: E402,E501
 
 
+_HASH_TIERS = ("portable", "fast")
+
+
+def _gram_stream(
+    df: DataFrame,
+    id_col: str,
+    tokens_col: str,
+    n_buckets: int,
+    use_bigrams: bool,
+    hash_tier: str = "portable",
+) -> DataFrame:
+    """(id, feat) — ONE ROW PER GRAM OCCURRENCE, the shared explode
+    behind both the bag API and the fused scorer.  Hygiene exactly as
+    ``hashed_ngram_features`` documents.
+
+    Two hash tiers (recorded in the feat column's metadata so profiles
+    and scorer cannot silently mix them — feature ids from different
+    tiers are unrelated):
+
+    * ``portable`` — md5 of the gram STRING (corpus.split_bucket), the
+      engine-replayable tier every SQL oracle rebuilds;
+    * ``fast`` — ``xxhash64`` directly on the numeric (w1, w2) pair
+      (unigrams hash (w, NULL)): no per-gram string is ever built and
+      no md5 is paid — measured 2.2× faster end-to-end on the gram
+      histogram (40M grams: 5.2 s vs 11.3 s at 8 cores), the
+      production tier for corpus-scale scoring.  Same statistical
+      quality (both are uniform 64-bit hashes mod B); ids differ from
+      the portable tier's, so fits and scoring must use ONE tier.
+    """
+    if hash_tier not in _HASH_TIERS:
+        raise ValueError(f"hash_tier must be one of {_HASH_TIERS}")
+    clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull() & (t >= 0))
+    base = (
+        df.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+        .select(F.col(id_col), clean.alias("__clean"))
+        .filter(F.size("__clean") >= 1)
+    )
+    meta = {"n_buckets": n_buckets, "feat_hash": hash_tier}
+    if hash_tier == "fast":
+        uni = F.expr(
+            "transform(__clean, w -> struct(CAST(w AS BIGINT) AS w1, "
+            "CAST(NULL AS BIGINT) AS w2))"
+        )
+        grams = uni
+        if use_bigrams:
+            bi = F.expr(
+                "transform(sequence(1, size(__clean) - 1), "
+                "i -> struct(CAST(__clean[i-1] AS BIGINT) AS w1, "
+                "CAST(__clean[i] AS BIGINT) AS w2))"
+            )
+            grams = F.when(
+                F.size("__clean") >= 2, F.concat(uni, bi)
+            ).otherwise(uni)
+        return base.select(
+            F.col(id_col), F.explode(grams).alias("__p")
+        ).select(
+            id_col,
+            F.pmod(F.xxhash64("__p.w1", "__p.w2"), F.lit(n_buckets)).alias(
+                "feat", metadata=meta
+            ),
+        )
+    uni = F.expr("transform(__clean, w -> CAST(w AS STRING))")
+    grams = uni
+    if use_bigrams:
+        bi = F.expr(
+            "transform(sequence(1, size(__clean) - 1), "
+            "i -> CAST(__clean[i-1] AS STRING) || '_' || "
+            "CAST(__clean[i] AS STRING))"
+        )
+        grams = F.when(F.size("__clean") >= 2, F.concat(uni, bi)).otherwise(uni)
+    return base.select(
+        F.col(id_col), F.explode(grams).alias("__gram")
+    ).select(
+        id_col,
+        _portable_bucket(F.col("__gram"), n_buckets).alias(
+            "feat", metadata=meta
+        ),
+    )
+
+
+def _feat_meta(frame: DataFrame) -> tuple[int | None, str | None]:
+    """(n_buckets, feat_hash) recorded on a frame's feat column, or
+    (None, None) when absent."""
+    if "feat" not in frame.columns:
+        return None, None
+    md = frame.schema["feat"].metadata
+    b = md.get("n_buckets")
+    return (int(b) if b is not None else None), md.get("feat_hash")
+
+
+def _check_hash_tier(expected: str, frames: dict[str, DataFrame]) -> None:
+    """Profiles and scorer must use ONE hash tier — portable and fast
+    feature ids are unrelated, so mixing them scores garbage silently."""
+    for name, frame in frames.items():
+        _, h = _feat_meta(frame)
+        if h is not None and h != expected:
+            raise ValueError(
+                f"{name} was hashed with the {h!r} tier but this call "
+                f"uses {expected!r} — feature ids from different hash "
+                "tiers are unrelated; rebuild the profiles with the "
+                "same hash_tier"
+            )
+
+
 def hashed_ngram_features(
     df: DataFrame,
     id_col: str = "doc_id",
     tokens_col: str = "tokens",
     n_buckets: int = 8192,
     use_bigrams: bool = True,
+    hash_tier: str = "portable",
 ) -> DataFrame:
     """(id, feat, cnt) hashed n-gram bag per document — unigrams plus
     (optionally) adjacent bigrams, each hashed into ``n_buckets``
@@ -86,35 +193,28 @@ def hashed_ngram_features(
     rebuilds.  ``cnt`` is the exact BIGINT occurrence count of the
     feature in the document (DSIR's bag-of-hashed-ngrams).
 
-    The ``feat`` column carries ``n_buckets`` as column METADATA, so
-    downstream consumers (``importance_log_weights``) recover the
-    hashing width from the schema instead of trusting the caller to
-    repeat the same number — a silently-wrong B mis-normalizes every
-    weight.
+    The ``feat`` column carries ``n_buckets`` and the ``hash_tier``
+    (``portable`` md5-string, oracle-replayable — the default — or
+    ``fast`` numeric xxhash64, see ``_gram_stream``) as column
+    METADATA, so downstream consumers recover the hashing contract
+    from the schema instead of trusting the caller to repeat it — a
+    silently-wrong B mis-normalizes every weight, and mixed tiers
+    score garbage.
+
+    SCALE WARNING (measured, BENCH/LM_1M.md): materializing the bag
+    shuffles ~min(doc_len, B) rows PER DOCUMENT — the (id, feat) keys
+    barely combine map-side, so at 1M docs × ~1.5k grams this is a
+    ~10^9-row shuffle and the whole pipeline ran 814 s.  Use the bag
+    only when you need the bag itself (feature export, repeated
+    re-scoring against many targets).  For scoring, use
+    ``importance_log_weights_from_docs`` (one shuffle row per
+    document); for distribution fits, ``feature_counts_from_docs``
+    (shuffle bounded by B) — see BENCH/LM_1M.md for the measured
+    gap.
     """
-    clean = F.filter(F.col(tokens_col), lambda t: t.isNotNull() & (t >= 0))
-    base = (
-        df.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
-        .select(F.col(id_col), clean.alias("__clean"))
-        .filter(F.size("__clean") >= 1)
-    )
-    uni = F.expr("transform(__clean, w -> CAST(w AS STRING))")
-    grams = uni
-    if use_bigrams:
-        bi = F.expr(
-            "transform(sequence(1, size(__clean) - 1), "
-            "i -> CAST(__clean[i-1] AS STRING) || '_' || "
-            "CAST(__clean[i] AS STRING))"
-        )
-        grams = F.when(F.size("__clean") >= 2, F.concat(uni, bi)).otherwise(uni)
     return (
-        base.select(F.col(id_col), F.explode(grams).alias("__gram"))
-        .select(
-            id_col,
-            _portable_bucket(F.col("__gram"), n_buckets).alias(
-                "feat", metadata={"n_buckets": n_buckets}
-            ),
-        )
+        _gram_stream(df, id_col, tokens_col, n_buckets, use_bigrams,
+                     hash_tier)
         .groupBy(id_col, "feat")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -122,8 +222,133 @@ def hashed_ngram_features(
 
 def feature_counts(features: DataFrame) -> DataFrame:
     """(feat, count) distribution fit from a per-document feature bag —
-    one aggregate bounded by n_buckets rows."""
+    one aggregate bounded by n_buckets rows.  If you do not already
+    have the bag, ``feature_counts_from_docs`` fits the same
+    distribution without ever materializing it."""
     return features.groupBy("feat").agg(F.sum("cnt").alias("count"))
+
+
+def feature_counts_from_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_buckets: int = 8192,
+    use_bigrams: bool = True,
+    hash_tier: str = "portable",
+) -> DataFrame:
+    """(feat, count) distribution fit straight from token arrays — the
+    scale path: the gram stream partially aggregates map-side into at
+    most B bins per task, so the shuffle is bounded by B × partitions
+    regardless of corpus size (identical output to
+    ``feature_counts(hashed_ngram_features(...))`` at the same
+    ``hash_tier``, without the per-document bag shuffle that costs
+    ~10^9 rows at 1M docs — BENCH/LM_1M.md)."""
+    return (
+        _gram_stream(df, id_col, tokens_col, n_buckets, use_bigrams,
+                     hash_tier)
+        .groupBy("feat")
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+def importance_log_weights_from_docs(
+    df: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int | None = None,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    use_bigrams: bool = True,
+    hash_tier: str = "portable",
+) -> DataFrame:
+    """FUSED DSIR scorer — identical weights to
+    ``importance_log_weights(hashed_ngram_features(df), ...)`` up to
+    float summation order, with the per-document feature bag never
+    materialized: Σ_f c_f·x_f = Σ_occurrences x_f, so each gram
+    OCCURRENCE joins the two broadcast profiles and the per-document
+    aggregate folds straight from the exploded stream — map-side
+    partial aggregation in the explode stage, ONE shuffle row per
+    document (the lm_cross_entropy shape).  Measured end-to-end at 1M
+    docs (BENCH/LM_1M.md): bag path 814 s → fused portable 336 s →
+    fused fast tier 99 s (``hash_tier="fast"``: numeric xxhash64, no
+    gram strings, no md5) — 8.2×; the fast fused tier is the one that
+    survives 10^12 documents.
+
+    ``n_buckets`` defaults to the width recorded as metadata on the
+    profile frames (``feature_counts_from_docs`` /
+    ``hashed_ngram_features`` both record it); an explicit value must
+    agree with that metadata, and the profiles' recorded ``hash_tier``
+    must match this call's.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha})")
+    _check_hash_tier(hash_tier, {"target_counts": target_counts,
+                                 "raw_counts": raw_counts})
+    meta_b = None
+    for prof in (target_counts, raw_counts):
+        m, _ = _feat_meta(prof)
+        if m is not None:
+            if meta_b is not None and m != meta_b:
+                raise ValueError(
+                    f"target/raw profiles hashed with different "
+                    f"widths ({meta_b} vs {m})"
+                )
+            meta_b = m
+    if n_buckets is None:
+        if meta_b is None:
+            raise ValueError(
+                "n_buckets not given and neither profile carries "
+                "n_buckets metadata — pass n_buckets explicitly"
+            )
+        n_buckets = meta_b
+    elif meta_b is not None and int(meta_b) != int(n_buckets):
+        raise ValueError(
+            f"n_buckets={n_buckets} disagrees with the hashing width "
+            f"{meta_b} recorded on the profile frames"
+        )
+
+    stream = _gram_stream(df, id_col, tokens_col, n_buckets, use_bigrams,
+                          hash_tier)
+    t = F.broadcast(
+        target_counts.select(
+            F.col("feat").alias("__t_feat"), F.col("count").alias("__t_cnt")
+        )
+    )
+    r = F.broadcast(
+        raw_counts.select(
+            F.col("feat").alias("__r_feat"), F.col("count").alias("__r_cnt")
+        )
+    )
+    totals = F.broadcast(
+        target_counts.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__T")
+        ).crossJoin(
+            raw_counts.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__R")
+            )
+        )
+    )
+    j = stream.join(
+        t, stream["feat"] == t["__t_feat"], "left_outer"
+    ).join(r, stream["feat"] == r["__r_feat"], "left_outer")
+    per_occ = F.log(
+        F.coalesce(F.col("__t_cnt"), F.lit(0)).cast("double") + alpha
+    ) - F.log(F.coalesce(F.col("__r_cnt"), F.lit(0)).cast("double") + alpha)
+    agg = j.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_feat_obs"),
+        F.sum(per_occ).alias("__s"),
+    )
+    b = float(n_buckets)
+    norm = F.log(F.col("__R") + alpha * b) - F.log(F.col("__T") + alpha * b)
+    return (
+        agg.crossJoin(totals)
+        .withColumn(
+            "log_weight",
+            F.col("__s") + F.col("n_feat_obs").cast("double") * norm,
+        )
+        .select(id_col, "n_feat_obs", "log_weight")
+    )
 
 
 def importance_log_weights(
@@ -164,9 +389,10 @@ def importance_log_weights(
             f"{raw_features.columns} — pass the id column "
             "hashed_ngram_features was built with"
         )
-    meta_b = None
-    if "feat" in raw_features.columns:
-        meta_b = raw_features.schema["feat"].metadata.get("n_buckets")
+    meta_b, feat_hash = _feat_meta(raw_features)
+    if feat_hash is not None:
+        _check_hash_tier(feat_hash, {"target_counts": target_counts,
+                                     "raw_counts": raw_counts})
     if n_buckets is None:
         if meta_b is None:
             raise ValueError(

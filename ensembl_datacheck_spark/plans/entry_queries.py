@@ -3995,14 +3995,18 @@ def dsir_topk_documents(spark, sf_dir):
     t = _t(spark, sf_dir)
     d = t["documents"].filter(F.col("doc_id") < 400)
     toks = d.select("doc_id", "lang", _derived_tokens_col().alias("tokens"))
-    feats = IMP.hashed_ngram_features(toks, n_buckets=4096)
-    target = IMP.feature_counts(
-        IMP.hashed_ngram_features(
-            toks.filter(F.col("lang") == "en"), n_buckets=4096
-        )
+    # FUSED tier (importance_log_weights_from_docs): identical weights
+    # to the bag path up to float summation order — the oracle's bag
+    # formulation still matches because only rank/count INTEGERS are
+    # compared and the boundary gap dwarfs the reordering error
+    # (test_driver_fixture_rank_boundary_gap) — with one shuffle row
+    # per document instead of the ~10^9-row (doc, feat) bag shuffle at
+    # 1M docs (BENCH/LM_1M.md).
+    target = IMP.feature_counts_from_docs(
+        toks.filter(F.col("lang") == "en"), n_buckets=4096
     )
-    raw = IMP.feature_counts(feats)
-    w = IMP.importance_log_weights(feats, target, raw, n_buckets=4096)
+    raw = IMP.feature_counts_from_docs(toks, n_buckets=4096)
+    w = IMP.importance_log_weights_from_docs(toks, target, raw)
     return IMP.select_top_k(w, 60).select(
         "rank", F.col("doc_id").cast("long").alias("doc_id"), "n_feat_obs"
     )

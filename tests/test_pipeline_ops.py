@@ -2145,3 +2145,198 @@ class TestReviewRegressionsLmDsir:
         from ensembl_datacheck_spark.operators.corpus import split_bucket
 
         assert IMP._portable_bucket is split_bucket
+
+
+class TestDsirFusedPath:
+    @pytest.fixture(scope="class")
+    def fused_docs(self, spark):
+        rows = [
+            (i, [((i * 5 + j * 11) % 40) for j in range(4 + i % 5)])
+            for i in range(30)
+        ] + [(200, None), (201, []), (202, [None, -1, 3])]
+        return spark.createDataFrame(
+            rows, "doc_id long, tokens array<long>"
+        ).cache()
+
+    def test_profile_from_docs_equals_bag_profile(self, spark, fused_docs):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        bag = IMP.feature_counts(
+            IMP.hashed_ngram_features(fused_docs, n_buckets=64)
+        )
+        fused = IMP.feature_counts_from_docs(fused_docs, n_buckets=64)
+        a = {(r.feat, r["count"]) for r in bag.collect()}
+        b = {(r.feat, r["count"]) for r in fused.collect()}
+        assert a == b
+        assert fused.schema["feat"].metadata["n_buckets"] == 64
+
+    def test_fused_weights_equal_bag_weights(self, spark, fused_docs):
+        """Σ_f c_f·x_f == Σ_occurrences x_f — identical weights up to
+        float summation order (1e-10)."""
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        feats = IMP.hashed_ngram_features(fused_docs, n_buckets=64)
+        target = IMP.feature_counts(
+            IMP.hashed_ngram_features(
+                fused_docs.filter(F.col("doc_id") % 3 == 0), n_buckets=64
+            )
+        )
+        raw = IMP.feature_counts(feats)
+        bag = {
+            r.doc_id: r
+            for r in IMP.importance_log_weights(feats, target, raw).collect()
+        }
+        fused = {
+            r.doc_id: r
+            for r in IMP.importance_log_weights_from_docs(
+                fused_docs, target, raw
+            ).collect()
+        }
+        assert set(bag) == set(fused)
+        for i in bag:
+            assert bag[i].n_feat_obs == fused[i].n_feat_obs
+            assert abs(bag[i].log_weight - fused[i].log_weight) < 1e-10
+
+    def test_fused_infers_and_validates_n_buckets(self, spark, fused_docs):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        target = IMP.feature_counts_from_docs(
+            fused_docs.filter(F.col("doc_id") < 10), n_buckets=64
+        )
+        raw = IMP.feature_counts_from_docs(fused_docs, n_buckets=64)
+        ok = IMP.importance_log_weights_from_docs(fused_docs, target, raw)
+        assert ok.count() > 0  # inferred B=64 from profile metadata
+        with pytest.raises(ValueError, match="disagrees"):
+            IMP.importance_log_weights_from_docs(
+                fused_docs, target, raw, n_buckets=128
+            )
+        raw_other = IMP.feature_counts_from_docs(fused_docs, n_buckets=32)
+        with pytest.raises(ValueError, match="different"):
+            IMP.importance_log_weights_from_docs(fused_docs, target, raw_other)
+
+    def test_fused_plan_one_doc_shuffle_no_bag_aggregate(
+        self, spark, tmp_path
+    ):
+        """Plan pin for the 100 TB claim, on a PARQUET source (a Range
+        source lets Catalyst elide even the bag shuffle via known doc
+        locality — the token_rarity plan-pin finding — hiding the
+        contrast): the fused scorer's only document-data Exchange
+        hashes on doc_id alone (one row per doc), while the bag path
+        shuffles (doc_id, feat) — the ~10^9-row shuffle the SCALE
+        WARNING documents."""
+        import re
+
+        from tests.test_plans import plan_str
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        src = str(tmp_path / "docs")
+        spark.range(100).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.col("id") % 13, F.col("id") % 7).cast("array<long>").alias("tokens"),
+        ).write.parquet(src)
+        df = spark.read.parquet(src)
+        target = IMP.feature_counts_from_docs(
+            df.filter(F.col("doc_id") < 20), n_buckets=64
+        )
+        raw = IMP.feature_counts_from_docs(df, n_buckets=64)
+        plan = plan_str(
+            IMP.importance_log_weights_from_docs(df, target, raw), "simple"
+        )
+        assert not re.search(r"hashpartitioning\(doc_id#\d+L?, feat#", plan), (
+            "fused path must not shuffle the (doc_id, feat) bag"
+        )
+        assert re.search(r"hashpartitioning\(doc_id#\d+L?, \d+\)", plan), (
+            "fused path shuffles exactly one row per document"
+        )
+        assert plan.count("BroadcastHashJoin") >= 2
+        assert "SortMergeJoin" not in plan
+        bag_plan = plan_str(
+            IMP.hashed_ngram_features(df, n_buckets=64), "simple"
+        )
+        assert re.search(r"hashpartitioning\(doc_id#\d+L?, feat#", bag_plan)
+
+
+class TestDsirFastHashTier:
+    def test_fast_tier_paths_agree_and_select_sane(self, spark):
+        """fast-tier fused weights equal fast-tier bag weights (same
+        identity as the portable tier), and the target slice still
+        scores higher on average — the hash tier changes feature IDS,
+        not the statistics."""
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        rows = [
+            (i, "en" if i % 3 == 0 else "de",
+             [((i * 5 + j * 11) % 40) for j in range(4 + i % 5)])
+            for i in range(30)
+        ]
+        df = spark.createDataFrame(
+            rows, "doc_id long, lang string, tokens array<long>"
+        )
+        feats = IMP.hashed_ngram_features(df, n_buckets=64, hash_tier="fast")
+        target = IMP.feature_counts_from_docs(
+            df.filter(F.col("lang") == "en"), n_buckets=64, hash_tier="fast"
+        )
+        raw = IMP.feature_counts(feats)
+        bag = {
+            r.doc_id: r
+            for r in IMP.importance_log_weights(feats, target, raw).collect()
+        }
+        fused = {
+            r.doc_id: r
+            for r in IMP.importance_log_weights_from_docs(
+                df, target, raw, hash_tier="fast"
+            ).collect()
+        }
+        assert set(bag) == set(fused)
+        for i in bag:
+            assert bag[i].n_feat_obs == fused[i].n_feat_obs
+            assert abs(bag[i].log_weight - fused[i].log_weight) < 1e-10
+        j = (
+            IMP.importance_log_weights_from_docs(df, target, raw,
+                                                 hash_tier="fast")
+            .join(df.select("doc_id", "lang"), "doc_id")
+            .groupBy("lang").agg(F.avg("log_weight").alias("m"))
+        )
+        means = {r.lang: r.m for r in j.collect()}
+        assert means["en"] > means["de"]
+
+    def test_mixed_hash_tiers_raise(self, spark):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        df = spark.createDataFrame(
+            [(1, [3, 4, 5]), (2, [3, 9])], "doc_id long, tokens array<long>"
+        )
+        portable = IMP.feature_counts_from_docs(df, n_buckets=64)
+        fast = IMP.feature_counts_from_docs(df, n_buckets=64,
+                                            hash_tier="fast")
+        with pytest.raises(ValueError, match="hash"):
+            IMP.importance_log_weights_from_docs(df, portable, fast)
+        with pytest.raises(ValueError, match="hash"):
+            IMP.importance_log_weights_from_docs(
+                df, fast, fast  # profiles fast, scorer defaults portable
+            )
+        bag_fast = IMP.hashed_ngram_features(df, n_buckets=64,
+                                             hash_tier="fast")
+        with pytest.raises(ValueError, match="hash"):
+            IMP.importance_log_weights(
+                bag_fast, portable, portable
+            )
+        with pytest.raises(ValueError, match="hash_tier"):
+            IMP.feature_counts_from_docs(df, n_buckets=64, hash_tier="md5")
+
+    def test_fast_tier_no_string_grams_in_plan(self, spark):
+        """The fast tier's plan must contain xxhash64 and NO md5/concat
+        gram strings — the cost the tier exists to remove."""
+        from tests.test_plans import plan_str
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        df = spark.range(50).select(
+            F.col("id").alias("doc_id"),
+            F.array(F.col("id") % 13, F.col("id") % 7).cast("array<long>").alias("tokens"),
+        )
+        plan = plan_str(
+            IMP.feature_counts_from_docs(df, n_buckets=64, hash_tier="fast"),
+            "simple",
+        )
+        assert "xxhash64" in plan
+        assert "md5" not in plan
