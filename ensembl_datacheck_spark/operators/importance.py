@@ -174,6 +174,93 @@ def _check_hash_tier(expected: str, frames: dict[str, DataFrame]) -> None:
             )
 
 
+def _resolve_width(
+    n_buckets: int | None, frames: dict[str, DataFrame]
+) -> int:
+    """Resolve the hashing width from an explicit argument and/or the
+    n_buckets metadata on every given frame's feat column; ANY
+    disagreement raises (a wrong B shifts every weight's normalization
+    term and mis-ranks the selection — silently, were it allowed)."""
+    resolved = int(n_buckets) if n_buckets is not None else None
+    source = "n_buckets argument"
+    for name, frame in frames.items():
+        m, _ = _feat_meta(frame)
+        if m is None:
+            continue
+        if resolved is not None and m != resolved:
+            raise ValueError(
+                f"{name} was hashed with width {m}, which disagrees "
+                f"with {source} ({resolved}) — feature ids and the "
+                "smoothing normalizer would not line up"
+            )
+        if resolved is None:
+            resolved, source = m, f"{name} metadata"
+    if resolved is None:
+        raise ValueError(
+            "n_buckets not given and no frame carries n_buckets "
+            "metadata — pass n_buckets explicitly"
+        )
+    return resolved
+
+
+def _score_feature_stream(
+    items: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int,
+    alpha: float,
+    id_col: str,
+    weight_col: str | None,
+) -> DataFrame:
+    """THE smoothed log-likelihood-ratio scorer, single-sourced for the
+    bag and fused paths (their 1e-10 weight-equality invariant is
+    test-pinned, so the smoothing/normalization formula must never be
+    able to drift between them): ``items`` rows are (id, feat[, w]);
+    ``weight_col=None`` scores each row once (occurrence stream), else
+    by its exact multiplicity (bag)."""
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
+    t = F.broadcast(
+        target_counts.select(
+            F.col("feat").alias("__t_feat"), F.col("count").alias("__t_cnt")
+        )
+    )
+    r = F.broadcast(
+        raw_counts.select(
+            F.col("feat").alias("__r_feat"), F.col("count").alias("__r_cnt")
+        )
+    )
+    totals = F.broadcast(
+        target_counts.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__T")
+        ).crossJoin(
+            raw_counts.agg(
+                F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__R")
+            )
+        )
+    )
+    j = items.join(
+        t, items["feat"] == t["__t_feat"], "left_outer"
+    ).join(r, items["feat"] == r["__r_feat"], "left_outer")
+    per_item = w.cast("double") * (
+        F.log(F.coalesce(F.col("__t_cnt"), F.lit(0)).cast("double") + alpha)
+        - F.log(F.coalesce(F.col("__r_cnt"), F.lit(0)).cast("double") + alpha)
+    )
+    agg = j.groupBy(id_col).agg(
+        F.sum(w).cast("long").alias("n_feat_obs"),
+        F.sum(per_item).alias("__s"),
+    )
+    b = float(n_buckets)
+    norm = F.log(F.col("__R") + alpha * b) - F.log(F.col("__T") + alpha * b)
+    return (
+        agg.crossJoin(totals)
+        .withColumn(
+            "log_weight",
+            F.col("__s") + F.col("n_feat_obs").cast("double") * norm,
+        )
+        .select(id_col, "n_feat_obs", "log_weight")
+    )
+
+
 def hashed_ngram_features(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -285,69 +372,15 @@ def importance_log_weights_from_docs(
         raise ValueError(f"alpha must be > 0 (got {alpha})")
     _check_hash_tier(hash_tier, {"target_counts": target_counts,
                                  "raw_counts": raw_counts})
-    meta_b = None
-    for prof in (target_counts, raw_counts):
-        m, _ = _feat_meta(prof)
-        if m is not None:
-            if meta_b is not None and m != meta_b:
-                raise ValueError(
-                    f"target/raw profiles hashed with different "
-                    f"widths ({meta_b} vs {m})"
-                )
-            meta_b = m
-    if n_buckets is None:
-        if meta_b is None:
-            raise ValueError(
-                "n_buckets not given and neither profile carries "
-                "n_buckets metadata — pass n_buckets explicitly"
-            )
-        n_buckets = meta_b
-    elif meta_b is not None and int(meta_b) != int(n_buckets):
-        raise ValueError(
-            f"n_buckets={n_buckets} disagrees with the hashing width "
-            f"{meta_b} recorded on the profile frames"
-        )
-
+    n_buckets = _resolve_width(
+        n_buckets, {"target_counts": target_counts,
+                    "raw_counts": raw_counts}
+    )
     stream = _gram_stream(df, id_col, tokens_col, n_buckets, use_bigrams,
                           hash_tier)
-    t = F.broadcast(
-        target_counts.select(
-            F.col("feat").alias("__t_feat"), F.col("count").alias("__t_cnt")
-        )
-    )
-    r = F.broadcast(
-        raw_counts.select(
-            F.col("feat").alias("__r_feat"), F.col("count").alias("__r_cnt")
-        )
-    )
-    totals = F.broadcast(
-        target_counts.agg(
-            F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__T")
-        ).crossJoin(
-            raw_counts.agg(
-                F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__R")
-            )
-        )
-    )
-    j = stream.join(
-        t, stream["feat"] == t["__t_feat"], "left_outer"
-    ).join(r, stream["feat"] == r["__r_feat"], "left_outer")
-    per_occ = F.log(
-        F.coalesce(F.col("__t_cnt"), F.lit(0)).cast("double") + alpha
-    ) - F.log(F.coalesce(F.col("__r_cnt"), F.lit(0)).cast("double") + alpha)
-    agg = j.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_feat_obs"),
-        F.sum(per_occ).alias("__s"),
-    )
-    b = float(n_buckets)
-    norm = F.log(F.col("__R") + alpha * b) - F.log(F.col("__T") + alpha * b)
-    return (
-        agg.crossJoin(totals)
-        .withColumn(
-            "log_weight",
-            F.col("__s") + F.col("n_feat_obs").cast("double") * norm,
-        )
-        .select(id_col, "n_feat_obs", "log_weight")
+    return _score_feature_stream(
+        stream, target_counts, raw_counts, n_buckets, alpha, id_col,
+        weight_col=None,
     )
 
 
@@ -389,63 +422,35 @@ def importance_log_weights(
             f"{raw_features.columns} — pass the id column "
             "hashed_ngram_features was built with"
         )
-    meta_b, feat_hash = _feat_meta(raw_features)
+    _, feat_hash = _feat_meta(raw_features)
     if feat_hash is not None:
         _check_hash_tier(feat_hash, {"target_counts": target_counts,
                                      "raw_counts": raw_counts})
-    if n_buckets is None:
-        if meta_b is None:
+    else:
+        # features carry no tier metadata (built elsewhere): the two
+        # profiles must still agree with EACH OTHER
+        tiers = {
+            name: _feat_meta(f)[1]
+            for name, f in (("target_counts", target_counts),
+                            ("raw_counts", raw_counts))
+            if _feat_meta(f)[1] is not None
+        }
+        if len(set(tiers.values())) > 1:
             raise ValueError(
-                "n_buckets not given and the feat column carries no "
-                "n_buckets metadata (features not built by "
-                "hashed_ngram_features?) — pass n_buckets explicitly"
+                f"target/raw profiles use different hash tiers: {tiers}"
             )
-        n_buckets = int(meta_b)
-    elif meta_b is not None and int(meta_b) != int(n_buckets):
-        raise ValueError(
-            f"n_buckets={n_buckets} disagrees with the hashing width "
-            f"{meta_b} recorded on the feat column — the normalization "
-            "term would use the wrong B and mis-rank every document"
-        )
-    t = F.broadcast(
-        target_counts.select(
-            F.col("feat").alias("__t_feat"), F.col("count").alias("__t_cnt")
-        )
+    # width metadata on the FEATURES and on BOTH PROFILES must agree
+    # (profiles were previously unchecked here — a 32-bucket profile
+    # against 64-bucket features silently coalesced half the features
+    # to 'unseen')
+    n_buckets = _resolve_width(
+        n_buckets, {"raw_features": raw_features,
+                    "target_counts": target_counts,
+                    "raw_counts": raw_counts}
     )
-    r = F.broadcast(
-        raw_counts.select(
-            F.col("feat").alias("__r_feat"), F.col("count").alias("__r_cnt")
-        )
-    )
-    totals = F.broadcast(
-        target_counts.agg(
-            F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__T")
-        ).crossJoin(
-            raw_counts.agg(
-                F.coalesce(F.sum("count"), F.lit(0)).cast("double").alias("__R")
-            )
-        )
-    )
-    j = raw_features.join(
-        t, raw_features["feat"] == t["__t_feat"], "left_outer"
-    ).join(r, raw_features["feat"] == r["__r_feat"], "left_outer")
-    per_f = F.col("cnt").cast("double") * (
-        F.log(F.coalesce(F.col("__t_cnt"), F.lit(0)).cast("double") + alpha)
-        - F.log(F.coalesce(F.col("__r_cnt"), F.lit(0)).cast("double") + alpha)
-    )
-    agg = j.groupBy(id_col).agg(
-        F.sum("cnt").cast("long").alias("n_feat_obs"),
-        F.sum(per_f).alias("__s"),
-    )
-    b = float(n_buckets)
-    norm = F.log(F.col("__R") + alpha * b) - F.log(F.col("__T") + alpha * b)
-    return (
-        agg.crossJoin(totals)
-        .withColumn(
-            "log_weight",
-            F.col("__s") + F.col("n_feat_obs").cast("double") * norm,
-        )
-        .select(id_col, "n_feat_obs", "log_weight")
+    return _score_feature_stream(
+        raw_features, target_counts, raw_counts, n_buckets, alpha, id_col,
+        weight_col="cnt",
     )
 
 

@@ -4033,7 +4033,7 @@ def dsir_topk_documents(spark, sf_dir):
       FROM tot CROSS JOIN mn
     )
     SELECT CAST(d.doc_id AS BIGINT) AS doc_id, d.source
-    FROM docs d JOIN rates r ON d.source = r.source
+    FROM docs d JOIN rates r ON d.source IS NOT DISTINCT FROM r.source
     WHERE CAST(('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))
                AS BIGINT) % 10000 < r.cut
     """,

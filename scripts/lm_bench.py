@@ -30,10 +30,16 @@ from ensembl_datacheck_spark.sources import synth  # noqa: E402
 
 def consume(df) -> None:
     """noop sink: forces every output column (count() would let Catalyst
-    prune the ce/ppl projections out of the join tier)."""
+    prune the ce/ppl projections out of the join tier).  The fallback
+    SHOUTS — a silently-degraded wall with pruned projections must
+    never be hand-pasted into BENCH/LM_1M.md as a normal datum."""
     try:
         df.write.format("noop").mode("overwrite").save()
-    except Exception:
+    except Exception as exc:  # noqa: BLE001
+        print(
+            f"WARNING: noop sink unavailable ({exc!r}); this wall used "
+            "count() — projections may be PRUNED, do not record it"
+        )
         df.count()
 
 

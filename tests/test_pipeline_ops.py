@@ -2211,8 +2211,22 @@ class TestDsirFusedPath:
                 fused_docs, target, raw, n_buckets=128
             )
         raw_other = IMP.feature_counts_from_docs(fused_docs, n_buckets=32)
-        with pytest.raises(ValueError, match="different"):
+        with pytest.raises(ValueError, match="disagrees"):
             IMP.importance_log_weights_from_docs(fused_docs, target, raw_other)
+
+    def test_bag_path_validates_profile_widths_too(self, spark, fused_docs):
+        """Review regression: the BAG path must also reject a profile
+        hashed with a different width than the features — previously it
+        only checked the features frame, so a 32-bucket profile against
+        64-bucket features silently scored half the features as
+        'unseen'."""
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        feats = IMP.hashed_ngram_features(fused_docs, n_buckets=64)
+        narrow = IMP.feature_counts_from_docs(fused_docs, n_buckets=32)
+        wide = IMP.feature_counts(feats)
+        with pytest.raises(ValueError, match="disagrees"):
+            IMP.importance_log_weights(feats, narrow, wide)
 
     def test_fused_plan_one_doc_shuffle_no_bag_aggregate(
         self, spark, tmp_path
