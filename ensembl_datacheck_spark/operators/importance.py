@@ -56,6 +56,7 @@ __all__ = [
     "feature_counts",
     "feature_counts_from_docs",
     "importance_log_weights",
+    "importance_log_weights_arrow",
     "importance_log_weights_from_docs",
     "select_top_k",
     "gumbel_top_k",
@@ -451,6 +452,114 @@ def importance_log_weights(
     return _score_feature_stream(
         raw_features, target_counts, raw_counts, n_buckets, alpha, id_col,
         weight_col="cnt",
+    )
+
+
+def importance_log_weights_arrow(
+    df: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    n_buckets: int | None = None,
+    alpha: float = 1.0,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    use_bigrams: bool = True,
+) -> DataFrame:
+    """Row-local Arrow tier of the DSIR scorer — the STREAMING-safe
+    path (the fused scorer's per-document aggregate is a stateful
+    streaming aggregation; this tier scores each document inside its
+    own row, stateless per micro-batch — the lm_cross_entropy_arrow
+    design point).
+
+    Both profiles are collected to the driver ONCE — bounded by
+    n_buckets (8192 default), far below even the LM-vocab bound that
+    justifies the join tiers' broadcasts — and ride in the task closure
+    as dense numpy arrays indexed by feature id, so scoring is pure
+    vectorized lookups (no searchsorted needed: feature ids are already
+    in [0, B)).  Gram hashing matches the PORTABLE tier (md5 of the
+    gram string, via hashlib) — numpy-verified against the JVM paths in
+    pytest; weights agree with the fused scorer to float-summation
+    order.
+
+    Like the LM Arrow tier this is NOT the fast batch path (Arrow
+    serialization + Python hashing of every gram); its reason to exist
+    is streaming.  For batch corpus scoring use
+    ``importance_log_weights_from_docs(hash_tier="fast")``.
+    """
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0 (got {alpha})")
+    _check_hash_tier("portable", {"target_counts": target_counts,
+                                  "raw_counts": raw_counts})
+    n_buckets = _resolve_width(
+        n_buckets, {"target_counts": target_counts,
+                    "raw_counts": raw_counts}
+    )
+    import numpy as np
+
+    def dense(prof) -> tuple["np.ndarray", float]:
+        arr = np.zeros(n_buckets, dtype=np.float64)
+        for row in prof.collect():  # <= n_buckets rows by construction
+            arr[int(row["feat"])] = float(row["count"])
+        return arr, float(arr.sum())
+
+    t_arr, t_total = dense(target_counts)
+    r_arr, r_total = dense(raw_counts)
+    ln_t = np.log(t_arr + alpha)
+    ln_r = np.log(r_arr + alpha)
+    import math
+
+    norm = math.log(r_total + alpha * n_buckets) - math.log(
+        t_total + alpha * n_buckets
+    )
+
+    def score(batches):
+        import hashlib
+
+        import pandas as pd
+
+        def feats(cell):
+            toks = [int(t) for t in cell if t >= 0]
+            if not toks:
+                return None
+            grams = [str(w) for w in toks]
+            if use_bigrams:
+                grams += [f"{a}_{b}" for a, b in zip(toks, toks[1:])]
+            return np.fromiter(
+                (
+                    int(hashlib.md5(g.encode()).hexdigest()[:8], 16)
+                    % n_buckets
+                    for g in grams
+                ),
+                dtype=np.int64,
+                count=len(grams),
+            )
+
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            ids, ns, lws = [], [], []
+            for doc_id, cell in zip(pdf[id_col], pdf[tokens_col]):
+                f = feats(np.asarray(cell, dtype=np.int64))
+                if f is None:
+                    continue
+                ids.append(doc_id)
+                ns.append(f.size)
+                lws.append(
+                    float((ln_t[f] - ln_r[f]).sum()) + f.size * norm
+                )
+            if ids:
+                yield pd.DataFrame(
+                    {id_col: ids, "n_feat_obs": ns, "log_weight": lws}
+                )
+
+    id_type = dict(df.dtypes)[id_col]
+    return (
+        df.filter(F.col(tokens_col).isNotNull() & (F.size(tokens_col) > 0))
+        .select(id_col, F.array_compact(tokens_col).alias(tokens_col))
+        .mapInPandas(
+            score,
+            schema=f"{id_col} {id_type}, n_feat_obs long, log_weight double",
+        )
     )
 
 

@@ -7,6 +7,7 @@ validation of an event/sequence stream with watermarked windows."""
 
 from ensembl_datacheck_spark.streaming.validate import (  # noqa: F401
     dedup_stream,
+    dsir_weights_stream,
     lm_outliers_stream,
     snapshot_equality_stream,
     streaming_violations,

@@ -323,3 +323,46 @@ def lm_outliers_stream(
     return scored.filter(
         (F.col("n_scored") >= min_scored) & (F.col("ce_nats") > max_ce_nats)
     )
+
+
+def dsir_weights_stream(
+    stream: DataFrame,
+    target_counts: DataFrame,
+    raw_counts: DataFrame,
+    min_log_weight: float | None = None,
+    id_col: str = "doc_id",
+    tokens_col: str = "tokens",
+    n_buckets: int | None = None,
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Streaming twin of DSIR selection: score ARRIVING documents
+    against STATIC target/raw hashed-ngram profiles and (optionally)
+    keep only rows at or above ``min_log_weight`` — importance
+    filtering on data as it lands.
+
+    Global top-k is undecidable on an unbounded stream (like the
+    stream quantile in lm_outliers_stream's docstring), so the
+    streaming form is THRESHOLD selection: run the batch
+    ``select_top_k`` once on a reference corpus, read the rank-k
+    boundary weight, and pass it here — DSIR's resampling acceptance
+    happens per row.  ``min_log_weight=None`` emits every scored row
+    (weight tagging for a downstream sampler).
+
+    Scale shape: ``importance_log_weights_arrow`` is stateless per
+    micro-batch (both profiles ride in the task closure as
+    B-bounded dense arrays; mapInPandas + a row-local filter, zero
+    streaming state, append-mode safe).  Batch parity with the fused
+    scorer is pinned in tests at 1e-9.
+    """
+    from ensembl_datacheck_spark.operators.importance import (
+        importance_log_weights_arrow,
+    )
+
+    scored = importance_log_weights_arrow(
+        stream, target_counts, raw_counts,
+        n_buckets=n_buckets, alpha=alpha,
+        id_col=id_col, tokens_col=tokens_col,
+    )
+    if min_log_weight is None:
+        return scored
+    return scored.filter(F.col("log_weight") >= min_log_weight)

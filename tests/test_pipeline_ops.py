@@ -2354,3 +2354,113 @@ class TestDsirFastHashTier:
         )
         assert "xxhash64" in plan
         assert "md5" not in plan
+
+
+class TestDsirArrowTierAndStream:
+    @pytest.fixture(scope="class")
+    def arrow_docs(self, spark):
+        rows = [
+            (i, [((i * 5 + j * 11) % 40) for j in range(4 + i % 5)])
+            for i in range(30)
+        ] + [(200, None), (201, []), (202, [None, -1, 3])]
+        return spark.createDataFrame(
+            rows, "doc_id long, tokens array<long>"
+        ).cache()
+
+    def test_arrow_weights_match_fused_portable(self, spark, arrow_docs):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        target = IMP.feature_counts_from_docs(
+            arrow_docs.filter(F.col("doc_id") % 3 == 0), n_buckets=64
+        )
+        raw = IMP.feature_counts_from_docs(arrow_docs, n_buckets=64)
+        fused = {
+            r.doc_id: r
+            for r in IMP.importance_log_weights_from_docs(
+                arrow_docs, target, raw
+            ).collect()
+        }
+        arrow = {
+            r.doc_id: r
+            for r in IMP.importance_log_weights_arrow(
+                arrow_docs, target, raw
+            ).collect()
+        }
+        assert set(fused) == set(arrow)  # same hygiene: 200/201 dropped
+        for i in fused:
+            assert fused[i].n_feat_obs == arrow[i].n_feat_obs
+            assert abs(fused[i].log_weight - arrow[i].log_weight) < 1e-9
+
+    def test_arrow_tier_partitioning_independent(self, spark, arrow_docs):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        target = IMP.feature_counts_from_docs(
+            arrow_docs.filter(F.col("doc_id") % 3 == 0), n_buckets=64
+        )
+        raw = IMP.feature_counts_from_docs(arrow_docs, n_buckets=64)
+        one = {
+            r.doc_id: r.log_weight
+            for r in IMP.importance_log_weights_arrow(
+                arrow_docs.coalesce(1), target, raw
+            ).collect()
+        }
+        many = {
+            r.doc_id: r.log_weight
+            for r in IMP.importance_log_weights_arrow(
+                arrow_docs.repartition(7), target, raw
+            ).collect()
+        }
+        assert one == many  # bit-identical: math is row-local
+
+    def test_arrow_tier_rejects_fast_profiles(self, spark, arrow_docs):
+        from ensembl_datacheck_spark.operators import importance as IMP
+
+        fast = IMP.feature_counts_from_docs(
+            arrow_docs, n_buckets=64, hash_tier="fast"
+        )
+        with pytest.raises(ValueError, match="hash"):
+            IMP.importance_log_weights_arrow(arrow_docs, fast, fast)
+
+    def test_dsir_weights_stream_matches_batch_threshold(
+        self, spark, tmp_path
+    ):
+        """Stream the corpus through dsir_weights_stream with the
+        rank-5 boundary weight from the batch top-k: the emitted docs
+        must be exactly the batch top-5."""
+        from ensembl_datacheck_spark.operators import importance as IMP
+        from ensembl_datacheck_spark.streaming import dsir_weights_stream
+
+        rows = [
+            (i, [((i * 5 + j * 11) % 40) for j in range(4 + i % 5)])
+            for i in range(30)
+        ]
+        cur = spark.createDataFrame(rows, "doc_id long, tokens array<long>")
+        target = IMP.feature_counts_from_docs(
+            cur.filter(F.col("doc_id") % 3 == 0), n_buckets=64
+        )
+        raw = IMP.feature_counts_from_docs(cur, n_buckets=64)
+        w = IMP.importance_log_weights_from_docs(cur, target, raw)
+        top = IMP.select_top_k(w, 5).collect()
+        boundary = min(r.log_weight for r in top)
+        batch_expected = {r.doc_id for r in top}
+
+        src = tmp_path / "dsir_src"
+        cur.write.mode("overwrite").parquet(str(src))
+        stream = spark.readStream.schema(cur.schema).parquet(str(src))
+        out = dsir_weights_stream(
+            stream, target, raw, min_log_weight=boundary
+        )
+        q = (
+            out.writeStream.format("memory").queryName("dsir_stream")
+            .outputMode("append").start()
+        )
+        try:
+            q.processAllAvailable()
+            got = {
+                r.doc_id
+                for r in spark.sql("select * from dsir_stream").collect()
+            }
+        finally:
+            q.stop()
+        # ties at the boundary would admit extras; the fixture has none
+        assert got == batch_expected
