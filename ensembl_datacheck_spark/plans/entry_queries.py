@@ -4058,3 +4058,96 @@ def temperature_sample_documents(spark, sf_dir):
         d, "doc_id", "source", tau=0.5, weight_col="n_chars"
     )
     return kept.select(F.col("doc_id").cast("long").alias("doc_id"), "source")
+
+
+@q(
+    "quality_prep_pipeline",
+    rf"""
+    WITH docs AS (
+      SELECT doc_id, text, {_DERIVED_TOKENS_SQL} AS toks
+      FROM documents WHERE doc_id < 400
+    ),
+    tok AS (
+      SELECT doc_id, unnest(toks) AS token
+      FROM docs WHERE toks IS NOT NULL AND len(toks) > 0
+    ),
+    tk AS (SELECT doc_id, token FROM tok
+           WHERE token IS NOT NULL AND token >= 0),
+    vocab AS (SELECT token, count(*) AS cnt FROM tk GROUP BY token),
+    tot AS (SELECT CAST(coalesce(sum(cnt), 0) AS DOUBLE) AS T,
+                   CAST(count(*) AS DOUBLE) AS V FROM vocab),
+    per AS (
+      SELECT t.doc_id, count(*) AS n_scored,
+             sum(ln(CAST(coalesce(v.cnt, 0) AS DOUBLE) + 1.0)) AS s
+      FROM tk t LEFT JOIN vocab v USING (token) GROUP BY t.doc_id
+    ),
+    ce AS (
+      SELECT doc_id,
+             ln(T + 1.0 * (V + 1)) - s / CAST(n_scored AS DOUBLE) AS ce_nats
+      FROM per CROSS JOIN tot
+    ),
+    bucketed AS (
+      SELECT doc_id,
+             ntile(4) OVER (ORDER BY ce_nats, doc_id) AS bucket
+      FROM ce
+    ),
+    kept AS (SELECT doc_id, bucket FROM bucketed WHERE bucket <= 3),
+    normed AS (
+      SELECT d.doc_id, k.bucket,
+             regexp_replace(
+               regexp_replace(lower(trim(d.text)), '[\x00-\x1f\x7f]', '', 'g'),
+               '\s+', ' ', 'g') AS norm_text
+      FROM docs d JOIN kept k USING (doc_id)
+    ),
+    deduped AS (
+      SELECT doc_id, bucket, norm_text FROM (
+        SELECT doc_id, bucket, norm_text,
+               row_number() OVER (PARTITION BY md5(norm_text)
+                                  ORDER BY doc_id) AS rn
+        FROM normed
+      ) WHERE rn = 1
+    )
+    SELECT CAST(doc_id AS BIGINT) AS doc_id,
+           CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN b < 90 THEN 'train' ELSE 'holdout' END AS split,
+           CAST(length(norm_text) AS BIGINT) AS n_chars_norm
+    FROM (
+      SELECT doc_id, bucket, norm_text,
+             CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS b
+      FROM deduped
+    )
+    """,
+)
+def quality_prep_pipeline(spark, sf_dir):
+    """End-to-end QUALITY-FILTERED curation, the full composition story
+    of the training-data tier: LM-score every document against the
+    corpus's own unigram LM (operators/lm.py), drop the worst
+    perplexity quartile (CCNet's tail cut — ntile over (ce, doc_id),
+    only the bucket INTEGER faces the oracle per the ln-ulp
+    discipline), then normalize → exact-dedup on normalized content →
+    deterministic 90/10 split, exactly corpus_prep_pipeline's tail.
+    Five operators, one lazily-composed plan; the LM fit is the
+    vocab-bounded aggregate, scoring is the broadcast join, and the
+    only corpus-wide shuffles are the per-doc score aggregate, the
+    bucket sort (oracle tier), and the dedup window."""
+    from ensembl_datacheck_spark.operators import corpus, lm as LM
+
+    t = _t(spark, sf_dir)
+    d = t["documents"].filter(F.col("doc_id") < 400)
+    toks = d.select("doc_id", _derived_tokens_col().alias("tokens"))
+    fit = LM.fit_unigram_lm(toks)
+    buckets = LM.lm_quality_buckets(LM.lm_cross_entropy(toks, fit), 4)
+    kept = buckets.filter(F.col("bucket") <= 3).select("doc_id", "bucket")
+    normed = d.select(
+        "doc_id", text.normalize_text(F.col("text")).alias("norm_text")
+    ).join(kept, "doc_id")
+    deduped = dedup.dedup_exact(normed, "norm_text", "doc_id")
+    split = corpus.hash_split(deduped, "doc_id",
+                              {"train": 0.9, "holdout": 0.1})
+    return split.select(
+        F.col("doc_id").cast("long").alias("doc_id"),
+        "bucket",
+        "split",
+        F.length("norm_text").cast("long").alias("n_chars_norm"),
+    )
