@@ -239,3 +239,92 @@ def test_simhash_band_bits_monotone_and_bounded(n, n2):
     if bits60 < 30:
         n_bands = 60 // bits60
         assert n_bands * n * (n - 1) / 2.0 / 2.0**bits60 <= n
+
+
+def test_lm_cross_entropy_matches_reference_on_random_corpora(spark):
+    """Seeded-random cross-validation of the LM scorer against an
+    independent pure-python reference, across several corpus shapes
+    (skewed vocab, hapax-heavy, short docs, OOV-rich fit slices)."""
+    import math
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from ensembl_datacheck_spark.operators import lm as LM
+
+    rnd = random.Random(20260821)
+    for shape in range(4):
+        docs = []
+        vocab_hi = [50, 2000, 12, 300][shape]
+        for i in range(120):
+            n = rnd.randint(1, [12, 40, 3, 25][shape])
+            docs.append((i, [rnd.randint(0, vocab_hi) for _ in range(n)]))
+        df = spark.createDataFrame(docs, "doc_id long, tokens array<long>")
+        fit_pred = F.col("doc_id") % [2, 3, 5, 4][shape] == 0
+        fit = LM.fit_unigram_lm(df.filter(fit_pred))
+        got = {r.doc_id: r for r in LM.lm_cross_entropy(df, fit).collect()}
+
+        fit_ids = {i for i, _ in docs if i % [2, 3, 5, 4][shape] == 0}
+        cnt = Counter(t for i, toks in docs if i in fit_ids for t in toks)
+        T, V = sum(cnt.values()), len(cnt)
+        for i, toks in docs:
+            ce = math.log(T + (V + 1)) - sum(
+                math.log(cnt.get(t, 0) + 1.0) for t in toks
+            ) / len(toks)
+            assert abs(got[i].ce_nats - ce) < 1e-11, (shape, i)
+            assert got[i].oov_n == sum(1 for t in toks if t not in cnt)
+
+
+def test_temperature_sample_nested_and_anchor_kept_random(spark):
+    """Seeded-random structural properties of temperature sampling over
+    random source-size profiles: kept sets are nested in tau, tau=1 is
+    the identity, and the smallest source is always kept whole."""
+    from ensembl_datacheck_spark.operators import corpus
+
+    rnd = random.Random(99)
+    rows = []
+    sizes = {}
+    for s in range(6):
+        n = rnd.choice([5, 20, 80, 250])
+        sizes[f"s{s}"] = n
+        rows += [(s * 10_000 + i, f"s{s}") for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id long, source string").cache()
+    kept = {}
+    for tau in (0.0, 0.25, 0.5, 0.75, 1.0):
+        kept[tau] = {
+            r.doc_id
+            for r in corpus.temperature_source_sample(
+                df, "doc_id", "source", tau=tau
+            ).collect()
+        }
+    taus = sorted(kept)
+    for lo, hi in zip(taus, taus[1:]):
+        assert kept[lo] <= kept[hi], (lo, hi)
+    assert len(kept[1.0]) == len(rows)
+    smallest = min(sizes, key=lambda s: sizes[s])
+    anchor_ids = {i for i, s in rows if s == smallest}
+    for tau in taus:
+        assert anchor_ids <= kept[tau], tau
+
+
+def test_gumbel_top_k_shift_invariant(spark):
+    """Gumbel-top-k selection depends only on weight DIFFERENCES: adding
+    any constant to every log_weight must select the identical set (the
+    Gumbel keys shift uniformly) — the invariance that makes the
+    sampler insensitive to the normalization term's absolute value."""
+    from pyspark.sql import functions as F
+
+    from ensembl_datacheck_spark.operators import importance as IMP
+
+    rnd = random.Random(7)
+    rows = [(i, rnd.randint(1, 40), rnd.uniform(-5, 5)) for i in range(200)]
+    w = spark.createDataFrame(
+        rows, "doc_id long, n_feat_obs long, log_weight double"
+    ).cache()
+    base = sorted(r.doc_id for r in IMP.gumbel_top_k(w, 20, salt="x").collect())
+    for c in (123.456, -77.0):
+        shifted = w.withColumn("log_weight", F.col("log_weight") + c)
+        got = sorted(
+            r.doc_id for r in IMP.gumbel_top_k(shifted, 20, salt="x").collect()
+        )
+        assert got == base, c
