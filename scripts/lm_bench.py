@@ -8,7 +8,9 @@ synth generation; the LM fit (unigram_profile) is shared by both tiers
 and timed separately.  Interleaved best-of-N; results →
 BENCH/LM_1M.md (hand-pasted with host context).
 
-Usage: python scripts/lm_bench.py [n_rows] [runs]
+Usage: python scripts/lm_bench.py [n_rows] [runs] [tiers]
+  tiers: comma list from {jvm,arrow,dsir} (default all) — e.g. `jvm`
+  for a scale-linearity sweep of the LM join tier alone.
 """
 
 from __future__ import annotations
@@ -46,6 +48,9 @@ def consume(df) -> None:
 def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 2
+    tiers = set(
+        (sys.argv[3] if len(sys.argv) > 3 else "jvm,arrow,dsir").split(",")
+    )
     spark = get_spark("lm-bench", cores=32, shuffle_partitions=32,
                       driver_memory="48g")
     path = tempfile.mkdtemp(prefix="lm_bench_") + "/seq"
@@ -72,15 +77,17 @@ def main() -> None:
                                      "dsir_topk_portable": [],
                                      "dsir_topk_fast": []}
     for _ in range(runs):
-        t0 = time.monotonic()
-        consume(LM.lm_cross_entropy(seq, fit))
-        walls["jvm_join"].append(time.monotonic() - t0)
-        print(f"jvm_join: {walls['jvm_join'][-1]:.2f}s")
+        if "jvm" in tiers:
+            t0 = time.monotonic()
+            consume(LM.lm_cross_entropy(seq, fit))
+            walls["jvm_join"].append(time.monotonic() - t0)
+            print(f"jvm_join: {walls['jvm_join'][-1]:.2f}s")
 
-        t0 = time.monotonic()
-        consume(LM.lm_cross_entropy_arrow(seq, fit))
-        walls["arrow_rowlocal"].append(time.monotonic() - t0)
-        print(f"arrow_rowlocal: {walls['arrow_rowlocal'][-1]:.2f}s")
+        if "arrow" in tiers:
+            t0 = time.monotonic()
+            consume(LM.lm_cross_entropy_arrow(seq, fit))
+            walls["arrow_rowlocal"].append(time.monotonic() - t0)
+            print(f"arrow_rowlocal: {walls['arrow_rowlocal'][-1]:.2f}s")
 
         # DSIR end-to-end, FUSED path: profiles straight from token
         # arrays (shuffle bounded by B), occurrence-level scoring (one
@@ -94,6 +101,8 @@ def main() -> None:
         from ensembl_datacheck_spark.operators.corpus import split_bucket
 
         for tier in ("portable", "fast"):
+            if "dsir" not in tiers:
+                continue
             t0 = time.monotonic()
             target = IMP.feature_counts_from_docs(
                 seq.filter(split_bucket("doc_id", 10) == 0),
@@ -110,6 +119,8 @@ def main() -> None:
             print(f"dsir_topk_{tier}: {walls[f'dsir_topk_{tier}'][-1]:.2f}s")
 
     for tier, ws in walls.items():
+        if not ws:
+            continue
         best = min(ws)
         print(
             f"BEST {tier}: {best:.2f}s  "
