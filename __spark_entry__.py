@@ -94,6 +94,13 @@ def entry(spark: SparkSession) -> DataFrame:
 # profile compare; DSIR is the same two-profile family applied
 # per-document).  Both displaced queries remain oracle-green in
 # tests/test_oracle_parity.py.
+# The session's remaining oracle-backed additions stay OUTSIDE the
+# window because a window row already proves their shape:
+# temperature_sample_documents (broadcast-rates + md5-bucket filter ≈
+# source_budget_mix_documents), quality_prep_pipeline (LM-bucket CTE ⊂
+# lm_perplexity_buckets_documents + corpus_prep_pipeline's dedup/split
+# tail), vocab_rarity_summary (vocab aggregate ⊂ the LM fit subtree).
+# All are parity-tested by the identical protocol.
 DRIVER_WINDOW = [
     "fk_lineitem_orders",
     "uniqueness_orders",
