@@ -496,14 +496,26 @@ def importance_log_weights_arrow(
     )
     import numpy as np
 
-    def dense(prof) -> tuple["np.ndarray", float]:
+    def dense(prof, name: str) -> tuple["np.ndarray", float]:
         arr = np.zeros(n_buckets, dtype=np.float64)
         for row in prof.collect():  # <= n_buckets rows by construction
-            arr[int(row["feat"])] = float(row["count"])
+            f = int(row["feat"])
+            if not 0 <= f < n_buckets:
+                # metadata-less profiles (e.g. read back from parquet,
+                # which drops column metadata) can evade _resolve_width;
+                # surface the width-contract violation intelligibly
+                # instead of a bare numpy IndexError
+                raise ValueError(
+                    f"{name} contains feature id {f} outside "
+                    f"[0, {n_buckets}) — the profile was hashed with a "
+                    "different n_buckets than this call; rebuild it or "
+                    "pass the matching n_buckets"
+                )
+            arr[f] = float(row["count"])
         return arr, float(arr.sum())
 
-    t_arr, t_total = dense(target_counts)
-    r_arr, r_total = dense(raw_counts)
+    t_arr, t_total = dense(target_counts, "target_counts")
+    r_arr, r_total = dense(raw_counts, "raw_counts")
     ln_t = np.log(t_arr + alpha)
     ln_r = np.log(r_arr + alpha)
     import math

@@ -51,6 +51,11 @@ def main() -> None:
     tiers = set(
         (sys.argv[3] if len(sys.argv) > 3 else "jvm,arrow,dsir").split(",")
     )
+    unknown = tiers - {"jvm", "arrow", "dsir"}
+    if unknown:
+        sys.exit(f"unknown tier(s) {sorted(unknown)}; choose from "
+                 "jvm,arrow,dsir — failing fast BEFORE the minutes of "
+                 "synth generation")
     spark = get_spark("lm-bench", cores=32, shuffle_partitions=32,
                       driver_memory="48g")
     path = tempfile.mkdtemp(prefix="lm_bench_") + "/seq"
@@ -64,14 +69,16 @@ def main() -> None:
     print(f"rows={n_rows} tokens={n_tokens} "
           f"loadavg_start={load0:.2f} gate_timed_out={timed_out}")
 
-    t0 = time.monotonic()
-    fit = LM.fit_unigram_lm(seq)
-    fit_path = tempfile.mkdtemp(prefix="lm_bench_") + "/vocab"
-    fit.write.parquet(fit_path)
-    fit = spark.read.parquet(fit_path)
-    vocab_size = fit.count()
-    print(f"LM fit (unigram_profile + persist): {time.monotonic() - t0:.2f}s "
-          f"({vocab_size} vocab rows)")
+    fit = None
+    if tiers & {"jvm", "arrow"}:  # only the LM tiers read the fit
+        t0 = time.monotonic()
+        fit = LM.fit_unigram_lm(seq)
+        fit_path = tempfile.mkdtemp(prefix="lm_bench_") + "/vocab"
+        fit.write.parquet(fit_path)
+        fit = spark.read.parquet(fit_path)
+        vocab_size = fit.count()
+        print(f"LM fit (unigram_profile + persist): "
+              f"{time.monotonic() - t0:.2f}s ({vocab_size} vocab rows)")
 
     walls: dict[str, list[float]] = {"jvm_join": [], "arrow_rowlocal": [],
                                      "dsir_topk_portable": [],
@@ -100,9 +107,7 @@ def main() -> None:
         # slice by the portable md5 bucket).
         from ensembl_datacheck_spark.operators.corpus import split_bucket
 
-        for tier in ("portable", "fast"):
-            if "dsir" not in tiers:
-                continue
+        for tier in ("portable", "fast") if "dsir" in tiers else ():
             t0 = time.monotonic()
             target = IMP.feature_counts_from_docs(
                 seq.filter(split_bucket("doc_id", 10) == 0),

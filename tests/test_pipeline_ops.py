@@ -2464,3 +2464,20 @@ class TestDsirArrowTierAndStream:
             q.stop()
         # ties at the boundary would admit extras; the fixture has none
         assert got == batch_expected
+
+
+def test_dsir_arrow_dense_rejects_out_of_width_profiles(spark):
+    """Metadata-less profiles (parquet round-trips drop column metadata)
+    hashed wider than the explicit n_buckets must fail with the width-
+    contract message, not a bare numpy IndexError."""
+    from ensembl_datacheck_spark.operators import importance as IMP
+
+    df = spark.createDataFrame(
+        [(1, [3, 4, 5])], "doc_id long, tokens array<long>"
+    )
+    # strip metadata the way a parquet round-trip would
+    wide = spark.createDataFrame(
+        [(8191, 5), (2, 3)], "feat long, count long"
+    )
+    with pytest.raises(ValueError, match="outside"):
+        IMP.importance_log_weights_arrow(df, wide, wide, n_buckets=64)
